@@ -1,0 +1,164 @@
+"""ROIAlign (V2 / `aligned=True` semantics) as a batched JAX gather kernel.
+
+TPU-native replacement for detectron2/torchvision's CUDA ROIAlignV2 used by
+both the box pooler and cube pooler (reference roi_heads.py:166-171,
+POOLER_TYPE 'ROIAlignV2' in configs/Base.yaml; SURVEY.md §2.3).
+
+Design notes (TPU-first):
+- All shapes static: N rois x (R x R) bins x (S x S) samples; bilinear
+  interpolation is 4 dense gathers + weighted sum, which XLA lowers to
+  efficient dynamic-gathers over the [H*W, C] feature table.
+- `sampling_ratio=0` in the reference means an adaptive per-roi sample count;
+  data-dependent shapes don't jit, so we use a fixed S=2 grid (the value the
+  adaptive rule picks for the common ROI sizes at these feature strides).
+- Multi-level FPN pooling assigns each box a level with the detectron2
+  canonical formula and selects among per-level pooled results with a mask —
+  dense compute at every level, no dynamic partitioning.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(feat: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear sample of feat [H, W, C] at continuous (x, y) points [P].
+
+    Out-of-range samples contribute 0 (matching ROIAlign's zero padding for
+    points outside the feature map).
+    Returns [P, C].
+    """
+    H, W, _ = feat.shape
+    # ROIAlign zero-pads samples fully outside; clamps the interpolation
+    # lattice at the border (torchvision bilinear_interpolate semantics).
+    oob = (x < -1.0) | (x > W) | (y < -1.0) | (y > H)
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    lx = x - x0.astype(x.dtype)
+    ly = y - y0.astype(y.dtype)
+
+    flat = feat.reshape(H * W, -1)
+    f00 = flat[y0 * W + x0]
+    f01 = flat[y0 * W + x1]
+    f10 = flat[y1 * W + x0]
+    f11 = flat[y1 * W + x1]
+    w00 = ((1 - ly) * (1 - lx))[:, None]
+    w01 = ((1 - ly) * lx)[:, None]
+    w10 = (ly * (1 - lx))[:, None]
+    w11 = (ly * lx)[:, None]
+    out = f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
+    return jnp.where(oob[:, None], 0.0, out)
+
+
+@partial(jax.jit, static_argnames=("resolution", "sampling_ratio", "stride"))
+def roi_align(
+    feat: jax.Array,
+    boxes: jax.Array,
+    stride: int,
+    resolution: int = 7,
+    sampling_ratio: int = 2,
+) -> jax.Array:
+    """ROIAlignV2 on one feature map.
+
+    Args:
+      feat: [H, W, C] feature map (channels-last; stride px per cell).
+      boxes: [N, 4] XYXY in *image* coordinates.
+      stride: feature stride (image px per feature cell).
+      resolution: output R (R x R bins).
+      sampling_ratio: S samples per bin side (S*S per bin).
+    Returns:
+      [N, R, R, C] pooled features.
+    """
+    n = boxes.shape[0]
+    R, S = resolution, sampling_ratio
+    scale = 1.0 / stride
+    # V2 ("aligned=True"): half-pixel offset so that feature cell centers
+    # align with the continuous image coordinate model.
+    x1 = boxes[:, 0] * scale - 0.5
+    y1 = boxes[:, 1] * scale - 0.5
+    x2 = boxes[:, 2] * scale - 0.5
+    y2 = boxes[:, 3] * scale - 0.5
+    roi_w = x2 - x1  # not clamped to >=1 in V2
+    roi_h = y2 - y1
+    bin_w = roi_w / R
+    bin_h = roi_h / R
+
+    # Sample lattice: bin (i, j), sample (a, b) at fractional offsets.
+    bin_idx = jnp.arange(R, dtype=feat.dtype)
+    samp_off = (jnp.arange(S, dtype=feat.dtype) + 0.5) / S
+    # grid over one axis: [R*S] positions in units of bins.
+    axis_pos = (bin_idx[:, None] + samp_off[None, :]).reshape(-1)  # [R*S]
+
+    # Per-roi continuous coordinates, [N, R*S].
+    xs = x1[:, None] + axis_pos[None, :] * bin_w[:, None]
+    ys = y1[:, None] + axis_pos[None, :] * bin_h[:, None]
+    # Full 2D lattice [N, R*S, R*S] -> flat [N, P].
+    P = R * S * R * S
+    xg = jnp.broadcast_to(xs[:, None, :], (n, R * S, R * S)).reshape(n, P)
+    yg = jnp.broadcast_to(ys[:, :, None], (n, R * S, R * S)).reshape(n, P)
+
+    sample = jax.vmap(lambda x, y: _bilinear_gather(feat, x, y))
+    vals = sample(xg, yg)  # [N, P, C]
+    c = vals.shape[-1]
+    vals = vals.reshape(n, R, S, R, S, c)
+    pooled = vals.mean(axis=(2, 4))  # average S*S samples per bin
+    return pooled
+
+
+def assign_fpn_levels(
+    boxes: jax.Array,
+    min_level: int,
+    max_level: int,
+    canonical_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jax.Array:
+    """detectron2 ROIPooler level assignment: floor(l0 + log2(sqrt(area)/s0)).
+
+    Returns [N] int32 levels clamped to [min_level, max_level].
+    """
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    size = jnp.sqrt(area)
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(size / canonical_size + 1e-8)
+    ).astype(jnp.int32)
+    return jnp.clip(lvl, min_level, max_level)
+
+
+def multilevel_roi_align(
+    feats: list[jax.Array],
+    strides: list[int],
+    boxes: jax.Array,
+    resolution: int = 7,
+    sampling_ratio: int = 2,
+    canonical_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jax.Array:
+    """Multi-level ROIAlign with dense level selection.
+
+    Args:
+      feats: list of [H_l, W_l, C] maps, fine -> coarse.
+      strides: per-level feature strides.
+      boxes: [N, 4] XYXY image coords.
+    Returns:
+      [N, R, R, C].
+    """
+    min_level = int(math.log2(strides[0]))
+    max_level = int(math.log2(strides[-1]))
+    levels = assign_fpn_levels(
+        boxes, min_level, max_level, canonical_size, canonical_level
+    )
+    out = None
+    for li, (feat, stride) in enumerate(zip(feats, strides)):
+        pooled = roi_align(feat, boxes, stride, resolution, sampling_ratio)
+        sel = (levels == (min_level + li))[:, None, None, None]
+        out = jnp.where(sel, pooled, out) if out is not None else pooled * sel
+    return out

@@ -1,0 +1,83 @@
+"""Tests for fixed-shape NMS against a straightforward numpy greedy NMS."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ovmono3d_tpu.ops.nms import batched_nms_mask, nms_mask, topk_after_nms
+
+
+def _np_greedy_nms(boxes, scores, thresh):
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / np.maximum(area_i + areas - inter, 1e-7)
+        suppressed |= iou > thresh
+    mask = np.zeros(len(boxes), bool)
+    mask[keep] = True
+    return mask
+
+
+def _random_boxes(key, n, size=100.0):
+    k1, k2 = jax.random.split(key)
+    xy = jax.random.uniform(k1, (n, 2), minval=0, maxval=size)
+    wh = jax.random.uniform(k2, (n, 2), minval=5, maxval=40)
+    return jnp.concatenate([xy, xy + wh], axis=1)
+
+
+def test_nms_matches_numpy_greedy():
+    for seed in range(5):
+        key = jax.random.PRNGKey(seed)
+        boxes = _random_boxes(key, 64)
+        scores = jax.random.uniform(jax.random.PRNGKey(seed + 100), (64,))
+        got = np.asarray(nms_mask(boxes, scores, 0.5))
+        want = _np_greedy_nms(np.asarray(boxes), np.asarray(scores), 0.5)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_nms_respects_valid_mask():
+    boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10], [50, 50, 60, 60]],
+                      jnp.float32)
+    scores = jnp.array([0.9, 0.8, 0.7])
+    valid = jnp.array([False, True, True])
+    keep = np.asarray(nms_mask(boxes, scores, 0.5, valid))
+    # Highest scoring box is invalid -> second box survives instead.
+    np.testing.assert_array_equal(keep, [False, True, True])
+
+
+def test_batched_nms_classes_dont_suppress():
+    boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+    scores = jnp.array([0.9, 0.8])
+    same = np.asarray(batched_nms_mask(boxes, scores, jnp.array([0, 0]), 0.5))
+    diff = np.asarray(batched_nms_mask(boxes, scores, jnp.array([0, 1]), 0.5))
+    np.testing.assert_array_equal(same, [True, False])
+    np.testing.assert_array_equal(diff, [True, True])
+
+
+def test_topk_after_nms():
+    boxes = _random_boxes(jax.random.PRNGKey(0), 32)
+    scores = jnp.linspace(1.0, 0.0, 32)
+    keep = nms_mask(boxes, scores, 0.9)  # high thresh keeps most
+    idx, valid = topk_after_nms(boxes, scores, keep, 8)
+    assert idx.shape == (8,) and valid.shape == (8,)
+    kept_scores = np.asarray(scores)[np.asarray(idx)][np.asarray(valid)]
+    assert np.all(np.diff(kept_scores) <= 0)  # sorted descending
+
+
+def test_nms_jits():
+    boxes = _random_boxes(jax.random.PRNGKey(1), 128)
+    scores = jax.random.uniform(jax.random.PRNGKey(2), (128,))
+    fn = jax.jit(lambda b, s: nms_mask(b, s, 0.5))
+    out1 = fn(boxes, scores)
+    out2 = nms_mask(boxes, scores, 0.5)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

@@ -1,0 +1,115 @@
+"""Tests for ROIAlign V2 against torchvision's CPU reference implementation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ovmono3d_tpu.ops.roi_align import (
+    assign_fpn_levels,
+    multilevel_roi_align,
+    roi_align,
+)
+
+
+def test_constant_map_pools_constant():
+    feat = jnp.full((32, 32, 8), 3.5)
+    boxes = jnp.array([[4.0, 4.0, 20.0, 20.0]])
+    out = roi_align(feat, boxes, stride=1, resolution=7)
+    assert out.shape == (1, 7, 7, 8)
+    np.testing.assert_allclose(np.asarray(out), 3.5, atol=1e-5)
+
+
+def test_linear_ramp_is_recovered():
+    # Feature = x coordinate; pooled bin centers must equal the sample mean of
+    # their lattice positions (bilinear interp of a linear fn is exact).
+    H = W = 32
+    xs = jnp.arange(W, dtype=jnp.float32)
+    feat = jnp.broadcast_to(xs[None, :, None], (H, W, 1))
+    boxes = jnp.array([[8.0, 8.0, 24.0, 24.0]])  # stride 1, aligned
+    out = np.asarray(roi_align(feat, boxes, stride=1, resolution=4,
+                               sampling_ratio=2))[0, :, :, 0]
+    # ROI in feature coords: [7.5, 23.5] after the -0.5 alignment offset;
+    # bin width 4; bin j center = 7.5 + 4*j + 2 -> feature x value == that.
+    want = 7.5 + 4 * np.arange(4) + 2.0
+    np.testing.assert_allclose(out[0], want, atol=1e-4)
+    # All rows identical (feature constant in y).
+    np.testing.assert_allclose(out, np.tile(want, (4, 1)), atol=1e-4)
+
+
+def test_matches_torchvision_roialign():
+    torch = pytest.importorskip("torch")
+    tv = pytest.importorskip("torchvision")
+    rng = np.random.RandomState(0)
+    feat = rng.randn(1, 16, 24, 24).astype(np.float32)
+    boxes = np.array(
+        [[2.0, 3.0, 18.0, 20.0], [0.5, 0.5, 10.0, 8.0], [5.0, 5.0, 23.0, 23.0]],
+        np.float32,
+    )
+    want = tv.ops.roi_align(
+        torch.from_numpy(feat),
+        [torch.from_numpy(boxes)],
+        output_size=7,
+        spatial_scale=1.0,
+        sampling_ratio=2,
+        aligned=True,
+    ).numpy()  # [N, C, 7, 7]
+    got = roi_align(
+        jnp.asarray(feat[0].transpose(1, 2, 0)), jnp.asarray(boxes),
+        stride=1, resolution=7, sampling_ratio=2,
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_matches_torchvision_with_stride():
+    torch = pytest.importorskip("torch")
+    tv = pytest.importorskip("torchvision")
+    rng = np.random.RandomState(1)
+    feat = rng.randn(1, 4, 16, 16).astype(np.float32)
+    boxes = np.array([[8.0, 8.0, 56.0, 48.0]], np.float32)  # image coords
+    want = tv.ops.roi_align(
+        torch.from_numpy(feat),
+        [torch.from_numpy(boxes)],
+        output_size=7,
+        spatial_scale=0.25,  # stride 4
+        sampling_ratio=2,
+        aligned=True,
+    ).numpy()
+    got = roi_align(
+        jnp.asarray(feat[0].transpose(1, 2, 0)), jnp.asarray(boxes),
+        stride=4, resolution=7, sampling_ratio=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4
+    )
+
+
+def test_assign_fpn_levels():
+    boxes = jnp.array(
+        [
+            [0, 0, 56, 56],     # sqrt area 56 -> level 2 (224/4)
+            [0, 0, 112, 112],   # -> level 3
+            [0, 0, 224, 224],   # -> level 4
+            [0, 0, 896, 896],   # -> clamped to 4
+            [0, 0, 8, 8],       # -> clamped to 2
+        ],
+        jnp.float32,
+    )
+    lvls = np.asarray(assign_fpn_levels(boxes, 2, 4))
+    np.testing.assert_array_equal(lvls, [2, 3, 4, 4, 2])
+
+
+def test_multilevel_selects_per_box():
+    # Three levels with distinct constant values; each box must pull from the
+    # level its size assigns it to.
+    feats = [
+        jnp.full((64, 64, 2), 1.0),   # stride 4  (level 2)
+        jnp.full((32, 32, 2), 2.0),   # stride 8  (level 3)
+        jnp.full((16, 16, 2), 3.0),   # stride 16 (level 4)
+    ]
+    boxes = jnp.array(
+        [[0, 0, 56, 56], [0, 0, 112, 112], [0, 0, 224, 224]], jnp.float32
+    )
+    out = multilevel_roi_align(feats, [4, 8, 16], boxes, resolution=2)
+    means = np.asarray(out).mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(means, [1.0, 2.0, 3.0], atol=1e-5)
