@@ -1,0 +1,84 @@
+"""Benchmark: flagship OVMono3D-LIFT inference throughput on one chip.
+
+Measures the oracle-2D evaluation path (the reference's eval protocol,
+SURVEY.md §3.2) end-to-end on device: DINOv2 ViT-B/14 @ 896^2 + SFP + cube
+head + 3D lifting, batch 1 — directly comparable to the reference's measured
+0.217 s/img pure-compute (≈4.61 img/s/device) on GPU (BASELINE.md, emitter
+omni3d_evaluation.py:713-715).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_S = 1.0 / 0.217  # reference pure-compute (BASELINE.md)
+
+
+def main():
+    from __graft_entry__ import _flagship_config
+    from ovmono3d_tpu.models.rcnn3d import build_model
+
+    cfg = _flagship_config(square_pad=896)
+    model = build_model(cfg.model)
+
+    B, S, N = 1, 896, 64
+    key = jax.random.PRNGKey(0)
+    image = jax.random.uniform(key, (B, S, S, 3), jnp.float32) * 255.0
+    K = jnp.broadcast_to(
+        jnp.array([[1000.0, 0, S / 2], [0, 1000.0, S / 2], [0, 0, 1]]),
+        (B, 3, 3),
+    )
+    im_hw = jnp.full((B, 2), S, jnp.int32)
+    ratio = jnp.ones((B,), jnp.float32)
+    boxes = jnp.tile(
+        jnp.array([[50.0, 50.0, 400.0, 400.0]]), (B, N, 1)
+    ) + jnp.arange(N, dtype=jnp.float32)[None, :, None]
+    classes = jnp.zeros((B, N), jnp.int32)
+    scores = jnp.full((B, N), 0.9, jnp.float32)
+    valid = jnp.ones((B, N), bool)
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(1), image, K, im_hw, ratio,
+        oracle_boxes=boxes, oracle_classes=classes,
+        oracle_scores=scores, oracle_valid=valid,
+    )
+
+    @jax.jit
+    def run(params, image, boxes):
+        return model.apply(
+            params, image, K, im_hw, ratio,
+            oracle_boxes=boxes, oracle_classes=classes,
+            oracle_scores=scores, oracle_valid=valid,
+        )
+
+    # Warmup / compile.
+    out = run(params, image, boxes)
+    jax.block_until_ready(out.corners3d)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(params, image, boxes)
+    jax.block_until_ready(out.corners3d)
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_s = B / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ovmono3d_lift_oracle_896_b1_img_per_s",
+                "value": round(img_per_s, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Omni3D dataset registry, JSON loading and annotation filtering.
+
+Host-side re-design of cubercnn/data/datasets.py (SURVEY.md §2.1 #15):
+plain-json loading (no pycocotools dependency), the multi-criterion
+`is_ignore` filter, contiguous category-ID mapping, and 2D-box source
+selection (truncated projection / tight projection / modal).
+
+Records are plain dicts; the fixed-shape batcher in `mapper.py` turns them
+into model inputs.
+"""
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Iterable
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_DATASET_REGISTRY: dict[str, Callable[[], list[dict]]] = {}
+_METADATA: dict[str, Any] = {}
+
+
+@dataclass
+class FilterSettings:
+    """Annotation filter thresholds (get_filter_settings_from_cfg,
+    datasets.py:52-79)."""
+
+    category_names: tuple[str, ...] = ()
+    ignore_names: tuple[str, ...] = ()
+    truncation_thres: float = 0.99
+    visibility_thres: float = 0.01
+    min_height_thres: float = 0.0
+    max_height_thres: float = 1.50
+    max_depth: float = 1e8
+    modal_2d_boxes: bool = False
+    trunc_2d_boxes: bool = True
+
+
+def filter_settings_from_cfg(cfg) -> FilterSettings:
+    d = cfg.datasets
+    return FilterSettings(
+        category_names=tuple(d.category_names),
+        ignore_names=tuple(d.ignore_names),
+        truncation_thres=d.truncation_thres,
+        visibility_thres=d.visibility_thres,
+        min_height_thres=d.min_height_thres,
+        max_depth=d.max_depth,
+        modal_2d_boxes=d.modal_2d_boxes,
+        trunc_2d_boxes=d.trunc_2d_boxes,
+    )
+
+
+def is_ignore(anno: dict, fs: FilterSettings, image_height: float) -> bool:
+    """Multi-criterion ignore filter (reference datasets.py:82-122)."""
+    ignore = anno.get("behind_camera", False)
+    ignore |= not bool(anno.get("valid3D", True))
+    if ignore:
+        return True
+    ignore |= anno.get("dimensions", [1, 1, 1])[0] <= 0
+    ignore |= anno.get("dimensions", [1, 1, 1])[1] <= 0
+    ignore |= anno.get("dimensions", [1, 1, 1])[2] <= 0
+    ignore |= anno.get("center_cam", [0, 0, 1])[2] > fs.max_depth
+    lidar = anno.get("lidar_pts")
+    if lidar is not None:
+        ignore |= lidar == 0
+    seg_pts = anno.get("segmentation_pts")
+    if seg_pts is not None:
+        ignore |= seg_pts == 0
+    depth_error = anno.get("depth_error")
+    if depth_error is not None:
+        ignore |= depth_error > 0.5
+    bbox2d = _choose_bbox2d(anno, fs)
+    if bbox2d is not None:
+        height = bbox2d[3]
+        ignore |= height <= fs.min_height_thres * image_height
+        ignore |= height >= fs.max_height_thres * image_height
+    truncation = anno.get("truncation", 0.0)
+    if truncation is not None and truncation >= 0:
+        ignore |= truncation >= fs.truncation_thres
+    visibility = anno.get("visibility", 1.0)
+    if visibility is not None and visibility >= 0:
+        ignore |= visibility <= fs.visibility_thres
+    return bool(ignore)
+
+
+def _choose_bbox2d(anno: dict, fs: FilterSettings):
+    """2D box source selection in XYWH (datasets.py:321-447: modal, truncated
+    projection or tight projection)."""
+    if fs.modal_2d_boxes and anno.get("bbox2D_tight", [-1])[0] != -1:
+        return anno["bbox2D_tight"]
+    if fs.trunc_2d_boxes and anno.get("bbox2D_trunc", [-1])[0] != -1:
+        return anno["bbox2D_trunc"]
+    if anno.get("bbox2D_proj", [-1])[0] != -1:
+        return anno["bbox2D_proj"]
+    if anno.get("bbox") is not None:
+        return anno["bbox"]
+    return None
+
+
+def load_omni3d_json(
+    json_path: str | Path,
+    fs: FilterSettings,
+    category_to_contiguous: dict[str, int] | None = None,
+) -> list[dict]:
+    """Load one Omni3D-format JSON into per-image records.
+
+    Record fields: file_name, image_id, width, height, K (3x3 list),
+    dataset_id, annotations: list of dicts with category (name),
+    category_id (contiguous, -1 = ignore), bbox2d (XYXY), center_cam,
+    dimensions (w, h, l), pose (3x3 R_cam), center_2d (projected).
+    """
+    with open(json_path) as f:
+        data = json.load(f)
+
+    cats = {c["id"]: c["name"] for c in data.get("categories", [])}
+    if category_to_contiguous is None:
+        names = sorted(
+            set(fs.category_names) if fs.category_names else set(cats.values())
+        )
+        category_to_contiguous = {n: i for i, n in enumerate(names)}
+
+    annos_by_image: dict[int, list[dict]] = {}
+    for anno in data.get("annotations", []):
+        annos_by_image.setdefault(anno["image_id"], []).append(anno)
+
+    records = []
+    for img in data.get("images", []):
+        K = np.asarray(img["K"], np.float64).reshape(3, 3)
+        rec = {
+            "file_name": img.get("file_path", img.get("file_name", "")),
+            "image_id": img["id"],
+            "width": img["width"],
+            "height": img["height"],
+            "K": K.tolist(),
+            "dataset_id": img.get("dataset_id", 0),
+            "annotations": [],
+        }
+        for anno in annos_by_image.get(img["id"], []):
+            name = cats.get(anno["category_id"], str(anno["category_id"]))
+            ignore = name.lower() in fs.ignore_names
+            known = name in category_to_contiguous
+            if not known and not ignore:
+                # Unknown categories become ignore regions (datasets.py:
+                # category -1 handling).
+                ignore = True
+            ignore = ignore or is_ignore(anno, fs, img["height"])
+
+            bbox2d = _choose_bbox2d(anno, fs)
+            if bbox2d is None:
+                continue
+            x, y, w, h = bbox2d
+            if w <= 0 or h <= 0:
+                continue
+            rec["annotations"].append(
+                {
+                    "category": name,
+                    "category_id": (
+                        -1 if ignore else category_to_contiguous[name]
+                    ),
+                    "bbox2d": [x, y, x + w, y + h],
+                    "center_cam": anno.get("center_cam"),
+                    "dimensions": anno.get("dimensions"),
+                    "pose": anno.get("R_cam", anno.get("pose")),
+                    "ignore": ignore,
+                    "truncation": anno.get("truncation", 0.0),
+                    "visibility": anno.get("visibility", 1.0),
+                }
+            )
+        records.append(rec)
+    logger.info(
+        "loaded %d images from %s", len(records), json_path
+    )
+    return records
+
+
+def simple_register(
+    name: str, json_path: str | Path, fs: FilterSettings,
+    category_to_contiguous: dict[str, int] | None = None,
+):
+    """Register a dataset factory under a name (datasets.py:125-138)."""
+    _DATASET_REGISTRY[name] = lambda: load_omni3d_json(
+        json_path, fs, category_to_contiguous
+    )
+    _METADATA[name] = {
+        "json_path": str(json_path),
+        "category_to_contiguous": category_to_contiguous,
+    }
+
+
+def get_dataset(name: str) -> list[dict]:
+    if name not in _DATASET_REGISTRY:
+        raise KeyError(
+            f"dataset '{name}' not registered; have {sorted(_DATASET_REGISTRY)}"
+        )
+    return _DATASET_REGISTRY[name]()
+
+
+def get_metadata(name: str) -> dict:
+    return _METADATA[name]
+
+
+def register_model_categories(
+    name: str, category_names: Iterable[str]
+) -> dict[str, int]:
+    """Contiguous ID map for the model's category universe
+    (register_and_store_model_metadata, datasets.py:294-318)."""
+    thing_classes = list(category_names)
+    mapping = {n: i for i, n in enumerate(thing_classes)}
+    _METADATA[name] = {
+        "thing_classes": thing_classes,
+        "thing_dataset_id_to_contiguous_id": mapping,
+    }
+    return mapping
+
+
+def merge_oracle2d(
+    records: list[dict], oracle_json: str | Path, score_key: str = "score"
+) -> list[dict]:
+    """Attach oracle/GDINO 2D detections to records by image_id
+    (build.py:45-54 merge_oracle2d_to_detection_dicts)."""
+    with open(oracle_json) as f:
+        oracle = json.load(f)
+    by_image: dict[Any, list] = {}
+    items = oracle if isinstance(oracle, list) else oracle.get(
+        "annotations", []
+    )
+    for det in items:
+        by_image.setdefault(det["image_id"], []).append(det)
+    for rec in records:
+        dets = by_image.get(rec["image_id"], [])
+        rec["oracle2d"] = [
+            {
+                "bbox2d": _xywh_to_xyxy(d["bbox"]) if "bbox" in d else d["bbox2d"],
+                "category_id": d["category_id"],
+                "score": d.get(score_key, 1.0),
+            }
+            for d in dets
+        ]
+    return records
+
+
+def _xywh_to_xyxy(b):
+    return [b[0], b[1], b[0] + b[2], b[1] + b[3]]

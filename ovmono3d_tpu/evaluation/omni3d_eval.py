@@ -1,0 +1,303 @@
+"""Omni3D-protocol evaluator: COCO-style AP over 2D IoU and exact 3D IoU,
+depth-band breakdowns, and the NHD metric.
+
+Self-contained re-design of cubercnn/evaluation/omni3d_evaluation.py
+(SURVEY.md §2.1 #19, ~2.5k lines around pycocotools): the matching /
+accumulation protocol is reimplemented in numpy, and — unlike the reference
+fork, whose 3D mode is broken because the `computeIoU` override is missing
+(SURVEY.md §5.1) — 3D mode here explicitly computes exact oriented 3D IoU via
+the polytope-clipping kernel (ops/iou3d.py) on device.
+
+Protocol constants (Omni3DParams, omni3d_evaluation.py:1394-1461):
+  2D IoU thresholds: 0.50 : 0.05 : 0.95
+  3D IoU thresholds: 0.05 : 0.05 : 0.50
+  recall thresholds: 0 : 0.01 : 1 (101 points)
+  "area" bands = GT depth: all / near (<10 m) / medium (10-35 m) / far (>35 m)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+IOU_THRS_2D = np.round(np.arange(0.50, 0.951, 0.05), 2)
+IOU_THRS_3D = np.round(np.arange(0.05, 0.501, 0.05), 2)
+REC_THRS = np.round(np.linspace(0.0, 1.00, 101), 2)
+DEPTH_BANDS = {
+    "all": (0.0, np.inf),
+    "near": (0.0, 10.0),
+    "medium": (10.0, 35.0),
+    "far": (35.0, np.inf),
+}
+
+
+@dataclass
+class ImageEval:
+    """Per-(image, category) matching results for all IoU thresholds."""
+
+    det_scores: np.ndarray      # [D]
+    det_matched: np.ndarray     # [T, D] matched gt index or -1
+    det_ignored: np.ndarray     # [T, D] bool (matched to ignore gt)
+    num_gt: int                 # countable (non-ignore) gt
+    nhd: dict | None = None     # NHD values for matched pairs (3D mode)
+
+
+def _greedy_match(
+    iou: np.ndarray,        # [D, G] det x gt, dets sorted by descending score
+    gt_ignore: np.ndarray,  # [G] bool
+    thresholds: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """COCOeval evaluateImg greedy matching for every threshold.
+
+    Returns (matched [T, D] gt idx or -1, ignored [T, D]).
+    """
+    D, G = iou.shape
+    T = len(thresholds)
+    matched = -np.ones((T, D), np.int64)
+    ignored = np.zeros((T, D), bool)
+    for ti, thr in enumerate(thresholds):
+        gt_used = np.zeros(G, bool)
+        for d in range(D):
+            best_iou = min(thr, 1 - 1e-10)
+            best_g = -1
+            for g in range(G):
+                if gt_used[g] and not gt_ignore[g]:
+                    continue
+                if iou[d, g] < best_iou:
+                    continue
+                # Prefer real gt: once matched to a real gt, never switch to
+                # an ignore gt (COCOeval rule).
+                if best_g > -1 and gt_ignore[g] and not gt_ignore[best_g]:
+                    continue
+                best_iou = iou[d, g]
+                best_g = g
+            if best_g >= 0:
+                gt_used[best_g] = True
+                matched[ti, d] = best_g
+                ignored[ti, d] = gt_ignore[best_g]
+    return matched, ignored
+
+
+def corners_diag(corners: np.ndarray) -> np.ndarray:
+    """GT diagonal length per box: ||corner0 - corner6|| (the two opposite
+    template corners)."""
+    return np.linalg.norm(corners[..., 0, :] - corners[..., 6, :], axis=-1)
+
+
+def hungarian_corner_distance(
+    pred: np.ndarray, gt: np.ndarray
+) -> np.ndarray:
+    """Mean Hungarian-matched L2 distance between 8-corner sets
+    (reference NHD core, omni3d_evaluation.py:2227-2247). pred/gt: [N, 8, 3].
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    out = np.zeros(pred.shape[0])
+    for i in range(pred.shape[0]):
+        cost = np.linalg.norm(
+            pred[i][:, None, :] - gt[i][None, :, :], axis=-1
+        )
+        r, c = linear_sum_assignment(cost)
+        out[i] = cost[r, c].mean()
+    return out
+
+
+class Omni3DEvaluator:
+    """Accumulates per-image predictions and computes AP2D / AP3D / NHD.
+
+    Usage:
+      ev = Omni3DEvaluator(num_classes, mode="3D")
+      ev.add_image(gt=..., pred=...)   # numpy dicts, see add_image
+      results = ev.summarize()
+    """
+
+    def __init__(self, num_classes: int, mode: str = "3D",
+                 class_names: list[str] | None = None):
+        assert mode in ("2D", "3D")
+        self.mode = mode
+        self.num_classes = num_classes
+        self.class_names = class_names or [str(i) for i in range(num_classes)]
+        self.iou_thrs = IOU_THRS_3D if mode == "3D" else IOU_THRS_2D
+        # evals[band][cat] -> list of ImageEval
+        self.evals: dict[str, dict[int, list[ImageEval]]] = {
+            band: {c: [] for c in range(num_classes)} for band in DEPTH_BANDS
+        }
+        self._nhd_values: list[float] = []
+        self._nhd_dis: dict[str, list[float]] = {
+            "xy": [], "z": [], "dims": [], "pose": []
+        }
+
+    # -- IoU backends -------------------------------------------------------
+
+    def _iou_2d(self, det_boxes, gt_boxes):
+        from ovmono3d_tpu.ops.iou2d import pairwise_iou
+        import jax.numpy as jnp
+
+        if len(det_boxes) == 0 or len(gt_boxes) == 0:
+            return np.zeros((len(det_boxes), len(gt_boxes)))
+        return np.asarray(
+            pairwise_iou(jnp.asarray(det_boxes), jnp.asarray(gt_boxes))
+        )
+
+    def _iou_3d(self, det_corners, gt_corners):
+        from ovmono3d_tpu.ops.iou3d import pairwise_iou3d
+        import jax.numpy as jnp
+
+        if len(det_corners) == 0 or len(gt_corners) == 0:
+            return np.zeros((len(det_corners), len(gt_corners)))
+        _, iou = pairwise_iou3d(
+            jnp.asarray(det_corners, jnp.float32),
+            jnp.asarray(gt_corners, jnp.float32),
+        )
+        return np.asarray(iou)
+
+    # -- accumulation --------------------------------------------------------
+
+    def add_image(self, gt: dict, pred: dict):
+        """Add one image.
+
+        gt: dict with
+          classes [G] int (-1 = ignore region), boxes2d [G, 4] xyxy,
+          corners3d [G, 8, 3] (3D mode), depths [G] (gt z; for bands).
+        pred: dict with
+          classes [D], scores [D], boxes2d [D, 4],
+          corners3d [D, 8, 3] (3D mode).
+        """
+        g_classes = np.asarray(gt.get("classes", np.zeros(0, np.int64)))
+        d_classes = np.asarray(pred.get("classes", np.zeros(0, np.int64)))
+        d_scores = np.asarray(pred.get("scores", np.zeros(0)))
+
+        for c in range(self.num_classes):
+            d_sel = np.where(d_classes == c)[0]
+            g_sel = np.where((g_classes == c) | (g_classes == -1))[0]
+            if len(d_sel) == 0 and len(g_sel) == 0:
+                continue
+            order = np.argsort(-d_scores[d_sel], kind="mergesort")
+            d_sel = d_sel[order]
+            gt_ignore_base = g_classes[g_sel] == -1
+
+            if self.mode == "3D":
+                iou = self._iou_3d(
+                    np.asarray(pred["corners3d"])[d_sel],
+                    np.asarray(gt["corners3d"])[g_sel],
+                )
+            else:
+                iou = self._iou_2d(
+                    np.asarray(pred["boxes2d"])[d_sel],
+                    np.asarray(gt["boxes2d"])[g_sel],
+                )
+
+            depths = np.asarray(gt.get("depths", np.zeros(len(g_classes))))
+            for band, (lo, hi) in DEPTH_BANDS.items():
+                in_band = (depths[g_sel] >= lo) & (depths[g_sel] < hi)
+                gt_ignore = gt_ignore_base | ~in_band
+                matched, ignored = _greedy_match(
+                    iou, gt_ignore, self.iou_thrs
+                )
+                self.evals[band][c].append(
+                    ImageEval(
+                        det_scores=d_scores[d_sel],
+                        det_matched=matched,
+                        det_ignored=ignored,
+                        num_gt=int((~gt_ignore).sum()),
+                    )
+                )
+
+            # NHD on matched pairs at the loosest threshold, 'all' band.
+            if self.mode == "3D" and len(d_sel) and len(g_sel):
+                matched, ignored = _greedy_match(
+                    iou, gt_ignore_base, self.iou_thrs
+                )
+                m = matched[0]
+                ok = (m >= 0) & ~ignored[0]
+                if ok.any():
+                    pc = np.asarray(pred["corners3d"])[d_sel][ok]
+                    gc = np.asarray(gt["corners3d"])[g_sel][m[ok]]
+                    nhd = hungarian_corner_distance(pc, gc) / np.maximum(
+                        corners_diag(gc), 1e-8
+                    )
+                    self._nhd_values.extend(nhd.tolist())
+
+    # -- summarization -------------------------------------------------------
+
+    def _pr_curves(self, band: str):
+        """COCOeval.accumulate: precision [T, R, K] and recall [T, K]."""
+        T = len(self.iou_thrs)
+        K = self.num_classes
+        precision = -np.ones((T, len(REC_THRS), K))
+        recall = -np.ones((T, K))
+        ap_valid = np.zeros(K, bool)
+        for c in range(K):
+            evs = self.evals[band][c]
+            if not evs:
+                continue
+            scores = np.concatenate([e.det_scores for e in evs])
+            matched = np.concatenate([e.det_matched for e in evs], axis=1)
+            ignored = np.concatenate([e.det_ignored for e in evs], axis=1)
+            npig = sum(e.num_gt for e in evs)
+            if npig == 0:
+                continue
+            ap_valid[c] = True
+            order = np.argsort(-scores, kind="mergesort")
+            matched = matched[:, order]
+            ignored = ignored[:, order]
+            tps = (matched >= 0) & ~ignored
+            fps = (matched < 0)  # unmatched dets are FPs; ignored dropped
+            tp_cum = np.cumsum(tps, axis=1).astype(np.float64)
+            fp_cum = np.cumsum(fps, axis=1).astype(np.float64)
+            for t in range(T):
+                tp, fp = tp_cum[t], fp_cum[t]
+                nd = len(tp)
+                rc = tp / npig
+                pr = tp / np.maximum(tp + fp, np.spacing(1))
+                recall[t, c] = rc[-1] if nd else 0
+                # Monotone precision envelope.
+                for i in range(nd - 1, 0, -1):
+                    pr[i - 1] = max(pr[i - 1], pr[i])
+                inds = np.searchsorted(rc, REC_THRS, side="left")
+                q = np.zeros(len(REC_THRS))
+                for ri, pi in enumerate(inds):
+                    if pi < nd:
+                        q[ri] = pr[pi]
+                precision[t, :, c] = q
+        return precision, recall, ap_valid
+
+    @staticmethod
+    def _mean_valid(x: np.ndarray) -> float:
+        v = x[x > -1]
+        return float(v.mean()) if v.size else float("nan")
+
+    def summarize(self) -> dict[str, float]:
+        """13-stat summary in the spirit of Omni3Deval.summarize
+        (omni3d_evaluation.py:2072-2224), scaled to percentages."""
+        out: dict[str, float] = {}
+        prec_all, rec_all, _ = self._pr_curves("all")
+        tag = "AP3D" if self.mode == "3D" else "AP2D"
+        out[tag] = 100 * self._mean_valid(prec_all)
+        thr_list = (
+            [(0.15, "15"), (0.25, "25"), (0.50, "50")]
+            if self.mode == "3D"
+            else [(0.50, "50"), (0.75, "75"), (0.95, "95")]
+        )
+        for thr, name in thr_list:
+            ti = int(np.argmin(np.abs(self.iou_thrs - thr)))
+            out[f"{tag}@{name}"] = 100 * self._mean_valid(prec_all[ti])
+        for band in ("near", "medium", "far"):
+            p, _, _ = self._pr_curves(band)
+            out[f"{tag}-{band[0].upper()}"] = 100 * self._mean_valid(p)
+        out[f"AR{'3D' if self.mode == '3D' else '2D'}"] = (
+            100 * self._mean_valid(rec_all)
+        )
+        if self.mode == "3D" and self._nhd_values:
+            out["NHD"] = float(np.mean(self._nhd_values))
+        return out
+
+    def per_category_ap(self) -> dict[str, float]:
+        prec, _, valid = self._pr_curves("all")
+        out = {}
+        for c in range(self.num_classes):
+            if valid[c]:
+                out[self.class_names[c]] = 100 * self._mean_valid(
+                    prec[:, :, c]
+                )
+        return out

@@ -1,0 +1,173 @@
+"""Fused multi-head attention: Pallas flash kernel + XLA reference path.
+
+The reference runs ViT attention through torch/cuDNN (SURVEY.md §2.1 #7-11,
+hot loop §3: ~4096 image tokens x 12 blocks per image). Here:
+
+- `attention_xla`: einsum attention with f32 softmax — XLA already fuses this
+  well on TPU and it is differentiable; used for training and as the CPU/test
+  path.
+- `flash_attention`: Pallas TPU kernel, online-softmax over K/V blocks with
+  the full K/V resident in VMEM (sequence ~4K tokens, head_dim 64 -> ~1MB per
+  head in bf16, well under the 16MB VMEM budget). Padded KV positions are
+  masked with -inf scores; the mask is static (sequence lengths are static
+  under jit). Forward-only; the backbone is frozen during reference training
+  (train_net.py:431-434) so inference speed is what matters. A custom_vjp
+  falls back to the XLA path for gradients.
+
+`dot_product_attention(q, k, v)` picks the best available implementation.
+Layout: [B, N, H, D].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Reference attention. q/k/v: [B, N, H, D] -> [B, N, H, D]."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_len: int
+):
+    """One (batch*head, q-block) program: online softmax over K/V blocks."""
+    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
+    n_kv_padded = k_ref.shape[1]
+    bq, d = q.shape
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        # Static-length mask for KV padding (kv_len is a Python int).
+        col = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1
+        )
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    n_blocks = n_kv_padded // block_k
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas flash attention. q/k/v: [B, N, H, D] -> [B, N, H, D]."""
+    b, n, h, d = q.shape
+    scale = 1.0 / (d**0.5)
+
+    n_q = -(-n // block_q) * block_q
+    n_kv = -(-n // block_k) * block_k
+    qp = jnp.pad(q, ((0, 0), (0, n_q - n), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_kv - n), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_kv - n), (0, 0), (0, 0)))
+
+    # [B, N, H, D] -> [B*H, N, D]
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qb, kb, vb = to_bh(qp), to_bh(kp), to_bh(vp)
+
+    grid = (b * h, n_q // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=block_k, kv_len=n
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda bh, i: (bh, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_kv, d), lambda bh, i: (bh, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_kv, d), lambda bh, i: (bh, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda bh, i: (bh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_q, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_q * n_kv * d,
+            bytes_accessed=(2 * b * h * n_q * d + 2 * b * h * n_kv * d) * 2,
+            transcendentals=b * h * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(qb, kb, vb)
+    out = out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)
+    return out[:, :n]
+
+
+@jax.custom_vjp
+def _attention_autoselect(q, k, v):
+    if jax.default_backend() == "tpu":
+        return flash_attention(q, k, v)
+    return attention_xla(q, k, v)
+
+
+def _attn_fwd(q, k, v):
+    return _attention_autoselect(q, k, v), (q, k, v)
+
+
+def _attn_bwd(res, g):
+    # Differentiate the XLA reference path (identical math).
+    q, k, v = res
+    _, vjp = jax.vjp(attention_xla, q, k, v)
+    return vjp(g)
+
+
+_attention_autoselect.defvjp(_attn_fwd, _attn_bwd)
+
+
+def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Best-available fused attention; [B, N, H, D] in and out."""
+    return _attention_autoselect(q, k, v)

@@ -1,0 +1,178 @@
+"""Sharded train/eval steps with in-graph stabilization.
+
+Replaces the reference's DDP hot loop (tools/train_net.py:199-354;
+SURVEY.md §2.2, §5):
+- data parallelism: batch sharded over the mesh `data` axis, params
+  replicated; XLA inserts the gradient all-reduce (the NCCL
+  `allreduce_dict` equivalent) over ICI.
+- stabilization: the reference skips the optimizer step when the batch loss
+  explodes (> tolerance x rolling mean) or any grad is non-finite, with the
+  decision all-reduced so ranks stay in lockstep (train_net.py:187-292).
+  Here the skip decision is computed IN-GRAPH from the globally-reduced loss
+  and gradient finiteness — a sharded computation is already consistent
+  across devices, so no separate flag collective is needed. The rolling loss
+  mean lives in `TrainState.loss_ema`.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ovmono3d_tpu.models.rcnn3d import RCNN3D
+from ovmono3d_tpu.structures import GroundTruth
+
+TOLERANCE = 4.0  # loss-spike multiplier (train_net.py:178-250)
+EMA_WINDOW = 20.0
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    loss_ema: jax.Array        # rolling mean of the total loss
+    skipped: jax.Array         # cumulative skipped-update count
+    rng: jax.Array
+
+
+def create_train_state(params, tx, rng) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        loss_ema=jnp.full((), -1.0),
+        skipped=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+
+
+def make_train_step(model: RCNN3D, tx: optax.GradientTransformation,
+                    stabilize: float = 0.01):
+    """Returns train_step(state, batch) -> (state, metrics), jittable and
+    shardable (batch leading axis over `data`)."""
+
+    def loss_fn(params, batch, rng):
+        gt = GroundTruth(
+            boxes=batch["gt_boxes"],
+            classes=batch["gt_classes"],
+            boxes3d=batch["gt_boxes3d"],
+            poses=batch["gt_poses"],
+            valid=batch["gt_valid"],
+        )
+        losses = model.apply(
+            params,
+            batch["image"],
+            batch["K"],
+            batch["im_hw"],
+            batch["im_scale_ratio"],
+            gt,
+            rng,
+            batch.get("depth"),
+            method=RCNN3D.compute_losses,
+        )
+        total = sum(losses.values())
+        return total, losses
+
+    def train_step(state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch, step_rng)
+
+        # --- stabilization (in-graph, globally consistent) ---
+        grads_finite = jnp.all(
+            jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
+            )
+        )
+        loss_finite = jnp.isfinite(total)
+        ema = state.loss_ema
+        exploded = (ema > 0) & (total > TOLERANCE * ema)
+        skip = (~grads_finite) | (~loss_finite) | (
+            exploded if stabilize > 0 else jnp.zeros((), bool)
+        )
+
+        updates, new_opt_state = tx.update(
+            jax.tree.map(lambda g: jnp.where(skip, 0.0, g), grads),
+            state.opt_state,
+            state.params,
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        # On skip keep everything unchanged.
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(skip, old, new),
+            new_params, state.params,
+        )
+        new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(skip, old, new),
+            new_opt_state, state.opt_state,
+        )
+
+        safe_total = jnp.where(loss_finite, total, ema)
+        new_ema = jnp.where(
+            ema < 0,
+            safe_total,
+            ema + (safe_total - ema) / EMA_WINDOW,
+        )
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            loss_ema=new_ema,
+            skipped=state.skipped + skip.astype(jnp.int32),
+            rng=rng,
+        )
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["skipped"] = skip.astype(jnp.float32)
+        return new_state, metrics
+
+    return train_step
+
+
+def shard_train_step(train_step, mesh, donate: bool = True):
+    """jit the step with params replicated and batch sharded over `data`.
+
+    `donate=True` donates the input TrainState buffers (halves peak HBM);
+    pass False when the caller keeps references to the old state (tests).
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model: RCNN3D):
+    """Oracle-mode eval step (the reference's eval protocol, SURVEY.md §3.2)."""
+
+    def eval_step(params, batch):
+        return model.apply(
+            params,
+            batch["image"],
+            batch["K"],
+            batch["im_hw"],
+            batch["im_scale_ratio"],
+            batch.get("depth"),
+            oracle_boxes=batch["oracle_boxes"],
+            oracle_classes=batch["oracle_classes"],
+            oracle_scores=batch["oracle_scores"],
+            oracle_valid=batch["oracle_valid"],
+        )
+
+    return eval_step
+
+
+def shard_eval_step(eval_step, mesh):
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=data)

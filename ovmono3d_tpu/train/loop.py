@@ -1,0 +1,90 @@
+"""Host-side training loop with stabilization restarts.
+
+Re-design of the reference train loop (tools/train_net.py:140-473;
+SURVEY.md §3.1 and §5 "failure detection"): the per-step skip logic is
+in-graph (parallel/train_step.py); this loop adds the outer layer — if the
+fraction of skipped updates since the last checkpoint exceeds
+MODEL.STABILIZE, tear down and restart from the last checkpoint, up to
+`max_training_attempts` times.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+from ovmono3d_tpu.config import Config
+from ovmono3d_tpu.train.checkpoint import SingleCheckpointer
+
+logger = logging.getLogger(__name__)
+
+
+def train(
+    cfg: Config,
+    state,
+    step_fn: Callable,
+    data_iter: Iterator,
+    checkpointer: SingleCheckpointer | None = None,
+    hooks: list[Callable] | None = None,
+):
+    """Run up to cfg.solver.max_iter steps with restart-on-divergence.
+
+    `data_iter` yields sharded batch dicts. Returns the final state.
+    Restart semantics (train_net.py:296-325): if skipped-update fraction
+    since the last checkpoint >= cfg.model.stabilize after at least half a
+    checkpoint period, reload `model_recent` and retry (bounded attempts).
+    """
+    solver = cfg.solver
+    attempts = 0
+    period = max(solver.checkpoint_period, 1)
+    last_ckpt_step = int(state.step)
+    last_ckpt_skipped = int(state.skipped)
+
+    while int(state.step) < solver.max_iter:
+        t0 = time.time()
+        batch = next(data_iter)
+        state, metrics = step_fn(state, batch)
+        step = int(state.step)
+
+        if hooks:
+            for hook in hooks:
+                hook(step, state, metrics)
+
+        since_ckpt = step - last_ckpt_step
+        skipped_since = int(state.skipped) - last_ckpt_skipped
+        if (
+            cfg.model.stabilize > 0
+            and since_ckpt >= period // 2
+            and skipped_since / max(since_ckpt, 1) >= cfg.model.stabilize
+        ):
+            attempts += 1
+            logger.warning(
+                "divergence: %d/%d skipped since last ckpt; restart %d/%d",
+                skipped_since, since_ckpt, attempts,
+                solver.max_training_attempts,
+            )
+            if attempts >= solver.max_training_attempts:
+                raise RuntimeError("exceeded max training attempts")
+            if checkpointer is not None and checkpointer.has():
+                state = checkpointer.load(state)
+            last_ckpt_step = int(state.step)
+            last_ckpt_skipped = int(state.skipped)
+            continue
+
+        if checkpointer is not None and step % period == 0:
+            checkpointer.save(jax.device_get(state))
+            last_ckpt_step = step
+            last_ckpt_skipped = int(state.skipped)
+
+        if step % 20 == 0:
+            loss = float(metrics["total_loss"])
+            logger.info(
+                "iter %d loss %.4f (%.3fs/it)", step, loss, time.time() - t0
+            )
+
+    if checkpointer is not None:
+        checkpointer.save(jax.device_get(state), name="model_final")
+    return state

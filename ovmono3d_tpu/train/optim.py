@@ -1,0 +1,134 @@
+"""Optimizer construction: per-param LR/WD groups + warmup-multistep schedule.
+
+Re-design of cubercnn/solver/build.py (SURVEY.md §2.1 #21): SGD / Adam /
+AdamW(+amsgrad) with detectron2-style parameter groups — bias LR factor,
+zero weight decay for norm-layer params and biases — and the
+WarmupMultiStepLR schedule, as one optax chain.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+from ovmono3d_tpu.config import SolverConfig
+
+NORM_KEYWORDS = ("norm", "layernorm", "ln", "bn")
+
+
+def warmup_multistep(
+    base_lr: float,
+    steps: tuple[int, ...],
+    gamma: float,
+    warmup_iters: int,
+    warmup_factor: float,
+) -> optax.Schedule:
+    """detectron2 WarmupMultiStepLR: linear warmup then step decay."""
+
+    def schedule(count):
+        import jax.numpy as jnp
+
+        warmup = jnp.where(
+            count < warmup_iters,
+            warmup_factor + (1 - warmup_factor) * count / max(warmup_iters, 1),
+            1.0,
+        )
+        decay = gamma ** sum(
+            (count >= s).astype(count.dtype) for s in
+            [jnp.asarray(s) for s in steps]
+        ) if steps else 1.0
+        return base_lr * warmup * decay
+
+    return schedule
+
+
+def _is_norm_or_bias(path: tuple) -> tuple[bool, bool]:
+    keys = [getattr(p, "key", str(p)).lower() for p in path]
+    is_bias = keys[-1] == "bias"
+    is_norm = any(
+        any(kw in k for kw in NORM_KEYWORDS) for k in keys[:-1]
+    ) or keys[-1] in ("scale", "gamma")
+    return is_norm, is_bias
+
+
+def param_group_labels(params) -> Any:
+    """Label tree: 'default' | 'bias' | 'norm' (solver/build.py:20-46)."""
+
+    def label(path, _):
+        is_norm, is_bias = _is_norm_or_bias(path)
+        if is_norm:
+            return "norm"
+        if is_bias:
+            return "bias"
+        return "default"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def _sgd(lr_schedule, momentum, weight_decay):
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay) if weight_decay else
+        optax.identity(),
+        optax.sgd(lr_schedule, momentum=momentum),
+    )
+
+
+def _adam_like(kind, lr_schedule, weight_decay):
+    if kind.startswith("adamw"):
+        return optax.adamw(lr_schedule, weight_decay=weight_decay)
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay) if weight_decay else
+        optax.identity(),
+        optax.adam(lr_schedule),
+    )
+
+
+def build_optimizer(cfg: SolverConfig, params) -> optax.GradientTransformation:
+    """Optimizer with param groups; `params` provides the label structure."""
+    sched = warmup_multistep(
+        cfg.base_lr, cfg.steps, cfg.gamma, cfg.warmup_iters, cfg.warmup_factor
+    )
+    bias_sched = warmup_multistep(
+        cfg.base_lr * cfg.bias_lr_factor, cfg.steps, cfg.gamma,
+        cfg.warmup_iters, cfg.warmup_factor,
+    )
+
+    def make(kind, lr, wd):
+        if kind == "sgd":
+            return _sgd(lr, cfg.momentum, wd)
+        return _adam_like(kind, lr, wd)
+
+    kind = cfg.type
+    tx = optax.multi_transform(
+        {
+            "default": make(kind, sched, cfg.weight_decay),
+            "bias": make(kind, bias_sched, 0.0),
+            "norm": make(kind, sched, cfg.weight_decay_norm),
+        },
+        param_group_labels(params),
+    )
+    if cfg.clip_gradients > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_gradients), tx)
+    return tx
+
+
+def freeze_backbone_mask(params) -> Any:
+    """True = trainable. Freezes the ViT trunk (reference train_net.py:
+    431-434 freezes `backbone.net` params; SFP and heads stay trainable)."""
+
+    def label(path, _):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        return not (len(keys) > 1 and keys[1] == "backbone")
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def apply_freeze(tx: optax.GradientTransformation, trainable_mask):
+    """Route frozen params to a zero update (no decay, no momentum state)."""
+    labels = jax.tree.map(
+        lambda t: "train" if t else "frozen", trainable_mask
+    )
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels
+    )

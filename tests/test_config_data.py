@@ -1,0 +1,174 @@
+"""Config system + data layer tests (YAML inheritance, overrides, Omni3D JSON
+loading, filters, fixed-shape mapping)."""
+import json
+
+import numpy as np
+import pytest
+
+from ovmono3d_tpu.config import Config, load_config
+from ovmono3d_tpu.data.builtin import get_omni3d_categories
+from ovmono3d_tpu.data.datasets import (
+    FilterSettings,
+    is_ignore,
+    load_omni3d_json,
+    merge_oracle2d,
+    simple_register,
+    get_dataset,
+)
+from ovmono3d_tpu.data.mapper import (
+    batch_examples,
+    map_example,
+    resize_shortest_edge,
+)
+
+
+def test_config_defaults():
+    cfg = Config()
+    assert cfg.model.backbone.square_pad == 896
+    assert cfg.model.cube.virtual_focal == 512.0
+    assert cfg.model.rpn.objectness == "IoUness"
+
+
+def test_config_yaml_and_overrides(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("model:\n  num_classes: 43\nsolver:\n  base_lr: 0.02\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(
+        "_BASE_: base.yaml\nsolver:\n  base_lr: 0.12\n"
+        "datasets:\n  train: [Objectron_train, Objectron_val]\n"
+    )
+    cfg = load_config(child, overrides=["model.num_classes=50",
+                                        "model.cube.z_type=log"])
+    assert cfg.solver.base_lr == 0.12          # child overrides base
+    assert cfg.model.num_classes == 50         # CLI overrides YAML
+    assert cfg.model.cube.z_type == "log"
+    assert cfg.datasets.train == ("Objectron_train", "Objectron_val")
+
+
+def test_config_unknown_key_raises():
+    with pytest.raises(KeyError):
+        load_config(None, overrides=["model.not_a_key=1"])
+
+
+def test_builtin_categories():
+    assert len(get_omni3d_categories("omni3d")) == 50
+    assert len(get_omni3d_categories("omni3d_in")) == 38
+    assert len(get_omni3d_categories("omni3d_out")) == 11
+    assert get_omni3d_categories("Objectron_test") == get_omni3d_categories(
+        "Objectron_train"
+    )
+    assert "toilet" not in get_omni3d_categories("Hypersim_test")
+    assert get_omni3d_categories("KITTI_test_novel") == {"tram"}
+    with pytest.raises(ValueError):
+        get_omni3d_categories("nope_test")
+
+
+def _fake_json(tmp_path):
+    data = {
+        "categories": [{"id": 1, "name": "chair"}, {"id": 2, "name": "cup"},
+                       {"id": 3, "name": "alien"}],
+        "images": [
+            {"id": 10, "width": 640, "height": 480,
+             "K": [[500, 0, 320], [0, 500, 240], [0, 0, 1]],
+             "file_path": "img10.jpg"},
+        ],
+        "annotations": [
+            {"image_id": 10, "category_id": 1,
+             "bbox2D_trunc": [100, 100, 50, 80],
+             "center_cam": [0.1, 0.2, 3.0], "dimensions": [0.5, 0.9, 0.5],
+             "R_cam": np.eye(3).tolist(), "truncation": 0.1,
+             "visibility": 0.9, "valid3D": True},
+            {"image_id": 10, "category_id": 2,
+             "bbox2D_trunc": [300, 200, 40, 40],
+             "center_cam": [0.5, 0.1, 2.0], "dimensions": [0.1, 0.2, 0.1],
+             "R_cam": np.eye(3).tolist(), "truncation": 0.995,  # ignored
+             "visibility": 0.9, "valid3D": True},
+            {"image_id": 10, "category_id": 3,  # unknown class -> ignore
+             "bbox2D_trunc": [10, 10, 30, 30],
+             "center_cam": [0, 0, 1.0], "dimensions": [1, 1, 1],
+             "R_cam": np.eye(3).tolist(), "truncation": 0.0,
+             "visibility": 1.0, "valid3D": True},
+        ],
+    }
+    p = tmp_path / "ds.json"
+    p.write_text(json.dumps(data))
+    return p
+
+
+def test_load_omni3d_json(tmp_path):
+    p = _fake_json(tmp_path)
+    fs = FilterSettings(category_names=("chair", "cup"))
+    recs = load_omni3d_json(p, fs, {"chair": 0, "cup": 1})
+    assert len(recs) == 1
+    annos = recs[0]["annotations"]
+    assert len(annos) == 3
+    assert annos[0]["category_id"] == 0 and not annos[0]["ignore"]
+    assert annos[1]["category_id"] == -1  # truncation filter
+    assert annos[2]["category_id"] == -1  # unknown category
+
+
+def test_register_and_oracle_merge(tmp_path):
+    p = _fake_json(tmp_path)
+    fs = FilterSettings(category_names=("chair", "cup"))
+    simple_register("fake_test", p, fs, {"chair": 0, "cup": 1})
+    recs = get_dataset("fake_test")
+    oracle = tmp_path / "oracle.json"
+    oracle.write_text(json.dumps([
+        {"image_id": 10, "bbox": [100, 100, 50, 80], "category_id": 0,
+         "score": 0.88},
+    ]))
+    recs = merge_oracle2d(recs, oracle)
+    assert recs[0]["oracle2d"][0]["bbox2d"] == [100, 100, 150, 180]
+    assert recs[0]["oracle2d"][0]["score"] == 0.88
+
+
+def test_resize_shortest_edge():
+    nh, nw, s = resize_shortest_edge((480, 640), 532, 896)
+    assert min(nh, nw) == 532
+    nh, nw, s = resize_shortest_edge((480, 1280), 532, 896)
+    assert max(nh, nw) == 896  # capped by max_size
+
+
+def test_map_example_shapes(tmp_path):
+    p = _fake_json(tmp_path)
+    fs = FilterSettings(category_names=("chair", "cup"))
+    recs = load_omni3d_json(p, fs, {"chair": 0, "cup": 1})
+    cfg = Config()
+    ex = map_example(recs[0], cfg, is_train=True, max_gt=8,
+                     rng=np.random.RandomState(0))
+    S = cfg.model.backbone.square_pad
+    assert ex.image.shape == (S, S, 3)
+    assert ex.gt_boxes.shape == (8, 4)
+    assert ex.gt_valid.sum() == 3
+    # First gt: box scaled by the resize factor.
+    scale = 1.0 / ex.im_scale_ratio
+    if not np.isclose(ex.gt_boxes[0][0], (640 - 150) * scale):  # maybe flipped
+        np.testing.assert_allclose(ex.gt_boxes[0],
+                                   np.array([100, 100, 150, 180]) * scale,
+                                   rtol=1e-5)
+    # 3D target: u,v = projected center at network scale (chair, centered K).
+    u, v, z = ex.gt_boxes3d[0, :3]
+    assert z == pytest.approx(3.0)
+    batch = batch_examples([ex, ex])
+    assert batch["image"].shape == (2, S, S, 3)
+    assert batch["gt_boxes3d"].shape == (2, 8, 9)
+
+
+def test_map_example_oracle(tmp_path):
+    p = _fake_json(tmp_path)
+    fs = FilterSettings(category_names=("chair", "cup"))
+    recs = load_omni3d_json(p, fs, {"chair": 0, "cup": 1})
+    oracle = tmp_path / "oracle.json"
+    oracle.write_text(json.dumps([
+        {"image_id": 10, "bbox": [100, 100, 50, 80], "category_id": 0,
+         "score": 0.88},
+    ]))
+    recs = merge_oracle2d(recs, oracle)
+    cfg = Config()
+    ex = map_example(recs[0], cfg, is_train=False, max_oracle=4)
+    assert ex.oracle_valid.sum() == 1
+    assert ex.oracle_scores[0] == pytest.approx(0.88)
+    scale = 1.0 / ex.im_scale_ratio
+    np.testing.assert_allclose(
+        ex.oracle_boxes[0], np.array([100, 100, 150, 180]) * scale, rtol=1e-5
+    )

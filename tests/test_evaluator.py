@@ -1,0 +1,129 @@
+"""Evaluator tests with analytically known AP values."""
+import numpy as np
+
+from ovmono3d_tpu.evaluation.omni3d_eval import (
+    Omni3DEvaluator,
+    hungarian_corner_distance,
+)
+from ovmono3d_tpu.utils.geometry import cuboid_corners
+import jax.numpy as jnp
+
+
+def _corners(x, y, z, w=1.0, h=1.0, l=1.0):
+    return np.asarray(
+        cuboid_corners(jnp.array([x, y, z, w, h, l], jnp.float32))
+    )
+
+
+def _gt(boxes3d):
+    corners = np.stack([_corners(*b) for b in boxes3d])
+    return {
+        "classes": np.zeros(len(boxes3d), np.int64),
+        "boxes2d": np.tile([0, 0, 10, 10], (len(boxes3d), 1)).astype(float),
+        "corners3d": corners,
+        "depths": np.array([b[2] for b in boxes3d], float),
+    }
+
+
+def _pred(boxes3d, scores):
+    corners = np.stack([_corners(*b) for b in boxes3d])
+    return {
+        "classes": np.zeros(len(boxes3d), np.int64),
+        "scores": np.asarray(scores, float),
+        "boxes2d": np.tile([0, 0, 10, 10], (len(boxes3d), 1)).astype(float),
+        "corners3d": corners,
+    }
+
+
+def test_perfect_predictions_ap100():
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    gt = _gt([(0, 0, 5), (2, 0, 5)])
+    ev.add_image(gt, _pred([(0, 0, 5), (2, 0, 5)], [0.9, 0.8]))
+    res = ev.summarize()
+    np.testing.assert_allclose(res["AP3D"], 100.0, atol=1e-6)
+    np.testing.assert_allclose(res["AR3D"], 100.0, atol=1e-6)
+    np.testing.assert_allclose(res["NHD"], 0.0, atol=1e-5)
+
+
+def test_half_recall_ap():
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    gt = _gt([(0, 0, 5), (20, 0, 5)])
+    ev.add_image(gt, _pred([(0, 0, 5)], [0.9]))  # second gt missed
+    res = ev.summarize()
+    # Precision 1.0 up to recall 0.5 -> 51 of 101 recall points.
+    np.testing.assert_allclose(res["AP3D"], 100 * 51 / 101, atol=0.1)
+    np.testing.assert_allclose(res["AR3D"], 50.0, atol=1e-6)
+
+
+def test_false_positive_hurts():
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    gt = _gt([(0, 0, 5)])
+    # One perfect TP + one far FP with lower score: AP stays 100 (FP after
+    # full recall doesn't lower the envelope).
+    ev.add_image(gt, _pred([(0, 0, 5), (50, 0, 5)], [0.9, 0.1]))
+    res = ev.summarize()
+    np.testing.assert_allclose(res["AP3D"], 100.0, atol=1e-6)
+
+    # FP with HIGHER score halves precision at recall 1.
+    ev2 = Omni3DEvaluator(num_classes=1, mode="3D")
+    ev2.add_image(gt, _pred([(0, 0, 5), (50, 0, 5)], [0.1, 0.9]))
+    res2 = ev2.summarize()
+    np.testing.assert_allclose(res2["AP3D"], 50.0, atol=0.1)
+
+
+def test_iou_threshold_sensitivity():
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    gt = _gt([(0, 0, 5)])
+    # Offset by 0.5 of a unit cube: IoU = 1/3 -> matches thresholds <= 0.30.
+    ev.add_image(gt, _pred([(0.5, 0, 5)], [0.9]))
+    res = ev.summarize()
+    # Thresholds 0.05..0.50; 6 of 10 (0.05..0.30) match.
+    np.testing.assert_allclose(res["AP3D"], 100 * 6 / 10, atol=0.5)
+    np.testing.assert_allclose(res["AP3D@25"], 100.0, atol=1e-5)
+    np.testing.assert_allclose(res["AP3D@50"], 0.0, atol=1e-5)
+
+
+def test_depth_bands():
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    gt = _gt([(0, 0, 5), (0, 0, 50)])  # near + far
+    ev.add_image(gt, _pred([(0, 0, 5)], [0.9]))  # only near detected
+    res = ev.summarize()
+    np.testing.assert_allclose(res["AP3D-N"], 100.0, atol=1e-5)
+    # In far band, the near GT is ignore and its detection matches nothing:
+    # pure FP + one missed GT -> AP 0.
+    np.testing.assert_allclose(res["AP3D-F"], 0.0, atol=1e-5)
+
+
+def test_ignore_regions_dont_count():
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    gt = _gt([(0, 0, 5), (20, 0, 5)])
+    gt["classes"] = np.array([0, -1])  # second is ignore region
+    # Detection on the ignore region is neither TP nor FP.
+    ev.add_image(gt, _pred([(0, 0, 5), (20, 0, 5)], [0.9, 0.8]))
+    res = ev.summarize()
+    np.testing.assert_allclose(res["AP3D"], 100.0, atol=1e-6)
+
+
+def test_2d_mode():
+    ev = Omni3DEvaluator(num_classes=2, mode="2D")
+    gt = {
+        "classes": np.array([0, 1]),
+        "boxes2d": np.array([[0, 0, 10, 10], [20, 20, 40, 40]], float),
+        "depths": np.array([5.0, 5.0]),
+    }
+    pred = {
+        "classes": np.array([0, 1]),
+        "scores": np.array([0.9, 0.8]),
+        "boxes2d": np.array([[0, 0, 10, 10], [20, 20, 40, 40]], float),
+    }
+    ev.add_image(gt, pred)
+    res = ev.summarize()
+    np.testing.assert_allclose(res["AP2D"], 100.0, atol=1e-6)
+    np.testing.assert_allclose(res["AP2D@50"], 100.0, atol=1e-6)
+
+
+def test_hungarian_distance_permutation_invariant():
+    c = _corners(0, 0, 5)
+    perm = c[[1, 0, 3, 2, 5, 4, 7, 6]]
+    d = hungarian_corner_distance(perm[None], c[None])
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)

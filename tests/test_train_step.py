@@ -1,0 +1,123 @@
+"""Sharded train-step tests on the virtual 8-device CPU mesh."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ovmono3d_tpu.parallel.mesh import make_mesh, shard_batch
+from ovmono3d_tpu.parallel.train_step import (
+    create_train_state,
+    make_train_step,
+    shard_train_step,
+)
+from ovmono3d_tpu.train.optim import (
+    apply_freeze,
+    build_optimizer,
+    freeze_backbone_mask,
+    warmup_multistep,
+)
+from test_model import tiny_config, _gt, _batch, B, M, S
+
+
+def _train_batch(b=8):
+    key = jax.random.PRNGKey(0)
+    image = jax.random.uniform(key, (b, S, S, 3)) * 255.0
+    K = jnp.broadcast_to(
+        jnp.array([[100.0, 0, 56], [0, 100.0, 56], [0, 0, 1]]), (b, 3, 3)
+    )
+    gt = _gt()
+    reps = b // B
+    return {
+        "image": image,
+        "K": K,
+        "im_hw": jnp.tile(jnp.array([[112, 112], [98, 84]], jnp.int32), (reps, 1)),
+        "im_scale_ratio": jnp.tile(jnp.array([2.0, 1.5]), (reps,)),
+        "gt_boxes": jnp.tile(gt.boxes, (reps, 1, 1)),
+        "gt_classes": jnp.tile(gt.classes, (reps, 1)),
+        "gt_boxes3d": jnp.tile(gt.boxes3d, (reps, 1, 1)),
+        "gt_poses": jnp.tile(gt.poses, (reps, 1, 1, 1)),
+        "gt_valid": jnp.tile(gt.valid, (reps, 1)),
+    }
+
+
+def test_warmup_multistep_schedule():
+    sched = warmup_multistep(1.0, (100, 200), 0.1, 10, 0.1)
+    np.testing.assert_allclose(float(sched(jnp.asarray(0))), 0.1, atol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(10))), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(150))), 0.1, atol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(250))), 0.01, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from ovmono3d_tpu.models.rcnn3d import build_model
+
+    cfg = tiny_config()
+    solver = dataclasses.replace(
+        cfg.solver, base_lr=0.01, warmup_iters=0, steps=()
+    )
+    cfg = dataclasses.replace(cfg, solver=solver)
+    model = build_model(cfg.model)
+    batch = _train_batch()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(1),
+        batch["image"][:2], batch["K"][:2], batch["im_hw"][:2],
+        batch["im_scale_ratio"][:2],
+    )
+    tx = apply_freeze(
+        build_optimizer(cfg.solver, params), freeze_backbone_mask(params)
+    )
+    return cfg, model, params, tx, batch
+
+
+def test_sharded_train_step_runs_and_updates(setup):
+    cfg, model, params, tx, batch = setup
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+    step_fn = shard_train_step(
+        make_train_step(model, tx, cfg.model.stabilize), mesh, donate=False
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(2))
+    sbatch = shard_batch(mesh, batch)
+
+    state1, metrics1 = step_fn(state, sbatch)
+    assert np.isfinite(float(metrics1["total_loss"]))
+    assert float(metrics1["skipped"]) == 0.0
+
+    # Frozen ViT params unchanged; trainable head params changed.
+    old_vit = params["params"]["backbone"]
+    new_vit = state1.params["params"]["backbone"]
+    for a, b in zip(jax.tree.leaves(old_vit), jax.tree.leaves(new_vit)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    old_head = jax.tree.leaves(params["params"]["cube_head"])
+    new_head = jax.tree.leaves(state1.params["params"]["cube_head"])
+    changed = sum(
+        float(jnp.sum(jnp.abs(a - b))) for a, b in zip(old_head, new_head)
+    )
+    assert changed > 0
+
+    state2, metrics2 = step_fn(state1, sbatch)
+    assert int(state2.step) == 2
+
+
+def test_skip_on_nonfinite_batch(setup):
+    cfg, model, params, tx, batch = setup
+    mesh = make_mesh()
+    step_fn = shard_train_step(
+        make_train_step(model, tx, cfg.model.stabilize), mesh, donate=False
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(3))
+    bad = dict(batch)
+    # NaN pixels poison the whole forward -> non-finite loss -> skip.
+    bad["image"] = batch["image"].at[0, 0, 0, 0].set(jnp.nan)
+    sbatch = shard_batch(mesh, bad)
+    state1, metrics = step_fn(state, sbatch)
+    assert float(metrics["skipped"]) == 1.0
+    # Params unchanged on skip.
+    for a, b in zip(
+        jax.tree.leaves(params), jax.tree.leaves(state1.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
