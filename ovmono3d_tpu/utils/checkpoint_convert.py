@@ -1,0 +1,142 @@
+"""Checkpoint conversion: released torch weights -> ovmono3d_tpu params.
+
+The reference loads DINOv2 from torch.hub and OVMono3D-LIFT heads from
+`ovmono3d_lift.pth` (setup.sh, demo flow — SURVEY.md §2.3 "checkpoint
+conversion" hard part #4). This module maps those state dicts onto the Flax
+param trees, handling layout differences:
+
+  torch Linear weight [out, in]      -> Flax Dense kernel [in, out]
+  torch Conv2d weight [out,in,kh,kw] -> Flax Conv kernel [kh,kw,in,out]
+  torch ConvTranspose2d [in,out,kh,kw] -> Flax ConvTranspose [kh,kw,in,out]
+
+DINOv2 specifics: fused qkv stays fused (our Attention uses one Dense);
+the trunk's final `norm.*` is intentionally dropped — the reference's
+backbone consumes block outputs WITHOUT the final LayerNorm
+(cubercnn/modeling/backbone/dino.py:89-117 loops blocks manually).
+State dicts are plain dicts of numpy arrays (load .pth via
+`torch.load(..., map_location='cpu')` then `{k: v.numpy()}`).
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _t(w):  # torch Linear -> Flax Dense
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _conv(w):  # torch Conv2d OIHW -> Flax HWIO
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _deconv(w):  # torch ConvTranspose2d IOHW -> Flax HWIO
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 0, 1)))
+
+
+def convert_dinov2_vit(
+    state: dict[str, np.ndarray], depth: int = 12
+) -> dict:
+    """torch.hub dinov2 ViT state dict -> VisionTransformer param dict.
+
+    Returns the params subtree for models.vit.VisionTransformer (to be
+    placed under params['params']['backbone']).
+    """
+    get = state.__getitem__
+    out: dict = {
+        "cls_token": np.asarray(get("cls_token"))[..., :],
+        "pos_embed": np.asarray(get("pos_embed")),
+        "patch_embed": {
+            "kernel": _conv(get("patch_embed.proj.weight")),
+            "bias": np.asarray(get("patch_embed.proj.bias")),
+        },
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        blk = {
+            "norm1": {
+                "scale": np.asarray(get(p + "norm1.weight")),
+                "bias": np.asarray(get(p + "norm1.bias")),
+            },
+            "attn": {
+                "qkv": {
+                    "kernel": _t(get(p + "attn.qkv.weight")),
+                    "bias": np.asarray(get(p + "attn.qkv.bias")),
+                },
+                "proj": {
+                    "kernel": _t(get(p + "attn.proj.weight")),
+                    "bias": np.asarray(get(p + "attn.proj.bias")),
+                },
+            },
+            "norm2": {
+                "scale": np.asarray(get(p + "norm2.weight")),
+                "bias": np.asarray(get(p + "norm2.bias")),
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": _t(get(p + "mlp.fc1.weight")),
+                    "bias": np.asarray(get(p + "mlp.fc1.bias")),
+                },
+                "fc2": {
+                    "kernel": _t(get(p + "mlp.fc2.weight")),
+                    "bias": np.asarray(get(p + "mlp.fc2.bias")),
+                },
+            },
+        }
+        if p + "ls1.gamma" in state:
+            blk["ls1"] = {"gamma": np.asarray(get(p + "ls1.gamma"))}
+            blk["ls2"] = {"gamma": np.asarray(get(p + "ls2.gamma"))}
+        out[f"block{i}"] = blk
+    unused = [
+        k for k in state
+        if not k.startswith(("blocks.", "cls_token", "pos_embed",
+                             "patch_embed.", "norm.", "mask_token",
+                             "register_tokens"))
+    ]
+    if unused:
+        logger.warning("unconverted dinov2 keys: %s", unused)
+    return out
+
+
+def convert_depth_fusion(state: dict[str, np.ndarray], prefix: str) -> dict:
+    """The OVMono3D depth-fusion 1x1 conv (dino.py:40-46)."""
+    return {
+        "kernel": _conv(state[prefix + "weight"]),
+        "bias": np.asarray(state[prefix + "bias"]),
+    }
+
+
+def merge_into_params(params: dict, subtree: dict, path: tuple[str, ...]):
+    """Functionally replace params[...path] with `subtree`, validating that
+    every replaced leaf shape matches."""
+    import jax
+
+    def check(old_leaf, new_leaf, keypath=""):
+        old_shape = np.shape(old_leaf)
+        new_shape = np.shape(new_leaf)
+        if old_shape != new_shape:
+            raise ValueError(
+                f"shape mismatch at {keypath}: model {old_shape} vs "
+                f"checkpoint {new_shape}"
+            )
+        return np.asarray(new_leaf, dtype=np.asarray(old_leaf).dtype)
+
+    node = params
+    for p in path[:-1]:
+        node = node[p]
+    old = node[path[-1]]
+    merged = jax.tree.map(check, old, subtree)
+
+    def rebuild(tree, path_left):
+        if not path_left:
+            return merged
+        head = path_left[0]
+        return {
+            k: (rebuild(v, path_left[1:]) if k == head else v)
+            for k, v in tree.items()
+        }
+
+    return rebuild(params, list(path))
