@@ -1,0 +1,226 @@
+"""Swin Transformer backbone (Flax) — GroundingDINO's image trunk.
+
+Re-design of the pip-installed swin_B_384_22k used via
+`groundingdino.models.build_model` (configs/GroundingDINO_SwinB_cfg.py:
+backbone="swin_B_384_22k", return_interm_indices=[1,2,3]).
+
+Swin-B: embed_dim 128, depths (2, 2, 18, 2), heads (4, 8, 16, 32),
+window 12 (384-pretrained). Outputs stage features at strides 8/16/32 with
+channels 256/512/1024 (stages 1, 2, 3).
+
+TPU-first notes:
+- windows are static shapes: inputs are padded so H, W are window multiples;
+  the shifted-window attention mask is computed from static shapes at trace
+  time (pure numpy) and baked as a constant.
+- relative position bias tables are indexed with a precomputed static index
+  (as in the original), a plain gather.
+- bf16 matmuls, f32 layernorms.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def _rel_pos_index(window: int) -> np.ndarray:
+    """Static [W*W, W*W] relative-position index into the bias table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)
+
+
+def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
+    """Static attention mask for shifted windows: [num_windows, W*W, W*W]
+    additive (-inf where tokens come from different spatial regions)."""
+    img_mask = np.zeros((hp, wp))
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift),
+                   slice(-shift, None)):
+            img_mask[hs, ws] = cnt
+            cnt += 1
+    mask = img_mask.reshape(hp // window, window, wp // window, window)
+    mask = mask.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    attn = mask[:, None, :] - mask[:, :, None]
+    return np.where(attn != 0, -1e9, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """x: [num_windows*B, W*W, C]; mask: [num_windows, W*W, W*W] or None."""
+        Bw, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(Bw, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = head_dim**-0.5
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * scale
+
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(0.02),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        idx = jnp.asarray(_rel_pos_index(self.window))
+        bias = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(Bw // nw, nw, self.num_heads, N, N)
+            attn = attn + mask[None, :, None]
+            attn = attn.reshape(Bw, self.num_heads, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "bhnm,bmhd->bnhd", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).reshape(Bw, N, C).astype(self.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, hw):
+        """x: [B, H*W, C]; hw: static (H, W)."""
+        H, W = hw
+        B, _, C = x.shape
+        # Original Swin rule: if the resolution is not larger than the
+        # window, use one full window and disable the shift.
+        win, shift = self.window, self.shift
+        if min(H, W) <= win:
+            win = min(H, W)
+            shift = 0
+
+        shortcut = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = h.reshape(B, H, W, C)
+
+        # pad to window multiples (static)
+        hp = -(-H // win) * win
+        wp = -(-W // win) * win
+        h = jnp.pad(h, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
+        if shift > 0:
+            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, win, shift))
+        else:
+            mask = None
+        # window partition
+        h = h.reshape(B, hp // win, win, wp // win, win, C)
+        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, C)
+        h = WindowAttention(
+            self.dim, self.num_heads, win, self.dtype, name="attn"
+        )(h.astype(self.dtype), mask)
+        # reverse
+        h = h.reshape(B, hp // win, wp // win, win, win, C)
+        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, hp, wp, C)
+        if shift > 0:
+            h = jnp.roll(h, (shift, shift), axis=(1, 2))
+        h = h[:, :H, :W].reshape(B, H * W, C)
+        x = shortcut + h
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="fc1")(h.astype(self.dtype))
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, hw):
+        H, W = hw
+        B, _, C = x.shape
+        x = x.reshape(B, H, W, C)
+        # pad odd sizes
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        hp, wp = x.shape[1], x.shape[2]
+        x = x.reshape(B, hp * wp, 4 * C)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                     name="reduction")(x.astype(self.dtype))
+        return x, (hp, wp)
+
+
+class SwinTransformer(nn.Module):
+    """Swin-B by default; returns {'s1': /8, 's2': /16, 's3': /32} features."""
+
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window: int = 12
+    out_indices: Sequence[int] = (1, 2, 3)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> dict[str, jax.Array]:
+        """images: [B, H, W, 3] (normalized). H, W multiples of 32."""
+        B, H, W, _ = images.shape
+        x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
+                    dtype=self.dtype, name="patch_embed")(
+            images.astype(self.dtype)
+        )
+        hw = (H // 4, W // 4)
+        x = x.reshape(B, hw[0] * hw[1], self.embed_dim)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x)
+
+        outs = {}
+        dim = self.embed_dim
+        for si, depth in enumerate(self.depths):
+            for bi in range(depth):
+                x = SwinBlock(
+                    dim,
+                    self.num_heads[si],
+                    self.window,
+                    shift=0 if bi % 2 == 0 else self.window // 2,
+                    dtype=self.dtype,
+                    name=f"stage{si}_block{bi}",
+                )(x, hw)
+            if si in self.out_indices:
+                feat = nn.LayerNorm(
+                    epsilon=1e-5, dtype=jnp.float32, name=f"out_norm{si}"
+                )(x)
+                outs[f"s{si}"] = feat.reshape(B, hw[0], hw[1], dim).astype(
+                    jnp.float32
+                )
+            if si < len(self.depths) - 1:
+                x, hw = PatchMerging(dim, self.dtype,
+                                     name=f"merge{si}")(x, hw)
+                dim *= 2
+        return outs
