@@ -1,0 +1,164 @@
+"""Dataloader construction: samplers, weighting, fixed-shape batch iterators.
+
+Host-side re-design of cubercnn/data/build.py (SURVEY.md §2.1 #16):
+infinite shuffled training streams with dataset-balancing and/or LVIS-style
+repeat-factor weights, a background-threaded mapper pool (replacing the
+dataloader worker processes), and a sequential test iterator — all emitting
+the model's static-shape batch dict.
+"""
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from collections import Counter
+from typing import Iterator
+
+import numpy as np
+
+from ovmono3d_tpu.config import Config
+from ovmono3d_tpu.data.mapper import batch_examples, map_example
+
+
+def repeat_factors_from_category_frequency(
+    records: list[dict], repeat_thresh: float
+) -> np.ndarray:
+    """LVIS repeat factors: r(img) = max over its categories of
+    max(1, sqrt(t / f_c)) (build.py:166-211)."""
+    counts: Counter = Counter()
+    for rec in records:
+        cats = {a["category_id"] for a in rec.get("annotations", [])
+                if a["category_id"] >= 0}
+        counts.update(cats)
+    total = max(len(records), 1)
+    freq = {c: n / total for c, n in counts.items()}
+    rep = np.ones(len(records))
+    for i, rec in enumerate(records):
+        cats = {a["category_id"] for a in rec.get("annotations", [])
+                if a["category_id"] >= 0}
+        if cats:
+            rep[i] = max(
+                max(1.0, math.sqrt(repeat_thresh / freq[c])) for c in cats
+            )
+    return rep
+
+
+def dataset_balance_weights(dataset_ids: list[int]) -> np.ndarray:
+    """Equal-probability-per-dataset sampling weights (BALANCE_DATASETS,
+    build.py:100-163)."""
+    counts = Counter(dataset_ids)
+    return np.array(
+        [1.0 / (len(counts) * counts[d]) for d in dataset_ids]
+    )
+
+
+def build_train_iterator(
+    cfg: Config,
+    records: list[dict],
+    batch_size: int,
+    image_loader=None,
+    max_gt: int = 64,
+    seed: int = 0,
+    num_threads: int = 4,
+    prefetch: int = 4,
+) -> Iterator[dict]:
+    """Infinite weighted-shuffle stream of fixed-shape train batches."""
+    if cfg.input.train_set_percentage < 1.0:
+        keep = int(len(records) * cfg.input.train_set_percentage)
+        records = records[:keep]
+
+    weights = np.ones(len(records))
+    if cfg.datasets.balance_datasets:
+        weights *= dataset_balance_weights(
+            [r.get("dataset_id", 0) for r in records]
+        )
+    if cfg.datasets.repeat_threshold > 0:
+        weights *= repeat_factors_from_category_frequency(
+            records, cfg.datasets.repeat_threshold
+        )
+    weights = weights / weights.sum()
+
+    rng = np.random.RandomState(seed)
+    out_q: queue.Queue = queue.Queue(maxsize=prefetch)
+
+    def load_one(idx: int, map_rng):
+        rec = records[idx]
+        image = image_loader(rec) if image_loader is not None else None
+        return map_example(
+            rec, cfg, image=image, is_train=True, max_gt=max_gt, rng=map_rng
+        )
+
+    def producer():
+        local = np.random.RandomState(seed + 1)
+        while True:
+            idx = rng.choice(len(records), size=batch_size, p=weights)
+            examples = [
+                load_one(i, np.random.RandomState(local.randint(2**31)))
+                for i in idx
+            ]
+            out_q.put(_to_model_batch(batch_examples(examples)))
+
+    threads = [
+        threading.Thread(target=producer, daemon=True)
+        for _ in range(num_threads)
+    ]
+    for t in threads:
+        t.start()
+    while True:
+        yield out_q.get()
+
+
+def build_test_iterator(
+    cfg: Config,
+    records: list[dict],
+    batch_size: int = 1,
+    image_loader=None,
+    max_oracle: int = 64,
+) -> Iterator[tuple[list[dict], dict]]:
+    """Sequential test batches (InferenceSampler semantics: each record once,
+    in order). Yields (records_chunk, batch); pads the last chunk by
+    repeating its final record (callers drop results via the chunk length).
+    """
+    for start in range(0, len(records), batch_size):
+        chunk = records[start : start + batch_size]
+        padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
+        examples = [
+            map_example(
+                r, cfg,
+                image=image_loader(r) if image_loader is not None else None,
+                is_train=False, max_oracle=max_oracle,
+            )
+            for r in padded
+        ]
+        yield chunk, _to_model_batch(batch_examples(examples))
+
+
+def _to_model_batch(b: dict) -> dict:
+    """numpy batch dict -> model kwarg names."""
+    out = {
+        "image": b["image"],
+        "K": b["K"],
+        "im_hw": b["im_hw"],
+        "im_scale_ratio": b["im_scale_ratio"],
+    }
+    for k in ("gt_boxes", "gt_classes", "gt_boxes3d", "gt_poses", "gt_valid",
+              "oracle_boxes", "oracle_classes", "oracle_scores",
+              "oracle_valid"):
+        if k in b:
+            out[k] = b[k]
+    return out
+
+
+def default_image_loader(data_root: str):
+    """Loads record['file_name'] relative to data_root as RGB."""
+    from pathlib import Path
+
+    from ovmono3d_tpu.utils.util import imread_rgb
+
+    def load(rec: dict):
+        path = Path(data_root) / rec["file_name"]
+        if not path.exists():
+            return None  # zero image (tests / dry runs)
+        return imread_rgb(path)
+
+    return load

@@ -1,0 +1,212 @@
+"""OVMono3D-LIFT full open-vocabulary pipeline: text prompts -> 3D cuboids.
+
+Orchestrates the two models the way the reference's ROIHeads3DGDINO does at
+inference (roi_heads_gdino.py:93-171; SURVEY.md §3.3):
+
+  1. GroundingDINO on the (ImageNet-normalized) image with the
+     ' . '-joined category caption -> open-vocab 2D boxes/classes/scores.
+  2. The RCNN3D cube branch on those boxes (the oracle path) -> camera-space
+     cuboids, with score fusion sqrt(s2d * conf).
+
+Host code only builds prompts and resizes; all heavy work is two jitted
+device programs. Empty prompts / no detections degrade to all-invalid
+padded outputs (reference empty-Instances fallback, roi_heads_gdino.py:
+134-139).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ovmono3d_tpu.config import Config
+from ovmono3d_tpu.models.gdino.inference import (
+    build_text_inputs,
+    postprocess_grounding,
+)
+from ovmono3d_tpu.models.gdino.model import GroundingDINO
+from ovmono3d_tpu.models.gdino.tokenizer import BertTokenizer
+from ovmono3d_tpu.models.rcnn3d import RCNN3D, build_model
+from ovmono3d_tpu.structures import Detections
+
+# GroundingDINO preprocessing (ImageNet stats on 0-1 images).
+GDINO_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+GDINO_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass
+class OVMono3DLift:
+    """Bundles the two models + params for end-to-end inference."""
+
+    cfg: Config
+    rcnn: RCNN3D
+    rcnn_params: dict
+    gdino: GroundingDINO
+    gdino_params: dict
+    tokenizer: BertTokenizer
+    gdino_size: int = 800   # square input side for the detector
+    max_detections: int = 100
+
+    @classmethod
+    def build(cls, cfg: Config, tokenizer: BertTokenizer,
+              rng: jax.Array | None = None, gdino_kwargs: dict | None = None,
+              gdino_size: int = 800):
+        """Construct with freshly-initialized params (converters fill real
+        weights via utils.checkpoint_convert)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rcnn = build_model(cfg.model)
+        S = cfg.model.backbone.square_pad
+        k1, k2 = jax.random.split(rng)
+        rcnn_params = jax.jit(rcnn.init)(
+            k1,
+            jnp.zeros((1, S, S, 3)),
+            jnp.eye(3)[None],
+            jnp.full((1, 2), S, jnp.int32),
+            jnp.ones((1,)),
+        )
+        gdino = GroundingDINO(**(gdino_kwargs or {}))
+        text = build_text_inputs(tokenizer, ["thing"],
+                                 max_len=gdino.max_text_len)
+        gdino_params = jax.jit(gdino.init)(
+            k2,
+            jnp.zeros((1, gdino_size, gdino_size, 3)),
+            jnp.asarray(text["input_ids"][:, : gdino.max_text_len]),
+            jnp.asarray(text["text_mask"][:, : gdino.max_text_len]),
+            jnp.asarray(
+                text["text_self_mask"][:, : gdino.max_text_len,
+                                       : gdino.max_text_len]
+            ),
+        )
+        return cls(cfg, rcnn, rcnn_params, gdino, gdino_params, tokenizer,
+                   gdino_size=gdino_size)
+
+    # -- stages ---------------------------------------------------------------
+
+    def _prep_gdino_image(self, image: np.ndarray):
+        """Resize longest side to gdino_size, pad square, normalize.
+        Returns (tensor [1, S, S, 3], scale original->tensor)."""
+        import cv2
+
+        S = self.gdino_size
+        h, w = image.shape[:2]
+        scale = S / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        resized = cv2.resize(image.astype(np.float32) / 255.0, (nw, nh))
+        canvas = np.zeros((S, S, 3), np.float32)
+        canvas[:nh, :nw] = (resized - GDINO_MEAN) / GDINO_STD
+        return canvas[None], scale
+
+    def detect_2d(self, image: np.ndarray, categories: list[str]):
+        """Open-vocab 2D detection; boxes in ORIGINAL image pixels."""
+        if not categories:
+            z = np.zeros((self.max_detections,))
+            return {
+                "boxes": np.zeros((self.max_detections, 4), np.float32),
+                "scores": z.astype(np.float32),
+                "classes": np.zeros((self.max_detections,), np.int32),
+                "valid": np.zeros((self.max_detections,), bool),
+            }
+        tensor, scale = self._prep_gdino_image(image)
+        text = build_text_inputs(
+            self.tokenizer, categories, max_len=self.gdino.max_text_len
+        )
+        T = self.gdino.max_text_len
+        out = jax.jit(self.gdino.apply)(
+            self.gdino_params,
+            jnp.asarray(tensor),
+            jnp.asarray(text["input_ids"][:, :T]),
+            jnp.asarray(text["text_mask"][:, :T]),
+            jnp.asarray(text["text_self_mask"][:, :T, :T]),
+        )
+        # pred_boxes are normalized to the PADDED square; rescale with the
+        # padded size then divide by the resize scale to original pixels.
+        boxes, scores, classes, valid = postprocess_grounding(
+            out["pred_logits"][0],
+            out["pred_boxes"][0],
+            jnp.asarray(text["span_matrix"][:, :T]),
+            jnp.asarray(text["span_valid"]),
+            jnp.asarray(
+                [self.gdino_size, self.gdino_size], jnp.float32
+            ),
+            topk=self.max_detections,
+        )
+        return {
+            "boxes": np.asarray(boxes) / scale,
+            "scores": np.asarray(scores),
+            "classes": np.asarray(classes),
+            "valid": np.asarray(valid),
+        }
+
+    def lift_3d(
+        self,
+        image: np.ndarray,
+        K: np.ndarray,
+        det2d: dict,
+        depth: np.ndarray | None = None,
+    ) -> Detections:
+        """Cube-branch lifting of given 2D detections (original px coords)."""
+        from ovmono3d_tpu.data.mapper import resize_shortest_edge
+
+        import cv2
+
+        S = self.cfg.model.backbone.square_pad
+        h, w = image.shape[:2]
+        nh, nw, scale = resize_shortest_edge(
+            (h, w), self.cfg.input.min_size_test,
+            min(self.cfg.input.max_size_test, S),
+        )
+        resized = cv2.resize(image.astype(np.float32), (nw, nh))
+        canvas = np.zeros((S, S, 3), np.float32)
+        canvas[:nh, :nw] = resized
+
+        n = self.max_detections
+        boxes = np.zeros((n, 4), np.float32)
+        m = min(n, len(det2d["boxes"]))
+        boxes[:m] = det2d["boxes"][:m] * scale
+        classes = np.zeros((n,), np.int32)
+        classes[:m] = det2d["classes"][:m]
+        scores = np.zeros((n,), np.float32)
+        scores[:m] = det2d["scores"][:m]
+        valid = np.zeros((n,), bool)
+        valid[:m] = det2d["valid"][:m]
+
+        depth_t = None
+        if depth is not None:
+            depth_t = jnp.asarray(depth, jnp.float32)[None, ..., None]
+
+        det = jax.jit(self.rcnn.apply)(
+            self.rcnn_params,
+            jnp.asarray(canvas)[None],
+            jnp.asarray(K, jnp.float32)[None],
+            jnp.asarray([[nh, nw]], jnp.int32),
+            jnp.asarray([1.0 / scale], jnp.float32),
+            depth_t,
+            oracle_boxes=jnp.asarray(boxes)[None],
+            oracle_classes=jnp.asarray(classes)[None],
+            oracle_scores=jnp.asarray(scores)[None],
+            oracle_valid=jnp.asarray(valid)[None],
+        )
+        return jax.tree.map(lambda x: x[0] if x is not None else None, det,
+                            is_leaf=lambda x: x is None)
+
+    def predict(
+        self,
+        image: np.ndarray,
+        K: np.ndarray,
+        categories: list[str],
+        depth: np.ndarray | None = None,
+    ) -> Detections:
+        """Full pipeline: prompts -> 2D open-vocab boxes -> 3D cuboids."""
+        det2d = self.detect_2d(image, categories)
+        return self.lift_3d(image, K, det2d, depth)
+
+
+def default_focal_K(h: int, w: int) -> np.ndarray:
+    """The demo's intrinsics heuristic when none are given: f = 4*h/2 NDC
+    (demo/demo.py:63-76)."""
+    f = 4.0 * h / 2.0
+    return np.array(
+        [[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]], np.float32
+    )

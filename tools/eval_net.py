@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Evaluation CLI: oracle-2D protocol AP2D/AP3D/NHD (reference --eval-only
+flow, SURVEY.md §3.2).
+
+Usage:
+  python tools/eval_net.py --config-file configs/OVMono3D_dinov2_SFP.yaml \
+      [--checkpoint output/model_recent] [--synthetic] [key=value ...]
+
+Per test dataset: merge the oracle 2D JSON (datasets.oracle2d_files[name]),
+run the oracle inference path, and feed the Omni3D evaluator (2D + 3D modes
+with the fixed exact-3D-IoU dispatch). `--synthetic` self-checks the loop by
+evaluating the model on generated data.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config-file", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("opts", nargs="*", default=[])
+    return ap.parse_args()
+
+
+def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
+                     class_names):
+    """Oracle-path inference over a record list -> summary dicts."""
+    import jax
+    import jax.numpy as jnp
+
+    from ovmono3d_tpu.data.build import build_test_iterator
+    from ovmono3d_tpu.evaluation.omni3d_eval import Omni3DEvaluator
+    from ovmono3d_tpu.utils.geometry import cuboid_corners
+
+    ev3d = Omni3DEvaluator(cfg.model.num_classes, "3D", class_names)
+    ev2d = Omni3DEvaluator(cfg.model.num_classes, "2D", class_names)
+
+    @jax.jit
+    def run(params, batch):
+        return model.apply(
+            params, batch["image"], batch["K"], batch["im_hw"],
+            batch["im_scale_ratio"], None,
+            oracle_boxes=batch["oracle_boxes"],
+            oracle_classes=batch["oracle_classes"],
+            oracle_scores=batch["oracle_scores"],
+            oracle_valid=batch["oracle_valid"],
+        )
+
+    n_done = 0
+    for chunk, batch in build_test_iterator(
+        cfg, records, batch_size, image_loader
+    ):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        det = run(params, batch)
+        det = jax.device_get(det)
+        for bi, rec in enumerate(chunk):
+            valid = det.valid[bi]
+            pred = {
+                "classes": det.classes[bi][valid],
+                "scores": det.scores[bi][valid],
+                "boxes2d": det.boxes[bi][valid],
+                "corners3d": det.corners3d[bi][valid],
+            }
+            gt = _record_gt(rec)
+            ev3d.add_image(gt, pred)
+            ev2d.add_image(gt, pred)
+        n_done += len(chunk)
+    return ev2d, ev3d, n_done
+
+
+def _record_gt(rec):
+    import numpy as np
+
+    from ovmono3d_tpu.utils.geometry import cuboid_corners
+    import jax.numpy as jnp
+
+    classes, boxes2d, corners, depths = [], [], [], []
+    for anno in rec.get("annotations", []):
+        classes.append(anno["category_id"])
+        boxes2d.append(anno["bbox2d"])
+        if anno.get("center_cam") is not None:
+            box = np.concatenate(
+                [anno["center_cam"], anno["dimensions"]]
+            ).astype(np.float32)
+            pose = np.asarray(anno["pose"], np.float32)
+            corners.append(
+                np.asarray(cuboid_corners(jnp.asarray(box), jnp.asarray(pose)))
+            )
+            depths.append(anno["center_cam"][2])
+        else:
+            corners.append(np.zeros((8, 3), np.float32))
+            depths.append(0.0)
+    return {
+        "classes": np.asarray(classes, np.int64),
+        "boxes2d": np.asarray(boxes2d, np.float64).reshape(-1, 4),
+        "corners3d": np.asarray(corners).reshape(-1, 8, 3),
+        "depths": np.asarray(depths),
+    }
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    logger = logging.getLogger("ovmono3d.eval")
+
+    import jax
+    import jax.numpy as jnp
+
+    from ovmono3d_tpu.config import load_config
+    from ovmono3d_tpu.data.build import default_image_loader
+    from ovmono3d_tpu.data.datasets import (
+        filter_settings_from_cfg,
+        get_dataset,
+        merge_oracle2d,
+        simple_register,
+    )
+    from ovmono3d_tpu.models.rcnn3d import build_model
+    from ovmono3d_tpu.vis.logperf import (
+        print_ap_analysis,
+        print_ap_per_category,
+        print_ap_summary,
+    )
+
+    cfg = load_config(args.config_file, overrides=args.opts)
+    class_names = list(cfg.datasets.category_names) or [
+        str(i) for i in range(cfg.model.num_classes)
+    ]
+
+    model = build_model(cfg.model)
+    S = cfg.model.backbone.square_pad
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(cfg.seed),
+        jnp.zeros((1, S, S, 3)),
+        jnp.eye(3)[None],
+        jnp.full((1, 2), S, jnp.int32),
+        jnp.ones((1,)),
+    )
+    if args.checkpoint:
+        from ovmono3d_tpu.train.checkpoint import SingleCheckpointer
+
+        ckpt = SingleCheckpointer(Path(args.checkpoint).parent)
+        loaded = ckpt.load({"params": params},
+                           name=Path(args.checkpoint).name)
+        if loaded is not None:
+            params = loaded["params"]
+            logger.info("loaded checkpoint %s", args.checkpoint)
+
+    if args.synthetic:
+        from tools.train_net import synthetic_records
+
+        records = synthetic_records(32, cfg.model.num_classes, seed=7)
+        # oracle = GT boxes with score 1 (the reference's GT-oracle mode).
+        for rec in records:
+            rec["oracle2d"] = [
+                {
+                    "bbox2d": a["bbox2d"],
+                    "category_id": a["category_id"],
+                    "score": 1.0,
+                }
+                for a in rec["annotations"]
+                if a["category_id"] >= 0
+            ]
+        datasets = {"synthetic": records}
+        image_loader = None
+    else:
+        fs = filter_settings_from_cfg(cfg)
+        cat_map = {n: i for i, n in enumerate(cfg.datasets.category_names)}
+        mode = cfg.test.cat_mode
+        names = (
+            cfg.datasets.test_novel if mode == "novel" else cfg.datasets.test_base
+        )
+        datasets = {}
+        for name in names:
+            json_path = Path(cfg.datasets.data_root) / "Omni3D" / f"{name}.json"
+            simple_register(name, json_path, fs, cat_map)
+            recs = get_dataset(name)
+            oracle_path = cfg.datasets.oracle2d_files.get(name)
+            if cfg.test.oracle2d and oracle_path:
+                recs = merge_oracle2d(recs, oracle_path)
+            datasets[name] = recs
+        image_loader = default_image_loader(cfg.datasets.data_root)
+
+    all_results = {}
+    for name, records in datasets.items():
+        logger.info("evaluating %s (%d images)", name, len(records))
+        ev2d, ev3d, n = evaluate_dataset(
+            cfg, model, params, records, image_loader, args.batch_size,
+            class_names,
+        )
+        res = {**ev2d.summarize(), **ev3d.summarize()}
+        all_results[name] = res
+        print_ap_summary(res, title=name)
+        print_ap_per_category(ev3d.per_category_ap(),
+                              title=f"{name} per-category AP3D")
+    print_ap_analysis(all_results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Training CLI (reference tools/train_net.py equivalent).
+
+Usage:
+  python tools/train_net.py --config-file configs/OVMono3D_dinov2_SFP.yaml \
+      [--eval-only] [--synthetic] [key=value ...]
+
+- Registers the configured Omni3D datasets from `datasets.data_root`,
+  computes category priors, and runs the sharded data-parallel training loop
+  with stabilization restarts (SURVEY.md §3.1).
+- `--synthetic` runs the full loop on generated data (no dataset on disk):
+  the end-to-end smoke path used by tests and dry runs.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config-file", default=None)
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on generated data (smoke test)")
+    ap.add_argument("--max-iter", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("opts", nargs="*", default=[])
+    return ap.parse_args()
+
+
+def synthetic_records(num: int, num_classes: int, seed: int = 0):
+    """Generated Omni3D-style records with plausible cuboids."""
+    rng = np.random.RandomState(seed)
+    recs = []
+    for i in range(num):
+        h, w = 480, 640
+        f = 500.0
+        annos = []
+        for _ in range(rng.randint(1, 5)):
+            z = rng.uniform(1.5, 8.0)
+            dims = rng.uniform(0.2, 1.5, 3).tolist()
+            x = rng.uniform(-0.8, 0.8) * z * 0.5
+            y = rng.uniform(-0.5, 0.5) * z * 0.5
+            u = f * x / z + w / 2
+            v = f * y / z + h / 2
+            bw = f * dims[2] / z
+            bh = f * dims[1] / z
+            annos.append({
+                "category_id": int(rng.randint(num_classes)),
+                "category": str(int(rng.randint(num_classes))),
+                "bbox2d": [u - bw / 2, v - bh / 2, u + bw / 2, v + bh / 2],
+                "center_cam": [x, y, z],
+                "dimensions": dims,
+                "pose": np.eye(3).tolist(),
+                "ignore": False,
+            })
+        recs.append({
+            "file_name": f"synthetic_{i}.jpg",
+            "image_id": i,
+            "width": w,
+            "height": h,
+            "K": [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]],
+            "dataset_id": 0,
+            "annotations": annos,
+        })
+    return recs
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+    )
+
+    import jax
+
+    from ovmono3d_tpu.config import load_config
+    from ovmono3d_tpu.data.build import (
+        build_train_iterator,
+        default_image_loader,
+    )
+    from ovmono3d_tpu.data.datasets import (
+        filter_settings_from_cfg,
+        get_dataset,
+        simple_register,
+    )
+    from ovmono3d_tpu.models.rcnn3d import build_model
+    from ovmono3d_tpu.parallel.mesh import make_mesh, shard_batch
+    from ovmono3d_tpu.parallel.train_step import (
+        create_train_state,
+        make_train_step,
+        shard_train_step,
+    )
+    from ovmono3d_tpu.train.checkpoint import SingleCheckpointer
+    from ovmono3d_tpu.train.loop import train
+    from ovmono3d_tpu.train.optim import (
+        apply_freeze,
+        build_optimizer,
+        freeze_backbone_mask,
+    )
+    from ovmono3d_tpu.utils.priors import compute_priors
+
+    cfg = load_config(args.config_file, overrides=args.opts)
+    logger = logging.getLogger("ovmono3d")
+
+    # --- data ---
+    if args.synthetic:
+        records = synthetic_records(256, cfg.model.num_classes)
+        image_loader = None
+    else:
+        fs = filter_settings_from_cfg(cfg)
+        cat_map = {n: i for i, n in enumerate(cfg.datasets.category_names)}
+        records = []
+        for name in cfg.datasets.train:
+            json_path = Path(cfg.datasets.data_root) / "Omni3D" / f"{name}.json"
+            simple_register(name, json_path, fs, cat_map)
+            records.extend(get_dataset(name))
+        image_loader = default_image_loader(cfg.datasets.data_root)
+    logger.info("train records: %d", len(records))
+
+    priors = compute_priors(records, cfg.model.num_classes,
+                            cfg.model.cube.cluster_bins)
+    logger.info("priors computed: mean dims %s", priors["dims"][:, 0].mean(0))
+
+    # --- model / optimizer / mesh ---
+    model = build_model(cfg.model)
+    mesh = make_mesh()
+    n_dev = mesh.shape["data"]
+    batch_size = args.batch_size or max(
+        cfg.solver.ims_per_batch // max(jax.process_count(), 1), n_dev
+    )
+    batch_size = (batch_size // n_dev) * n_dev or n_dev
+    S = cfg.model.backbone.square_pad
+
+    import jax.numpy as jnp
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(cfg.seed),
+        jnp.zeros((1, S, S, 3)),
+        jnp.eye(3)[None],
+        jnp.full((1, 2), S, jnp.int32),
+        jnp.ones((1,)),
+    )
+    tx = build_optimizer(cfg.solver, params)
+    if cfg.model.backbone.freeze:
+        tx = apply_freeze(tx, freeze_backbone_mask(params))
+    state = create_train_state(params, tx, jax.random.PRNGKey(cfg.seed + 1))
+    step_fn = shard_train_step(
+        make_train_step(model, tx, cfg.model.stabilize), mesh
+    )
+
+    ckpt = SingleCheckpointer(cfg.output_dir)
+
+    max_iter = args.max_iter or cfg.solver.max_iter
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, max_iter=max_iter)
+    )
+
+    data = build_train_iterator(
+        cfg, records, batch_size, image_loader=image_loader,
+        seed=cfg.seed,
+    )
+    sharded = (shard_batch(mesh, b) for b in data)
+
+    logger.info(
+        "starting training: %d iters, batch %d over %d devices",
+        max_iter, batch_size, n_dev,
+    )
+    state = train(cfg, state, step_fn, sharded, checkpointer=ckpt)
+    logger.info("done at step %d (skipped %d)", int(state.step),
+                int(state.skipped))
+
+
+if __name__ == "__main__":
+    main()
