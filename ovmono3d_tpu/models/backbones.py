@@ -1,0 +1,127 @@
+"""Backbone factory: every trunk family behind one (images, depth) -> dict
+interface with static strides.
+
+Replaces the reference's BACKBONE_REGISTRY entries (SURVEY.md §2.1 #7-#13):
+build_dino/clip/mae/sam/midas_backbone (ViT + SimpleFeaturePyramid variants)
+and build_dla_from_vision_fpn_backbone (DLA + FPN). Selection via
+cfg.model.backbone.name.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ovmono3d_tpu.config import BackboneConfig
+from ovmono3d_tpu.models.dla import DLA, FPN
+from ovmono3d_tpu.models.sfp import SimpleFeaturePyramid
+from ovmono3d_tpu.models.vit import VisionTransformer
+
+# Architecture presets per family (reference backbone files + configs).
+VIT_PRESETS: dict[str, dict[str, Any]] = {
+    # dinov2 vitb14 @ 518 pretrain (dino.py).
+    "dinov2": dict(patch_size=14, pretrain_grid=37, layerscale=True),
+    # open_clip ViT-B/16 @ 224 (clip.py): pre-LN tower.
+    "clip": dict(patch_size=16, pretrain_grid=14, layerscale=False,
+                 pre_ln=True),
+    # HF ViTMAE base @ 224 (mae.py).
+    "mae": dict(patch_size=16, pretrain_grid=14, layerscale=False),
+    # segment_anything vit_b @ 1024 (sam.py): windowed, no cls token,
+    # global attention every 3rd block, 256-ch neck.
+    "sam": dict(patch_size=16, pretrain_grid=64, layerscale=False,
+                use_cls_token=False, window_size=14,
+                global_blocks=(2, 5, 8, 11), neck_channels=256),
+    # MiDaS DPT_Large ViT-L/16 @ 384 (midas_final.py).
+    "midas": dict(patch_size=16, pretrain_grid=24, layerscale=False,
+                  embed_dim=1024, depth=24, num_heads=16),
+}
+
+
+class ViTSFPBackbone(nn.Module):
+    """ViT trunk + Simple Feature Pyramid (the reference's SFP harness,
+    dino.py:141-224)."""
+
+    cfg: BackboneConfig
+
+    @property
+    def _patch_size(self) -> int:
+        if self.cfg.name == "dinov2":
+            return self.cfg.patch_size
+        return VIT_PRESETS.get(self.cfg.name, {}).get(
+            "patch_size", self.cfg.patch_size
+        )
+
+    @property
+    def strides(self) -> list[int]:
+        return [round(self._patch_size / s) for s in self.cfg.scale_factors]
+
+    @property
+    def feature_names(self) -> list[str]:
+        import math
+
+        return [f"p{int(math.log2(s))}" for s in self.strides]
+
+    def setup(self):
+        # Preset wins structural fields for the fixed foundation trunks; the
+        # flagship dinov2 entry stays fully config-driven (tests/benchmarks
+        # shrink it).
+        preset = dict(VIT_PRESETS.get(self.cfg.name, {}))
+        cfg_fields = dict(
+            patch_size=self.cfg.patch_size,
+            embed_dim=self.cfg.embed_dim,
+            depth=self.cfg.depth,
+            num_heads=self.cfg.num_heads,
+            pretrain_grid=self.cfg.pretrain_grid,
+            layerscale=self.cfg.layerscale,
+        )
+        if self.cfg.name == "dinov2":
+            preset.update(cfg_fields)
+        else:
+            for k, v in cfg_fields.items():
+                preset.setdefault(k, v)
+        self.vit = VisionTransformer(
+            use_depth_fusion=self.cfg.use_depth_fusion,
+            name="vit",
+            **preset,
+        )
+        self.sfp = SimpleFeaturePyramid(
+            out_channels=self.cfg.out_channels,
+            scale_factors=self.cfg.scale_factors,
+            trunk_stride=preset["patch_size"],
+            name="sfp",
+        )
+
+    def __call__(self, images, depth=None):
+        trunk = self.vit(images, depth)
+        return self.sfp(trunk["last_feat"])
+
+
+class DLAFPNBackbone(nn.Module):
+    """DLA-34 + FPN (the original Cube R-CNN backbone, dla.py:417-506)."""
+
+    cfg: BackboneConfig
+
+    @property
+    def strides(self) -> list[int]:
+        return [4, 8, 16, 32, 64]
+
+    @property
+    def feature_names(self) -> list[str]:
+        return ["p2", "p3", "p4", "p5", "p6"]
+
+    def setup(self):
+        self.trunk = DLA(name="dla")
+        self.fpn = FPN(out_channels=self.cfg.out_channels, name="fpn")
+
+    def __call__(self, images, depth=None):
+        return self.fpn(self.trunk(images))
+
+
+def build_backbone(cfg: BackboneConfig) -> nn.Module:
+    if cfg.name in VIT_PRESETS:
+        return ViTSFPBackbone(cfg=cfg)
+    if cfg.name in ("dla", "dla34"):
+        return DLAFPNBackbone(cfg=cfg)
+    raise ValueError(f"unknown backbone '{cfg.name}'")

@@ -27,9 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ovmono3d_tpu.config import ModelConfig
+from ovmono3d_tpu.models.backbones import build_backbone
 from ovmono3d_tpu.models.heads import CubeHead, FastRCNNHead, RPNHead
-from ovmono3d_tpu.models.sfp import SimpleFeaturePyramid
-from ovmono3d_tpu.models.vit import VisionTransformer
 from ovmono3d_tpu.ops import boxes as box_ops
 from ovmono3d_tpu.ops.iou2d import pairwise_ioa, pairwise_iou
 from ovmono3d_tpu.ops.nms import batched_nms_mask
@@ -458,23 +457,7 @@ class RCNN3D(nn.Module):
     cfg: ModelConfig
 
     def setup(self):
-        bb = self.cfg.backbone
-        self.vit = VisionTransformer(
-            patch_size=bb.patch_size,
-            embed_dim=bb.embed_dim,
-            depth=bb.depth,
-            num_heads=bb.num_heads,
-            pretrain_grid=bb.pretrain_grid,
-            layerscale=bb.layerscale,
-            use_depth_fusion=bb.use_depth_fusion,
-            name="backbone",
-        )
-        self.sfp = SimpleFeaturePyramid(
-            out_channels=bb.out_channels,
-            scale_factors=bb.scale_factors,
-            trunk_stride=bb.patch_size,
-            name="sfp",
-        )
+        self.backbone = build_backbone(self.cfg.backbone)
         num_anchors = len(self.cfg.anchors.aspect_ratios) * len(
             self.cfg.anchors.sizes[0]
         )
@@ -508,26 +491,29 @@ class RCNN3D(nn.Module):
         return (image - mean) / std
 
     def features(self, image, depth=None):
-        x = self.preprocess(image)
-        trunk = self.vit(x, depth)
-        feats = self.sfp(trunk["last_feat"])
-        if self.cfg.backbone.freeze:
-            # Reference freezes the whole trunk (train_net.py:431-434); SFP
-            # stays trainable.
-            pass
-        return feats
+        # Trunk freezing is handled by the optimizer mask
+        # (train.optim.freeze_backbone_mask), not here.
+        return self.backbone(self.preprocess(image), depth)
+
+    @property
+    def feature_strides(self) -> list[int]:
+        names = list(self.cfg.rpn.in_features)
+        all_names = self.backbone.feature_names
+        all_strides = self.backbone.strides
+        return [all_strides[all_names.index(n)] for n in names]
 
     def _feature_maps(self, feats):
         return [feats[n] for n in self.cfg.rpn.in_features]
 
     def _anchors(self, feats):
+        strides = self.feature_strides
         anchors = []
         for i, name in enumerate(self.cfg.rpn.in_features):
             h, w = feats[name].shape[1:3]
             anchors.append(
                 box_ops.generate_anchors(
                     (h, w),
-                    self.sfp.strides[i],
+                    strides[i],
                     self.cfg.anchors.sizes[i],
                     self.cfg.anchors.aspect_ratios,
                     self.cfg.anchors.offset,
@@ -538,7 +524,7 @@ class RCNN3D(nn.Module):
     def _pool_flat(self, feats, boxes, resolution, sampling_ratio):
         """ROIAlign [B, N, 4] boxes over batched maps -> [B*N, R, R, C]."""
         maps = self._feature_maps(feats)
-        strides = self.sfp.strides
+        strides = self.feature_strides
 
         def pool_one(boxes_i, *maps_i):
             return multilevel_roi_align(

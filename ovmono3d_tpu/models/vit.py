@@ -121,9 +121,16 @@ def resize_pos_embed(
 
 
 class VisionTransformer(nn.Module):
-    """DINOv2 ViT trunk. Input NHWC image, output dense patch feature map.
+    """Configurable ViT trunk. Input NHWC image, output dense feature map.
 
-    Attributes mirror the dinov2 vitb14 architecture by default.
+    Defaults mirror dinov2 vitb14; the knobs cover the reference's other
+    foundation trunks (SURVEY.md §2.1 #8-#11):
+      - CLIP:  `pre_ln=True` (ln_pre after embedding), no layerscale
+      - MAE:   plain ViT, no layerscale
+      - SAM:   `window_size=14` windowed blocks (global at
+               `global_blocks`), `use_cls_token=False`, a final
+               `neck_channels=256` conv neck
+      - MiDaS: ViT-L/16 trunk, no layerscale
     """
 
     patch_size: int = 14
@@ -134,6 +141,11 @@ class VisionTransformer(nn.Module):
     pretrain_grid: int = 37  # dinov2 trained at 518/14
     layerscale: bool = True
     use_depth_fusion: bool = True
+    use_cls_token: bool = True
+    pre_ln: bool = False           # CLIP ln_pre
+    window_size: int = 0           # SAM-style windowed attention
+    global_blocks: Sequence[int] = ()  # blocks with global attn when windowed
+    neck_channels: int = 0         # SAM neck (1x1 + 3x3 conv to C')
     out_layers: Sequence[int] = ()  # extra block indices to also return
     dtype: Dtype = jnp.bfloat16
 
@@ -156,47 +168,113 @@ class VisionTransformer(nn.Module):
         )(images.astype(self.dtype))
         x = x.reshape(B, h * w, self.embed_dim)
 
-        cls_token = self.param(
-            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim),
-            jnp.float32,
-        )
+        n_prefix = 1 if self.use_cls_token else 0
         pos_embed = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
-            (1, 1 + self.pretrain_grid**2, self.embed_dim),
+            (1, n_prefix + self.pretrain_grid**2, self.embed_dim),
             jnp.float32,
         )
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)).astype(x.dtype), x],
-            axis=1,
-        )
-        x = x + resize_pos_embed(pos_embed, (h, w)).astype(x.dtype)
+        if self.use_cls_token:
+            cls_token = self.param(
+                "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim),
+                jnp.float32,
+            )
+            x = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        cls_token, (B, 1, self.embed_dim)
+                    ).astype(x.dtype),
+                    x,
+                ],
+                axis=1,
+            )
+            x = x + resize_pos_embed(pos_embed, (h, w)).astype(x.dtype)
+        else:
+            pe = resize_pos_embed(
+                jnp.concatenate(
+                    [jnp.zeros((1, 1, self.embed_dim)), pos_embed], axis=1
+                ),
+                (h, w),
+            )[:, 1:]
+            x = x + pe.astype(x.dtype)
+        if self.pre_ln:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             name="ln_pre")(x).astype(self.dtype)
 
+        n_prefix = 1 if self.use_cls_token else 0
         extra = {}
         for i in range(self.depth):
-            x = Block(
-                self.embed_dim,
-                self.num_heads,
-                self.mlp_ratio,
-                self.layerscale,
-                self.dtype,
-                name=f"block{i}",
-            )(x)
+            windowed = (
+                self.window_size > 0 and i not in self.global_blocks
+            )
+            if windowed:
+                x = self._windowed_block(x, i, B, h, w, n_prefix)
+            else:
+                x = Block(
+                    self.embed_dim,
+                    self.num_heads,
+                    self.mlp_ratio,
+                    self.layerscale,
+                    self.dtype,
+                    name=f"block{i}",
+                )(x)
             if i == self.depth - 1 and self.use_depth_fusion:
-                x = self._fuse_depth(x, prompt_depth, B, h, w)
+                x = self._fuse_depth(x, prompt_depth, B, h, w, n_prefix)
             if i in self.out_layers:
-                extra[f"feat{i}"] = x[:, 1:].reshape(B, h, w, self.embed_dim)
+                extra[f"feat{i}"] = x[:, n_prefix:].reshape(
+                    B, h, w, self.embed_dim
+                )
 
+        feat = x[:, n_prefix:].reshape(B, h, w, self.embed_dim)
+        if self.neck_channels > 0:
+            # SAM neck: 1x1 + 3x3 convs with LayerNorm (segment_anything
+            # image encoder neck).
+            feat = nn.Conv(self.neck_channels, (1, 1), use_bias=False,
+                           dtype=self.dtype, name="neck_conv1")(feat)
+            feat = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                name="neck_norm1")(feat)
+            feat = nn.Conv(self.neck_channels, (3, 3), padding=1,
+                           use_bias=False, dtype=self.dtype,
+                           name="neck_conv2")(feat)
+            feat = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                name="neck_norm2")(feat)
         out = {
-            "last_feat": x[:, 1:].reshape(B, h, w, self.embed_dim).astype(
-                jnp.float32
-            ),
-            "cls": x[:, 0].astype(jnp.float32),
+            "last_feat": feat.astype(jnp.float32),
+            "cls": (
+                x[:, 0] if self.use_cls_token else x.mean(axis=1)
+            ).astype(jnp.float32),
         }
         out.update(extra)
         return out
 
-    def _fuse_depth(self, x, prompt_depth, B, h, w):
+    def _windowed_block(self, x, i, B, h, w, n_prefix):
+        """SAM-style windowed attention: pad the grid to window multiples,
+        run the block per window, unpad (prefix tokens bypass windowing)."""
+        win = self.window_size
+        prefix = x[:, :n_prefix]
+        grid = x[:, n_prefix:].reshape(B, h, w, self.embed_dim)
+        hp = -(-h // win) * win
+        wp = -(-w // win) * win
+        grid = jnp.pad(grid, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        grid = grid.reshape(B, hp // win, win, wp // win, win,
+                            self.embed_dim)
+        grid = grid.transpose(0, 1, 3, 2, 4, 5).reshape(
+            -1, win * win, self.embed_dim
+        )
+        grid = Block(
+            self.embed_dim, self.num_heads, self.mlp_ratio,
+            self.layerscale, self.dtype, name=f"block{i}",
+        )(grid)
+        grid = grid.reshape(B, hp // win, wp // win, win, win,
+                            self.embed_dim)
+        grid = grid.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, hp, wp, self.embed_dim
+        )
+        grid = grid[:, :h, :w].reshape(B, h * w, self.embed_dim)
+        return jnp.concatenate([prefix, grid], axis=1) if n_prefix else grid
+
+    def _fuse_depth(self, x, prompt_depth, B, h, w, n_prefix=1):
         """Depth-prompt fusion after the final block (dino.py:91-105).
 
         The fusion conv exists in the param tree whether or not a depth map
@@ -207,8 +285,8 @@ class VisionTransformer(nn.Module):
         fusion = nn.Conv(
             self.embed_dim, (1, 1), dtype=self.dtype, name="depth_fusion"
         )
-        cls_tok = x[:, :1]
-        patch = x[:, 1:].reshape(B, h, w, self.embed_dim)
+        prefix = x[:, :n_prefix]
+        patch = x[:, n_prefix:].reshape(B, h, w, self.embed_dim)
         if prompt_depth is None:
             depth = jnp.zeros((B, h, w, 1), patch.dtype)
         else:
@@ -217,7 +295,9 @@ class VisionTransformer(nn.Module):
             )
         fused = fusion(jnp.concatenate([patch, depth], axis=-1))
         fused = fused.reshape(B, h * w, self.embed_dim)
-        return jnp.concatenate([cls_tok, fused], axis=1)
+        if n_prefix:
+            return jnp.concatenate([prefix, fused], axis=1)
+        return fused
 
 
 def vit_base_14(**kw) -> VisionTransformer:

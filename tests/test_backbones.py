@@ -1,0 +1,146 @@
+"""Backbone factory tests: every family builds, runs, and exposes the right
+pyramid shapes/strides."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ovmono3d_tpu.config import BackboneConfig
+from ovmono3d_tpu.models.backbones import (
+    VIT_PRESETS,
+    build_backbone,
+)
+
+
+def _tiny(name, **kw):
+    return BackboneConfig(
+        name=name, embed_dim=32, depth=2, num_heads=2, pretrain_grid=4,
+        out_channels=32, use_depth_fusion=False, **kw
+    )
+
+
+def _run(cfg, size):
+    model = build_backbone(cfg)
+    img = jnp.zeros((1, size, size, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    return model, jax.jit(model.apply)(params, img)
+
+
+def test_dinov2_sfp():
+    cfg = _tiny("dinov2", patch_size=14, scale_factors=(2.0, 1.0, 0.5))
+    model, out = _run(cfg, 112)  # 8x8 grid
+    assert model.strides == [7, 14, 28]
+    assert model.feature_names == ["p2", "p3", "p4"]
+    assert out["p2"].shape == (1, 16, 16, 32)
+    assert out["p3"].shape == (1, 8, 8, 32)
+    assert out["p4"].shape == (1, 4, 4, 32)
+
+
+def test_clip_variant():
+    cfg = _tiny("clip", scale_factors=(4.0, 2.0, 1.0, 0.5))
+    model, out = _run(cfg, 64)  # patch 16 -> 4x4 grid
+    assert model.strides == [4, 8, 16, 32]
+    assert out["p2"].shape == (1, 16, 16, 32)
+    assert out["p5"].shape == (1, 2, 2, 32)
+
+
+def test_mae_variant():
+    cfg = _tiny("mae", scale_factors=(2.0, 1.0))
+    model, out = _run(cfg, 64)
+    assert set(out) == {"p3", "p4"}
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_sam_variant_windowed():
+    cfg = _tiny("sam", scale_factors=(1.0,))
+    model, out = _run(cfg, 96)  # 6x6 grid with window 14 -> single window
+    assert out["p4"].shape == (1, 6, 6, 32)
+    # SAM preset: no cls token, neck conv present in params.
+    m = build_backbone(cfg)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    vit_params = params["params"]["vit"]
+    assert "cls_token" not in vit_params
+    assert "neck_conv1" in vit_params
+
+
+def test_midas_preset_is_large():
+    assert VIT_PRESETS["midas"]["embed_dim"] == 1024
+    assert VIT_PRESETS["midas"]["depth"] == 24
+
+
+def test_dla_fpn():
+    cfg = BackboneConfig(name="dla", out_channels=32)
+    model = build_backbone(cfg)
+    img = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    out = jax.jit(model.apply)(variables, img)
+    assert model.strides == [4, 8, 16, 32, 64]
+    assert out["p2"].shape == (1, 16, 16, 32)
+    assert out["p3"].shape == (1, 8, 8, 32)
+    assert out["p4"].shape == (1, 4, 4, 32)
+    assert out["p5"].shape == (1, 2, 2, 32)
+    assert out["p6"].shape == (1, 1, 1, 32)
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_unknown_backbone_raises():
+    with pytest.raises(ValueError):
+        build_backbone(BackboneConfig(name="resnet99"))
+
+
+def test_rcnn3d_with_dla_backbone():
+    """The meta-arch runs with a CNN backbone (5-level anchor config).
+
+    DLA inputs must be divisible by 64 (stride-64 p6 with even-size trees,
+    same constraint as the torch original).
+    """
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_model import tiny_config, _oracle
+
+    cfg = tiny_config()
+    bb = BackboneConfig(name="dla", out_channels=32, square_pad=128)
+    anchors = dataclasses.replace(
+        cfg.model.anchors,
+        sizes=((16.0,), (32.0,), (64.0,), (96.0,), (112.0,)),
+    )
+    rpn = dataclasses.replace(
+        cfg.model.rpn, in_features=("p2", "p3", "p4", "p5", "p6"),
+        pre_nms_topk_test=32, post_nms_topk_test=16,
+    )
+    roi = dataclasses.replace(
+        cfg.model.roi_box, in_features=("p2", "p3", "p4", "p5", "p6")
+    )
+    model_cfg = dataclasses.replace(
+        cfg.model, backbone=bb, anchors=anchors, rpn=rpn, roi_box=roi
+    )
+    from ovmono3d_tpu.models.rcnn3d import build_model
+
+    model = build_model(model_cfg)
+    S = 128
+    image = jax.random.uniform(jax.random.PRNGKey(0), (2, S, S, 3)) * 255.0
+    K = jnp.broadcast_to(
+        jnp.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]]), (2, 3, 3)
+    )
+    im_hw = jnp.array([[128, 128], [112, 96]], jnp.int32)
+    ratio = jnp.array([2.0, 1.5])
+    ob, oc, osc, ov = _oracle()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), image, K, im_hw, ratio,
+        oracle_boxes=ob, oracle_classes=oc, oracle_scores=osc,
+        oracle_valid=ov,
+    )
+    det = jax.jit(
+        lambda p: model.apply(
+            p, image, K, im_hw, ratio, oracle_boxes=ob, oracle_classes=oc,
+            oracle_scores=osc, oracle_valid=ov,
+        )
+    )(params)
+    assert det.corners3d.shape == (2, 4, 8, 3)
+    for leaf in jax.tree.leaves(det):
+        assert np.all(np.isfinite(np.asarray(leaf)))
