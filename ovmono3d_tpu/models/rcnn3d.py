@@ -115,6 +115,12 @@ def fast_rcnn_inference_single(
 ):
     """fast_rcnn_inference_single_image (fast_rcnn.py:57-116), fixed-shape.
 
+    The N*C candidate matrix (e.g. 1000 proposals x 50 classes) is first
+    reduced to the top `4 * topk` candidates by score — the reference's
+    score-threshold filter leaves far fewer, and a candidate outside the top
+    few hundred can only enter the final top-`topk` if NMS kills nearly all
+    higher-scoring ones; a dense 50k x 50k IoU matrix would need ~20 GB HBM.
+
     Returns (boxes [K,4], scores [K], classes [K], valid [K], prop_idx [K]).
     """
     n, c = scores.shape
@@ -137,6 +143,17 @@ def fast_rcnn_inference_single(
         & jnp.repeat(prop_valid, c)
         & jnp.all(jnp.isfinite(boxes), axis=-1)
     )
+    # Candidate pre-selection before the O(K^2) NMS.
+    n_cand = min(max(4 * topk, 256), n * c)
+    neg = jnp.finfo(flat_scores.dtype).min
+    cand_scores, cand_idx = jax.lax.top_k(
+        jnp.where(valid, flat_scores, neg), n_cand
+    )
+    boxes = boxes[cand_idx]
+    flat_scores = flat_scores[cand_idx]
+    classes = classes[cand_idx]
+    prop_idx = prop_idx[cand_idx]
+    valid = valid[cand_idx]
     keep = batched_nms_mask(boxes, flat_scores, classes, nms_thresh, valid)
     neg_inf = jnp.finfo(flat_scores.dtype).min
     masked = jnp.where(keep, flat_scores, neg_inf)

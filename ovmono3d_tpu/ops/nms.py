@@ -65,24 +65,69 @@ def nms_mask(
     return keep
 
 
+def nms_mask_parallel(
+    boxes: jax.Array,
+    scores: jax.Array,
+    iou_threshold: float,
+    valid: jax.Array | None = None,
+    iters: int = 32,
+) -> jax.Array:
+    """Greedy NMS via parallel fixpoint iteration — the TPU-fast variant.
+
+    Greedy NMS is the unique fixpoint of
+        keep[i] = valid[i] and NOT exists j < i (score order):
+                  keep[j] and iou(j, i) > t
+    Iterating this dense update from keep = valid converges in at most the
+    suppression-chain depth (typically < 10 for detection boxes); each
+    iteration is one O(N^2) masked reduction on the VPU instead of N
+    sequential steps. `iters` bounds the iteration count; equality with the
+    serial greedy algorithm holds whenever the chain depth <= iters (verified
+    against `nms_mask` in tests).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    neg_inf = jnp.finfo(scores.dtype).min
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-masked_scores, stable=True)
+    boxes_sorted = boxes[order]
+    valid_sorted = valid[order]
+
+    iou = pairwise_iou(boxes_sorted, boxes_sorted)
+    # suppress[j, i]: earlier j can suppress later i.
+    tri = jnp.triu(jnp.ones((n, n), bool), k=1)
+    suppress = (iou > iou_threshold) & tri
+
+    def body(_, keep):
+        killed = jnp.any(suppress & keep[:, None], axis=0)
+        return valid_sorted & ~killed
+
+    keep_sorted = jax.lax.fori_loop(0, iters, body, valid_sorted)
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+
+
 def batched_nms_mask(
     boxes: jax.Array,
     scores: jax.Array,
     classes: jax.Array,
     iou_threshold: float,
     valid: jax.Array | None = None,
+    parallel: bool = True,
 ) -> jax.Array:
     """Class-aware NMS via the coordinate-offset trick (detectron2
     batched_nms semantics): boxes of different classes never suppress each
     other.
 
-    classes: [N] int.
+    classes: [N] int. `parallel=True` uses the fixpoint formulation (one
+    O(N^2) VPU reduction per iteration) — the right choice on TPU where the
+    serial greedy loop would run thousands of sequential steps.
     """
     # Offset each class into a disjoint coordinate range.
     span = jnp.max(boxes) - jnp.min(boxes) + 1.0
     offsets = classes.astype(boxes.dtype) * span
     shifted = boxes + offsets[:, None]
-    return nms_mask(shifted, scores, iou_threshold, valid)
+    fn = nms_mask_parallel if parallel else nms_mask
+    return fn(shifted, scores, iou_threshold, valid)
 
 
 def topk_after_nms(

@@ -81,3 +81,49 @@ def test_nms_jits():
     out1 = fn(boxes, scores)
     out2 = nms_mask(boxes, scores, 0.5)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_parallel_nms_matches_serial():
+    from ovmono3d_tpu.ops.nms import nms_mask_parallel
+
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        boxes = _random_boxes(key, 128)
+        scores = jax.random.uniform(jax.random.PRNGKey(seed + 500), (128,))
+        for thresh in (0.3, 0.5, 0.7):
+            serial = np.asarray(nms_mask(boxes, scores, thresh))
+            par = np.asarray(nms_mask_parallel(boxes, scores, thresh))
+            np.testing.assert_array_equal(par, serial)
+
+
+def test_parallel_nms_chain():
+    from ovmono3d_tpu.ops.nms import nms_mask_parallel
+
+    # A suppression chain: box i overlaps i+1 heavily; greedy keeps evens.
+    n = 24
+    boxes = jnp.stack(
+        [
+            jnp.arange(n, dtype=jnp.float32) * 4.0,
+            jnp.zeros(n),
+            jnp.arange(n, dtype=jnp.float32) * 4.0 + 10.0,
+            jnp.full((n,), 10.0),
+        ],
+        axis=1,
+    )
+    scores = jnp.linspace(1.0, 0.5, n)
+    serial = np.asarray(nms_mask(boxes, scores, 0.3))
+    par = np.asarray(nms_mask_parallel(boxes, scores, 0.3))
+    np.testing.assert_array_equal(par, serial)
+    np.testing.assert_array_equal(serial, np.arange(n) % 2 == 0)
+
+
+def test_parallel_nms_respects_valid():
+    from ovmono3d_tpu.ops.nms import nms_mask_parallel
+
+    boxes = jnp.array(
+        [[0, 0, 10, 10], [0, 0, 10, 10], [50, 50, 60, 60]], jnp.float32
+    )
+    scores = jnp.array([0.9, 0.8, 0.7])
+    valid = jnp.array([False, True, True])
+    keep = np.asarray(nms_mask_parallel(boxes, scores, 0.5, valid))
+    np.testing.assert_array_equal(keep, [False, True, True])
