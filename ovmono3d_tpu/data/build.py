@@ -114,23 +114,49 @@ def build_test_iterator(
     batch_size: int = 1,
     image_loader=None,
     max_oracle: int = 64,
+    use_native: bool = True,
 ) -> Iterator[tuple[list[dict], dict]]:
     """Sequential test batches (InferenceSampler semantics: each record once,
     in order). Yields (records_chunk, batch); pads the last chunk by
     repeating its final record (callers drop results via the chunk length).
+
+    When the native preprocessing library is built and images are loaded
+    from disk, the pixel path (resize+pad+pack) runs through the C++/OpenMP
+    batch kernel; annotation geometry stays in Python (same shortest-edge
+    rule — equality is covered by tests/test_native_preproc.py).
     """
+    from ovmono3d_tpu.data import native as native_mod
+
+    native_ok = use_native and native_mod.native_available()
+    S = cfg.model.backbone.square_pad
     for start in range(0, len(records), batch_size):
         chunk = records[start : start + batch_size]
         padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
-        examples = [
-            map_example(
-                r, cfg,
-                image=image_loader(r) if image_loader is not None else None,
-                is_train=False, max_oracle=max_oracle,
-            )
+        images = [
+            image_loader(r) if image_loader is not None else None
             for r in padded
         ]
-        yield chunk, _to_model_batch(batch_examples(examples))
+        if native_ok and all(im is not None for im in images):
+            # Fast path: native pixels + Python annotation geometry.
+            examples = [
+                map_example(r, cfg, image=None, is_train=False,
+                            max_oracle=max_oracle)
+                for r in padded
+            ]
+            batch = batch_examples(examples)
+            out, hw, ratios = native_mod.preprocess_batch_native(
+                images, S, cfg.input.min_size_test, cfg.input.max_size_test
+            )
+            batch["image"], batch["im_hw"] = out, hw
+            batch["im_scale_ratio"] = ratios
+        else:
+            examples = [
+                map_example(r, cfg, image=im, is_train=False,
+                            max_oracle=max_oracle)
+                for r, im in zip(padded, images)
+            ]
+            batch = batch_examples(examples)
+        yield chunk, _to_model_batch(batch)
 
 
 def _to_model_batch(b: dict) -> dict:

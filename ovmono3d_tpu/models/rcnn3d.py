@@ -280,7 +280,9 @@ def decode_cube(
     focal: jax.Array,         # [N] original-image fy
     im_h: jax.Array,          # [N] network-input height
     im_ratio: jax.Array,      # [N] original / network scale
-    priors_dims: jax.Array | None = None,  # [C, 2, 3]
+    priors_dims: jax.Array | None = None,      # [C, 2, 3]
+    priors_z_scales: jax.Array | None = None,  # [C, B] 2D-scale bin centers
+    priors_z_stats: jax.Array | None = None,   # [C, B, 2] depth (mean, std)
 ):
     """Cube head decode -> camera-space cuboids (roi_heads.py:329-848)."""
     n = src_boxes.shape[0]
@@ -292,13 +294,35 @@ def decode_cube(
     deltas_2d = percls(outputs["deltas_2d"])
     dims_norm = percls(outputs["dims"])
     pose_allo = percls(outputs["pose"])
-    z_raw = percls(outputs["z"]).reshape(n)
     uncert = outputs["uncert"]
     if uncert is not None:
         uncert = percls(uncert).reshape(n)
 
     src_w = src_boxes[:, 2] - src_boxes[:, 0]
     src_h = src_boxes[:, 3] - src_boxes[:, 1]
+
+    # Z selection. With cluster bins the head predicts one z per (bin, class)
+    # and the bin is picked by the proposal's 2D scale against the per-class
+    # scale cluster centers (roi_heads.py:436-449).
+    z_assign = None
+    if cfg.cluster_bins > 1:
+        assert priors_z_scales is not None, "cluster_bins needs priors"
+        src_scale = jnp.sqrt(src_w**2 + src_h**2)
+        if cfg.dims_priors_enabled:
+            scales = priors_z_scales[classes]                 # [N, B]
+            z_all = outputs["z"][idx, :, classes]             # [N, B]
+        else:
+            scales = jnp.broadcast_to(
+                priors_z_scales[0][None], (n, cfg.cluster_bins)
+            )
+            z_all = outputs["z"]                              # [N, B]
+        z_assign = jnp.argmin(
+            jnp.abs(scales - src_scale[:, None]), axis=1
+        )
+        z_raw = jnp.take_along_axis(z_all, z_assign[:, None], axis=1)[:, 0]
+    else:
+        z_raw = percls(outputs["z"]).reshape(n)
+
     x = src_boxes[:, 0] + 0.5 * src_w + src_w * deltas_2d[:, 0]
     y = src_boxes[:, 1] + 0.5 * src_h + src_h * deltas_2d[:, 1]
 
@@ -328,6 +352,24 @@ def decode_cube(
     elif cfg.z_type == "log":
         z_norm = z_raw
         z = jnp.exp(z_raw)
+    elif cfg.z_type == "clusters":
+        # Bounded decode around the assigned cluster's depth statistics
+        # (roi_heads.py:525-546): z in [mean-3*std, mean+3*std].
+        assert priors_z_stats is not None and z_assign is not None
+        if cfg.dims_priors_enabled:
+            stats = priors_z_stats[classes]       # [N, B, 2]
+        else:
+            stats = jnp.broadcast_to(
+                priors_z_stats[0][None], (n,) + priors_z_stats[0].shape
+            )
+        stats = jnp.take_along_axis(
+            stats, z_assign[:, None, None].repeat(2, -1), axis=1
+        )[:, 0]
+        z_mean, z_std = stats[:, 0], stats[:, 1]
+        z_norm = z_raw
+        z = geom.scaled_sigmoid(
+            z_raw, jnp.clip(z_mean - 3 * z_std, 0.0), z_mean + 3 * z_std
+        )
     else:  # direct
         z_norm = z_raw
         z = z_raw
@@ -469,9 +511,16 @@ def cube_losses(
 # ---------------------------------------------------------------------------
 
 class RCNN3D(nn.Module):
-    """Full model. See module docstring for the batch contract."""
+    """Full model. See module docstring for the batch contract.
+
+    `priors` (optional): dict from utils.priors.compute_priors with keys
+    dims [C,2,3], z_scales [C,B], z_stats [C,B,2] — baked as constants into
+    the decode (the reference injects them as frozen nn.Parameters,
+    roi_heads.py:117-143).
+    """
 
     cfg: ModelConfig
+    priors: dict | None = None
 
     def setup(self):
         self.backbone = build_backbone(self.cfg.backbone)
@@ -581,9 +630,15 @@ class RCNN3D(nn.Module):
         )
         outputs = self.cube_head(pooled)
         Kb, focal, im_h, ratio = self._camera_per_box(K, im_hw, im_ratio, n)
+        pr = self.priors or {}
         dec = decode_cube(
             cube_cfg, outputs, boxes.reshape(b * n, 4),
-            classes.reshape(b * n), Kb, focal, im_h, ratio, priors_dims,
+            classes.reshape(b * n), Kb, focal, im_h, ratio,
+            priors_dims if priors_dims is not None else (
+                jnp.asarray(pr["dims"]) if "dims" in pr else None
+            ),
+            jnp.asarray(pr["z_scales"]) if "z_scales" in pr else None,
+            jnp.asarray(pr["z_stats"]) if "z_stats" in pr else None,
         )
         return jax.tree.map(
             lambda x: x.reshape(b, n, *x.shape[1:]) if x is not None else None,
@@ -853,6 +908,7 @@ def optax_sigmoid_bce(logits, targets):
     )
 
 
-def build_model(cfg: ModelConfig) -> RCNN3D:
-    """Factory (reference build_model, rcnn3d.py:252-261)."""
-    return RCNN3D(cfg=cfg)
+def build_model(cfg: ModelConfig, priors: dict | None = None) -> RCNN3D:
+    """Factory (reference build_model, rcnn3d.py:252-261); `priors` from
+    utils.priors.compute_priors enables dims-priors / cluster-z decodes."""
+    return RCNN3D(cfg=cfg, priors=priors)

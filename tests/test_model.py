@@ -210,3 +210,74 @@ def test_training_grads_flow(model_and_params):
     # Some head grads must be nonzero.
     total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
     assert total > 0
+
+
+def test_cluster_z_decode_with_priors():
+    """cluster_bins z decode: the assigned bin's statistics bound the depth
+    (roi_heads.py:436-449, 525-546)."""
+    import numpy as np
+    from ovmono3d_tpu.models.rcnn3d import decode_cube
+
+    cube = dataclasses.replace(
+        tiny_config().model.cube, z_type="clusters", cluster_bins=3,
+        virtual_depth=False,
+    )
+    n, bins = 6, 3
+    outputs = {
+        "deltas_2d": jnp.zeros((n, 2)),
+        "dims": jnp.zeros((n, 3)),
+        "pose": jnp.broadcast_to(jnp.eye(3), (n, 3, 3)),
+        "z": jnp.zeros((n, bins)),  # sigmoid(0) = 0.5 -> mid of the band
+        "uncert": jnp.zeros((n, 1)),
+    }
+    # Boxes with increasing scale: should map to bins with increasing scale
+    # centers; give each bin a distinct depth band.
+    sizes = jnp.array([10.0, 10, 60, 60, 300, 300])
+    boxes = jnp.stack(
+        [jnp.zeros(n), jnp.zeros(n), sizes, sizes], axis=1
+    )
+    z_scales = jnp.array([[14.14, 84.85, 424.3]])      # hypot of sizes
+    z_stats = jnp.array([[[8.0, 1.0], [4.0, 0.5], [2.0, 0.25]]])
+    K = jnp.broadcast_to(jnp.eye(3) * 100, (n, 3, 3)).at[:, 2, 2].set(1.0)
+    dec = decode_cube(
+        cube, outputs, boxes, jnp.zeros((n,), jnp.int32), K,
+        jnp.full((n,), 100.0), jnp.full((n,), 100.0), jnp.ones((n,)),
+        priors_z_scales=z_scales, priors_z_stats=z_stats,
+    )
+    z = np.asarray(dec["z"])
+    # sigmoid(0) = middle of [mean-3std, mean+3std] = mean.
+    np.testing.assert_allclose(z[0:2], 8.0, atol=1e-4)
+    np.testing.assert_allclose(z[2:4], 4.0, atol=1e-4)
+    np.testing.assert_allclose(z[4:6], 2.0, atol=1e-4)
+
+
+def test_dims_priors_decode():
+    import numpy as np
+    from ovmono3d_tpu.models.rcnn3d import decode_cube
+
+    cube = dataclasses.replace(
+        tiny_config().model.cube, dims_priors_enabled=True,
+        dims_priors_func="exp", virtual_depth=False,
+    )
+    n, C = 4, 5
+    outputs = {
+        "deltas_2d": jnp.zeros((n, C, 2)),
+        "dims": jnp.zeros((n, C, 3)),  # exp(0) = 1 -> dims == prior mean
+        "pose": jnp.broadcast_to(jnp.eye(3), (n, C, 3, 3)),
+        "z": jnp.ones((n, C)),
+        "uncert": jnp.zeros((n, C)),
+    }
+    priors_dims = jnp.stack(
+        [jnp.full((2, 3), 0.1) * (i + 1) for i in range(C)]
+    )  # class i mean = 0.1*(i+1)
+    classes = jnp.array([0, 1, 2, 4], jnp.int32)
+    boxes = jnp.tile(jnp.array([[0.0, 0, 10, 10]]), (n, 1))
+    K = jnp.broadcast_to(jnp.eye(3) * 100, (n, 3, 3)).at[:, 2, 2].set(1.0)
+    dec = decode_cube(
+        cube, outputs, boxes, classes, K, jnp.full((n,), 100.0),
+        jnp.full((n,), 100.0), jnp.ones((n,)), priors_dims=priors_dims,
+    )
+    want = np.array([0.1, 0.2, 0.3, 0.5])
+    np.testing.assert_allclose(
+        np.asarray(dec["dims"])[:, 0], want, rtol=1e-5
+    )

@@ -31,6 +31,9 @@ def parse_args():
                     help="train on generated data (smoke test)")
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--tensorboard", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of steps 10-15")
     ap.add_argument("opts", nargs="*", default=[])
     return ap.parse_args()
 
@@ -172,11 +175,18 @@ def main():
     )
     sharded = (shard_batch(mesh, b) for b in data)
 
+    from ovmono3d_tpu.train.metrics import MetricsWriter, ProfilerHook
+
+    hooks = [MetricsWriter(cfg.output_dir, use_tensorboard=args.tensorboard)]
+    if args.profile:
+        hooks.append(ProfilerHook(cfg.output_dir))
+
     logger.info(
         "starting training: %d iters, batch %d over %d devices",
         max_iter, batch_size, n_dev,
     )
-    state = train(cfg, state, step_fn, sharded, checkpointer=ckpt)
+    state = train(cfg, state, step_fn, sharded, checkpointer=ckpt,
+                  hooks=hooks)
     logger.info("done at step %d (skipped %d)", int(state.step),
                 int(state.skipped))
 
