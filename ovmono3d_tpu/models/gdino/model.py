@@ -206,7 +206,9 @@ class GroundingDINO(nn.Module):
         # --- decoder ---
         ref = jax.lax.stop_gradient(ref_boxes)
         for i, layer in enumerate(self.decoder_layers):
-            q_sine = coordinate_sine_embedding(ref, self.hidden_dim // 2)
+            # Each of the 4 box coords gets hidden/2 sine features -> the
+            # ref_point_head MLP consumes 2*hidden (DINO get_sine_pos_embed).
+            q_sine = coordinate_sine_embedding(ref, self.hidden_dim)
             query_pos = self.ref_point_head(q_sine)
             tgt = layer(
                 tgt, query_pos, memory, pos, text, text_mask, ref, shapes

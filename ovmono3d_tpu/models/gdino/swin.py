@@ -28,16 +28,20 @@ import numpy as np
 Dtype = Any
 
 
-def _rel_pos_index(window: int) -> np.ndarray:
-    """Static [W*W, W*W] relative-position index into the bias table."""
+def _rel_pos_index(table_window: int, window: int | None = None) -> np.ndarray:
+    """Static [w*w, w*w] relative-position index into a bias table built for
+    `table_window` (the checkpoint's window). When the effective window `w`
+    is smaller (tiny feature maps), the same packing indexes the centered
+    sub-range of the full table."""
+    window = window or table_window
     coords = np.stack(
         np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
     ).reshape(2, -1)
     rel = coords[:, :, None] - coords[:, None, :]
     rel = rel.transpose(1, 2, 0)
-    rel[:, :, 0] += window - 1
-    rel[:, :, 1] += window - 1
-    rel[:, :, 0] *= 2 * window - 1
+    rel[:, :, 0] += table_window - 1
+    rel[:, :, 1] += table_window - 1
+    rel[:, :, 0] *= 2 * table_window - 1
     return rel.sum(-1)
 
 
@@ -60,12 +64,13 @@ def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
-    window: int
+    window: int        # table window (fixed by the pretrained checkpoint)
+    eff_window: int    # effective window at this resolution (<= window)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, mask=None):
-        """x: [num_windows*B, W*W, C]; mask: [num_windows, W*W, W*W] or None."""
+        """x: [num_windows*B, w*w, C]; mask: [num_windows, w*w, w*w] or None."""
         Bw, N, C = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
@@ -82,7 +87,7 @@ class WindowAttention(nn.Module):
             ((2 * self.window - 1) ** 2, self.num_heads),
             jnp.float32,
         )
-        idx = jnp.asarray(_rel_pos_index(self.window))
+        idx = jnp.asarray(_rel_pos_index(self.window, self.eff_window))
         bias = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
         attn = attn + bias.transpose(2, 0, 1)[None]
 
@@ -136,7 +141,8 @@ class SwinBlock(nn.Module):
         h = h.reshape(B, hp // win, win, wp // win, win, C)
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, C)
         h = WindowAttention(
-            self.dim, self.num_heads, win, self.dtype, name="attn"
+            self.dim, self.num_heads, self.window, win, self.dtype,
+            name="attn",
         )(h.astype(self.dtype), mask)
         # reverse
         h = h.reshape(B, hp // win, wp // win, win, win, C)
