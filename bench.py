@@ -56,15 +56,23 @@ def main():
             oracle_scores=scores, oracle_valid=valid,
         )
 
-    # Warmup / compile.
-    out = run(params, image, boxes)
-    jax.block_until_ready(out.corners3d)
+    # Warmup / compile (force a host read; block_until_ready through the
+    # remote-TPU tunnel can return before execution finishes).
+    import numpy as np
 
+    out = run(params, image, boxes)
+    float(np.asarray(out.scores[0, 0]))
+
+    # Chain iterations through a data dependency so each step's execution is
+    # provably complete before the next starts, then force a host read.
     iters = 20
     t0 = time.perf_counter()
+    img = image
     for i in range(iters):
-        out = run(params, image, boxes)
-    jax.block_until_ready(out.corners3d)
+        out = run(params, img, boxes)
+        # Feed a detection-dependent perturbation back into the image.
+        img = image + out.scores[0, 0] * 1e-6
+    float(np.asarray(out.scores[0, 0]))
     dt = (time.perf_counter() - t0) / iters
 
     img_per_s = B / dt
