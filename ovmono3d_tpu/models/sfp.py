@@ -28,7 +28,7 @@ Dtype = Any
 
 class _OutConvs(nn.Module):
     out_channels: int
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
@@ -47,7 +47,9 @@ class SimpleFeaturePyramid(nn.Module):
     out_channels: int = 256
     scale_factors: Sequence[float] = (2.0, 1.0, 0.5)
     trunk_stride: int = 14
-    dtype: Dtype = jnp.float32
+    # bf16 conv compute (MXU full rate); LayerNorms stay f32 and the final
+    # stage output is f32 via the trailing norm.
+    dtype: Dtype = jnp.bfloat16
 
     @property
     def strides(self) -> list[int]:

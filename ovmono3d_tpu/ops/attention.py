@@ -47,36 +47,46 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_len: int
 ):
-    """One (batch*head, q-block) program: online softmax over K/V blocks."""
-    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
+    """One (batch*head, q-block) program: online softmax over K/V blocks.
+
+    MXU inputs stay bf16 (full systolic rate) with f32 accumulation; the
+    softmax statistics are f32.
+    """
+    in_dtype = q_ref.dtype
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(in_dtype)  # [bq, D]
     n_kv_padded = k_ref.shape[1]
     bq, d = q.shape
 
+    n_blocks = n_kv_padded // block_k
+    # Only the final KV block can contain padding (kv_len is static).
+    needs_mask = kv_len < n_kv_padded
+
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bq, bk]
-        # Static-length mask for KV padding (kv_len is a Python int).
-        col = i * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1
-        )
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        )  # [bq, bk] f32 accumulate from bf16 inputs
+        if needs_mask:
+            # Apply the static padding mask only on the last block.
+            col = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(
+                (i < n_blocks - 1) | (col < kv_len), s, _NEG_INF
+            )
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(in_dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
-
-    n_blocks = n_kv_padded // block_k
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
