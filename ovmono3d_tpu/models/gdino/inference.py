@@ -97,6 +97,7 @@ def postprocess_grounding(
     keep = nms_mask(boxes, scores, nms_threshold, valid)
     neg_inf = jnp.finfo(scores.dtype).min
     masked = jnp.where(keep, scores, neg_inf)
+    topk = min(topk, masked.shape[0])  # fewer queries than output slots
     top_scores, idx = jax.lax.top_k(masked, topk)
     out_valid = top_scores > box_threshold
     return (

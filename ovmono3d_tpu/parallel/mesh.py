@@ -39,3 +39,29 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def init_multihost(coordinator: str | None = None):
+    """Initialize jax.distributed for multi-host training (the reference's
+    detectron2 `launch(num_machines, machine_rank, dist_url)` equivalent,
+    SURVEY.md §2.2). No-op when single-process or already initialized."""
+    import jax
+
+    if jax.process_count() > 1 or coordinator is None:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-host
+
+
+def process_shard(records: list, process_index: int | None = None,
+                  process_count: int | None = None) -> list:
+    """Disjoint per-host slice of a record list (InferenceSampler semantics
+    across hosts; the train iterator's weighted sampling instead uses a
+    per-host RNG seed offset)."""
+    import jax
+
+    pi = process_index if process_index is not None else jax.process_index()
+    pc = process_count if process_count is not None else jax.process_count()
+    return records[pi::pc]
