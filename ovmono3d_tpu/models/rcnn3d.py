@@ -421,9 +421,14 @@ def cube_losses(
     gt_poses: jax.Array,     # [N, 3, 3]
     K_scaled: jax.Array,     # [N, 3, 3]
     fg_mask: jax.Array,      # [N] 1.0 = supervised slot
+    src_boxes: jax.Array | None = None,  # [N, 4] (non-disentangled xy loss)
 ):
-    """Disentangled corner losses (roi_heads.py:551-793), fixed-shape,
-    masked-mean reduced over fg slots."""
+    """Cube losses, fixed-shape, masked-mean reduced over fg slots.
+
+    Disentangled corner losses (roi_heads.py:551-627) by default; the
+    non-disentangled variants (roi_heads.py:630-673: delta/log-space l1 +
+    `1 - so3_relative_angle` pose loss) when cfg.disentangled_loss=False.
+    """
     gt_2d = gt_boxes3d[:, :2]
     gt_z = gt_boxes3d[:, 2]
     gt_dims = gt_boxes3d[:, 3:6]
@@ -436,30 +441,75 @@ def cube_losses(
         d = jnp.abs(pred_corners - gt_corners)
         return d.reshape(d.shape[0], -1).mean(axis=1)
 
-    z_center = geom.backproject(K_scaled, gt_2d, dec["z"])
-    loss_z = corner_l1(
-        geom.cuboid_corners(
-            jnp.concatenate([z_center, gt_dims], -1), gt_poses
+    if cfg.disentangled_loss:
+        z_center = geom.backproject(K_scaled, gt_2d, dec["z"])
+        loss_z = corner_l1(
+            geom.cuboid_corners(
+                jnp.concatenate([z_center, gt_dims], -1), gt_poses
+            )
         )
-    )
-    xy_center = geom.backproject(
-        K_scaled, jnp.stack([dec["x"], dec["y"]], -1), gt_z
-    )
-    loss_xy = corner_l1(
-        geom.cuboid_corners(
-            jnp.concatenate([xy_center, gt_dims], -1), gt_poses
+        xy_center = geom.backproject(
+            K_scaled, jnp.stack([dec["x"], dec["y"]], -1), gt_z
         )
-    )
-    loss_dims = corner_l1(
-        geom.cuboid_corners(
-            jnp.concatenate([gt_center, dec["dims"]], -1), gt_poses
+        loss_xy = corner_l1(
+            geom.cuboid_corners(
+                jnp.concatenate([xy_center, gt_dims], -1), gt_poses
+            )
         )
-    )
-    pose_corners = geom.cuboid_corners(gt_box3d, dec["pose"])
-    if cfg.chamfer_pose:
-        loss_pose = geom.chamfer_corner_distance(pose_corners, gt_corners)
+        loss_dims = corner_l1(
+            geom.cuboid_corners(
+                jnp.concatenate([gt_center, dec["dims"]], -1), gt_poses
+            )
+        )
+        pose_corners = geom.cuboid_corners(gt_box3d, dec["pose"])
+        if cfg.chamfer_pose:
+            loss_pose = geom.chamfer_corner_distance(pose_corners, gt_corners)
+        else:
+            loss_pose = corner_l1(pose_corners)
     else:
-        loss_pose = corner_l1(pose_corners)
+        # XY: l1 on normalized deltas vs GT deltas (roi_heads.py:637-641).
+        assert src_boxes is not None
+        src_w = jnp.maximum(src_boxes[:, 2] - src_boxes[:, 0], 1e-4)
+        src_h = jnp.maximum(src_boxes[:, 3] - src_boxes[:, 1], 1e-4)
+        src_cx = src_boxes[:, 0] + 0.5 * src_w
+        src_cy = src_boxes[:, 1] + 0.5 * src_h
+        gt_deltas = jnp.stack(
+            [(gt_2d[:, 0] - src_cx) / src_w, (gt_2d[:, 1] - src_cy) / src_h],
+            axis=-1,
+        )
+        loss_xy = jnp.abs(dec["deltas_2d"] - gt_deltas).mean(-1)
+        # Dims: log-space l1 (priors variant folds the prior mean in).
+        loss_dims = jnp.abs(
+            dec["dims_norm"] - jnp.log(jnp.maximum(gt_dims, 1e-4))
+        ).mean(-1)
+        # Pose: 1 - cos(relative angle) in allocentric space
+        # (roi_heads.py:652-657).
+        from ovmono3d_tpu.ops.rotation import so3_relative_angle
+
+        if cfg.allocentric_pose:
+            gt_allo = geom.R_to_allocentric(
+                K_scaled, gt_poses, jax.lax.stop_gradient(dec["x"]),
+                jax.lax.stop_gradient(dec["y"]),
+            )
+            loss_pose = 1.0 - so3_relative_angle(
+                dec["pose_allocentric"], gt_allo, eps=0.1, cos_angle=True
+            )
+        else:
+            loss_pose = 1.0 - so3_relative_angle(
+                dec["pose"], gt_poses, eps=0.1, cos_angle=True
+            )
+        # Z per z_type (roi_heads.py:663-673).
+        r2v = 1.0 / jnp.maximum(dec["virtual_to_real"], 1e-8)
+        if cfg.z_type == "sigmoid":
+            loss_z = jnp.abs(
+                dec["z_norm"] - jnp.clip(gt_z * r2v / 100.0, 0, 1)
+            )
+        elif cfg.z_type == "log":
+            loss_z = jnp.abs(
+                dec["z_norm"] - jnp.log(jnp.clip(gt_z * r2v, 0.01))
+            )
+        else:  # direct (and clusters fall back to direct-vs-virtual)
+            loss_z = jnp.abs(dec["z"] - gt_z)
 
     losses = {
         "loss_xy": loss_xy,
@@ -895,7 +945,8 @@ class RCNN3D(nn.Module):
         ).reshape(b * s, 3, 3)
 
         cube = cube_losses(
-            self.cfg.cube, dec_flat, gt_boxes3d, gt_poses, Kb, fg_f
+            self.cfg.cube, dec_flat, gt_boxes3d, gt_poses, Kb, fg_f,
+            src_boxes=sampled["boxes"].reshape(b * s, 4),
         )
         losses.update({f"cube/{k}": v for k, v in cube.items()})
         return losses

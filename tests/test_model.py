@@ -281,3 +281,24 @@ def test_dims_priors_decode():
     np.testing.assert_allclose(
         np.asarray(dec["dims"])[:, 0], want, rtol=1e-5
     )
+
+
+def test_non_disentangled_losses(model_and_params):
+    """DISENTANGLED_LOSS=False variant: delta/log-space l1 + so3 pose loss
+    (roi_heads.py:630-673)."""
+    cfg, model, params = model_and_params
+    image, K, im_hw, ratio = _batch()
+    gt = _gt()
+    cube = dataclasses.replace(
+        cfg.model.cube, disentangled_loss=False, chamfer_pose=False
+    )
+    model2 = build_model(dataclasses.replace(cfg.model, cube=cube))
+    losses = jax.jit(
+        lambda p, im, r: model2.apply(
+            p, im, K, im_hw, ratio, gt, r, method=RCNN3D.compute_losses
+        )
+    )(params, image, jax.random.PRNGKey(7))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # so3 pose loss = 1 - cos in [0, 2].
+    assert 0.0 <= float(losses["cube/loss_pose"]) <= 2.0

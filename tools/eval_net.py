@@ -29,12 +29,15 @@ def parse_args():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--dump-predictions", default=None,
+                    help="write per-image predictions JSON (the reference's "
+                         "instances_predictions.pth equivalent)")
     ap.add_argument("opts", nargs="*", default=[])
     return ap.parse_args()
 
 
 def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
-                     class_names):
+                     class_names, dump_path=None):
     """Oracle-path inference over a record list -> summary dicts."""
     import jax
     import jax.numpy as jnp
@@ -58,6 +61,7 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
         )
 
     n_done = 0
+    dumped = []
     for chunk, batch in build_test_iterator(
         cfg, records, batch_size, image_loader
     ):
@@ -75,7 +79,37 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
             gt = _record_gt(rec)
             ev3d.add_image(gt, pred)
             ev2d.add_image(gt, pred)
+            if dump_path is not None:
+                b = det.boxes[bi][valid]
+                dumped.append({
+                    "image_id": rec["image_id"],
+                    "instances": [
+                        {
+                            "category_id": int(det.classes[bi][valid][j]),
+                            "score": float(det.scores[bi][valid][j]),
+                            "bbox": [float(b[j][0]), float(b[j][1]),
+                                     float(b[j][2] - b[j][0]),
+                                     float(b[j][3] - b[j][1])],
+                            "center_cam": np.asarray(
+                                det.center_cam[bi][valid][j]
+                            ).tolist(),
+                            "dimensions": np.asarray(
+                                det.dimensions[bi][valid][j]
+                            ).tolist(),
+                            "pose": np.asarray(
+                                det.pose[bi][valid][j]
+                            ).tolist(),
+                        }
+                        for j in range(int(valid.sum()))
+                    ],
+                })
         n_done += len(chunk)
+    if dump_path is not None:
+        import json
+
+        Path(dump_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(dump_path, "w") as fh:
+            json.dump(dumped, fh)
     return ev2d, ev3d, n_done
 
 
@@ -197,6 +231,8 @@ def main():
         ev2d, ev3d, n = evaluate_dataset(
             cfg, model, params, records, image_loader, args.batch_size,
             class_names,
+            dump_path=(f"{args.dump_predictions}_{name}.json"
+                       if args.dump_predictions else None),
         )
         res = {**ev2d.summarize(), **ev3d.summarize()}
         all_results[name] = res
