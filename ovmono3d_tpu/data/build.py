@@ -169,7 +169,7 @@ def _to_model_batch(b: dict) -> dict:
     }
     for k in ("gt_boxes", "gt_classes", "gt_boxes3d", "gt_poses", "gt_valid",
               "oracle_boxes", "oracle_classes", "oracle_scores",
-              "oracle_valid"):
+              "oracle_valid", "depth"):
         if k in b:
             out[k] = b[k]
     return out

@@ -28,6 +28,7 @@ class MappedExample:
     K: np.ndarray              # [3, 3] original intrinsics
     im_hw: np.ndarray          # [2] valid region in network coords
     im_scale_ratio: float      # original / network scale
+    depth: np.ndarray | None = None  # [Hd, Wd, 1] prompt depth
     # training targets (padded to max_gt):
     gt_boxes: np.ndarray | None = None      # [M, 4]
     gt_classes: np.ndarray | None = None    # [M]
@@ -113,6 +114,23 @@ def map_example(
         width=W,
     )
 
+    # Optional prompt-depth map (reference DatasetMapper3D reads per-image
+    # .npz depth and applies the same resize/flip, dataset_mapper.py:21-77).
+    depth = record.get("depth")
+    if depth is None and record.get("depth_file"):
+        try:
+            loaded = np.load(record["depth_file"])
+            depth = loaded[loaded.files[0]] if hasattr(loaded, "files") \
+                else loaded
+        except (OSError, ValueError):
+            depth = None
+    if depth is not None:
+        dh, dw = cfg.input.depth_size[1], cfg.input.depth_size[0]
+        d = _resize_image(np.asarray(depth, np.float32), (dh, dw))
+        if flip:
+            d = d[:, ::-1]
+        ex.depth = np.ascontiguousarray(d)[..., None]
+
     # Network-resolution K for projecting 3D centers to input coords.
     K_net = K / ratio
     K_net[2, 2] = 1.0
@@ -191,4 +209,6 @@ def batch_examples(examples: list[MappedExample]) -> dict[str, np.ndarray]:
         out["oracle_classes"] = np.stack([e.oracle_classes for e in examples])
         out["oracle_scores"] = np.stack([e.oracle_scores for e in examples])
         out["oracle_valid"] = np.stack([e.oracle_valid for e in examples])
+    if all(e.depth is not None for e in examples):
+        out["depth"] = np.stack([e.depth for e in examples])
     return out

@@ -84,6 +84,10 @@ class Omni3DEvaluationHelper:
         self._nhd_dis: dict[str, list] = {
             "xy": [], "z": [], "dims": [], "pose": []
         }
+        # Mean prediction errors (reference vis.py:289-294 log line).
+        self._errors: dict[str, list] = {
+            "xy_px": [], "z_m": [], "whl_m": [], "ry_rad": []
+        }
 
     def evaluator(self, dataset: str, mode: str) -> Omni3DEvaluator:
         store = self.ev2d if mode == "2D" else self.ev3d
@@ -96,20 +100,40 @@ class Omni3DEvaluationHelper:
     def add_image(self, dataset: str, gt: dict, pred: dict):
         self.evaluator(dataset, "2D").add_image(gt, pred)
         self.evaluator(dataset, "3D").add_image(gt, pred)
-        # Disentangled NHD on score-matched pairs when components present.
+        # Disentangled NHD + error stats on index-aligned pairs when the 3D
+        # components are present (exact for the oracle protocol, where
+        # prediction order mirrors the GT/oracle boxes).
         if all(
             k in pred for k in ("center", "dims", "pose")
         ) and all(k in gt for k in ("center", "dims", "pose")):
             n = min(len(pred["center"]), len(gt["center"]))
             if n > 0:
-                dis = disentangled_nhd(
-                    {k: np.asarray(pred[k])[:n] for k in
-                     ("center", "dims", "pose")},
-                    {k: np.asarray(gt[k])[:n] for k in
-                     ("center", "dims", "pose")},
-                )
+                p = {k: np.asarray(pred[k])[:n] for k in
+                     ("center", "dims", "pose")}
+                g = {k: np.asarray(gt[k])[:n] for k in
+                     ("center", "dims", "pose")}
+                dis = disentangled_nhd(p, g)
                 for k, v in dis.items():
                     self._nhd_dis[k].extend(v.tolist())
+                # Mean errors (xy in px needs boxes2d-space centers: use the
+                # 2D projections when provided, else skip xy).
+                if "center_2d" in pred and "center_2d" in gt:
+                    dxy = np.linalg.norm(
+                        np.asarray(pred["center_2d"])[:n]
+                        - np.asarray(gt["center_2d"])[:n], axis=-1,
+                    )
+                    self._errors["xy_px"].extend(dxy.tolist())
+                self._errors["z_m"].extend(
+                    np.abs(p["center"][:, 2] - g["center"][:, 2]).tolist()
+                )
+                self._errors["whl_m"].extend(
+                    np.abs(p["dims"] - g["dims"]).mean(-1).tolist()
+                )
+                rel = np.einsum("nij,nkj->nik", p["pose"], g["pose"])
+                tr = np.clip(
+                    (np.trace(rel, axis1=1, axis2=2) - 1) / 2, -1, 1
+                )
+                self._errors["ry_rad"].extend(np.arccos(tr).tolist())
 
     def summarize_dataset(self, dataset: str) -> dict[str, float]:
         out = {}
@@ -163,4 +187,7 @@ class Omni3DEvaluationHelper:
         for k, vals in self._nhd_dis.items():
             if vals:
                 out[f"NHD_disentangled_{k}"] = float(np.mean(vals))
+        for k, vals in self._errors.items():
+            if vals:
+                out[f"mean_err_{k}"] = float(np.mean(vals))
         return out

@@ -577,7 +577,11 @@ class RCNN3D(nn.Module):
         num_anchors = len(self.cfg.anchors.aspect_ratios) * len(
             self.cfg.anchors.sizes[0]
         )
-        self.rpn_head = RPNHead(num_anchors=num_anchors, name="rpn_head")
+        self.rpn_head = RPNHead(
+            num_anchors=num_anchors,
+            conv_dim=self.cfg.backbone.out_channels,
+            name="rpn_head",
+        )
         self.box_head = FastRCNNHead(
             num_classes=self.cfg.num_classes,
             num_fc=self.cfg.roi_box.num_fc,
