@@ -98,8 +98,9 @@ class ViTSFPBackbone(nn.Module):
         return self.sfp(trunk["last_feat"])
 
 
-class DLAFPNBackbone(nn.Module):
-    """DLA-34 + FPN (the original Cube R-CNN backbone, dla.py:417-506)."""
+class CNNFPNBackbone(nn.Module):
+    """CNN trunk + FPN: DLA-34 (the original Cube R-CNN backbone,
+    dla.py:417-506) or torchvision-style ResNets (resnet.py:12-96)."""
 
     cfg: BackboneConfig
 
@@ -112,16 +113,35 @@ class DLAFPNBackbone(nn.Module):
         return ["p2", "p3", "p4", "p5", "p6"]
 
     def setup(self):
-        self.trunk = DLA(name="dla")
+        from ovmono3d_tpu.models.resnet import ResNet
+
+        name = self.cfg.name
+        if name in ("dla", "dla34"):
+            self.trunk = DLA(name="dla")
+        elif name in ("resnet18", "resnet34"):
+            depths = (2, 2, 2, 2) if name == "resnet18" else (3, 4, 6, 3)
+            self.trunk = ResNet(depths=depths, bottleneck=False,
+                                name="resnet")
+        elif name in ("resnet", "resnet50", "resnet101"):
+            depths = (3, 4, 23, 3) if name == "resnet101" else (3, 4, 6, 3)
+            self.trunk = ResNet(depths=depths, name="resnet")
+        else:
+            raise ValueError(f"unknown CNN backbone '{name}'")
         self.fpn = FPN(out_channels=self.cfg.out_channels, name="fpn")
 
     def __call__(self, images, depth=None):
         return self.fpn(self.trunk(images))
 
 
+_CNN_NAMES = (
+    "dla", "dla34", "resnet", "resnet18", "resnet34", "resnet50",
+    "resnet101",
+)
+
+
 def build_backbone(cfg: BackboneConfig) -> nn.Module:
     if cfg.name in VIT_PRESETS:
         return ViTSFPBackbone(cfg=cfg)
-    if cfg.name in ("dla", "dla34"):
-        return DLAFPNBackbone(cfg=cfg)
+    if cfg.name in _CNN_NAMES:
+        return CNNFPNBackbone(cfg=cfg)
     raise ValueError(f"unknown backbone '{cfg.name}'")

@@ -144,3 +144,16 @@ def test_rcnn3d_with_dla_backbone():
     assert det.corners3d.shape == (2, 4, 8, 3)
     for leaf in jax.tree.leaves(det):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_resnet_variants():
+    for name, ch_p2 in (("resnet50", 256), ("resnet18", 64)):
+        cfg = BackboneConfig(name=name, out_channels=32)
+        model = build_backbone(cfg)
+        img = jnp.zeros((1, 64, 64, 3))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+        out = jax.jit(model.apply)(variables, img)
+        assert out["p2"].shape == (1, 16, 16, 32)
+        assert out["p6"].shape == (1, 1, 1, 32)
+        for v in out.values():
+            assert np.all(np.isfinite(np.asarray(v)))

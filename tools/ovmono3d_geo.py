@@ -118,9 +118,11 @@ def main():
         return
 
     # Real pipeline: SAM + DepthPro over dataset oracle boxes.
+    import cv2
     import jax
+    import jax.numpy as jnp
 
-    from ovmono3d_tpu.config import load_config
+    from ovmono3d_tpu.config import BackboneConfig, load_config
     from ovmono3d_tpu.data.build import default_image_loader
     from ovmono3d_tpu.data.datasets import (
         filter_settings_from_cfg,
@@ -128,14 +130,10 @@ def main():
         merge_oracle2d,
         simple_register,
     )
+    from ovmono3d_tpu.geo.pipeline import fit_box_from_mask_depth
     from ovmono3d_tpu.models.backbones import build_backbone
-    from ovmono3d_tpu.models.depth import (
-        DepthPro,
-        fov_to_focal,
-        metric_depth,
-    )
+    from ovmono3d_tpu.models.depth import DepthPro, metric_depth
     from ovmono3d_tpu.models.sam import SamSegmenter
-    from ovmono3d_tpu.config import BackboneConfig
 
     cfg = load_config(args.config_file, overrides=args.opts)
     fs = filter_settings_from_cfg(cfg)
@@ -143,20 +141,33 @@ def main():
 
     # Build SAM encoder+segmenter and DepthPro (converted checkpoints are
     # merged via utils.checkpoint_convert when available).
+    S_SAM, S_DEPTH = 1024, 768
     sam_backbone = build_backbone(BackboneConfig(
-        name="sam", out_channels=256, scale_factors=(1.0,), square_pad=1024
+        name="sam", out_channels=256, scale_factors=(1.0,), square_pad=S_SAM
     ))
     segmenter = SamSegmenter()
     depth_model = DepthPro()
-    import jax.numpy as jnp
-
-    S = 1024
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
     sam_params = jax.jit(sam_backbone.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3))
+        k0, jnp.zeros((1, S_SAM, S_SAM, 3))
     )
-    logger.info("GEO models built; running %s", cfg.datasets.test_novel)
+    seg_params = jax.jit(segmenter.init)(
+        k1, jnp.zeros((1, 64, 64, 256)), jnp.zeros((1, 4)), float(S_SAM)
+    )
+    depth_params = jax.jit(depth_model.init)(
+        k2, jnp.zeros((1, S_DEPTH, S_DEPTH, 3))
+    )
+    embed_fn = jax.jit(sam_backbone.apply)
+    seg_fn = jax.jit(
+        lambda p, e, b: segmenter.apply(p, e, b, float(S_SAM))
+    )
+    depth_fn = jax.jit(depth_model.apply)
+    logger.info("GEO models built; running %s",
+                cfg.datasets.test_novel or cfg.datasets.test)
 
     image_loader = default_image_loader(cfg.datasets.data_root)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
     for name in cfg.datasets.test_novel or cfg.datasets.test:
         json_path = Path(cfg.datasets.data_root) / "Omni3D" / f"{name}.json"
         simple_register(name, json_path, fs, cat_map)
@@ -169,13 +180,53 @@ def main():
             image = image_loader(rec)
             if image is None:
                 continue
-            # ... SAM embed + per-box mask + depth + fit (as in synthetic).
-            # Real checkpoints required for meaningful output.
-            preds_all[rec["image_id"]] = []
+            H, W = image.shape[:2]
+            K = np.asarray(rec["K"], np.float32)
+            # Depth-Pro metric depth at the original resolution.
+            dimg = cv2.resize(image.astype(np.float32) / 255.0,
+                              (S_DEPTH, S_DEPTH))
+            dout = depth_fn(depth_params,
+                            jnp.asarray((dimg - mean) / std)[None])
+            depth_full = np.asarray(
+                metric_depth(
+                    dout["canonical_inverse_depth"],
+                    jnp.asarray([K[0, 0] * S_DEPTH / W]), S_DEPTH,
+                )[0]
+            )
+            depth_map = cv2.resize(depth_full, (W, H))
+            # SAM embedding once per image; masks per oracle box.
+            scale = S_SAM / max(H, W)
+            simg = cv2.resize(image.astype(np.float32) / 255.0,
+                              (int(W * scale), int(H * scale)))
+            canvas = np.zeros((S_SAM, S_SAM, 3), np.float32)
+            canvas[: simg.shape[0], : simg.shape[1]] = (simg - mean) / std
+            embed = embed_fn(sam_params, jnp.asarray(canvas)[None])["p4"]
+            preds = []
+            for det in rec.get("oracle2d", [])[: args.max_instances]:
+                if det["score"] < SCORE_THRESHOLD:  # ovmono3d_geo.py:274
+                    continue
+                box = np.asarray(det["bbox2d"], np.float32) * scale
+                masks, iou = seg_fn(seg_params, embed,
+                                    jnp.asarray(box)[None])
+                m = np.asarray(masks[0, 2])  # largest (index 2, L309)
+                mask_img = cv2.resize(m, (W, H)) > 0
+                out = fit_box_from_mask_depth(
+                    jnp.asarray(mask_img, jnp.float32),
+                    jnp.asarray(depth_map), jnp.asarray(K),
+                )
+                preds.append({
+                    "category_id": det["category_id"],
+                    "score": det["score"],
+                    "bbox2d": det["bbox2d"],
+                    "center_cam": np.asarray(out["center"]).tolist(),
+                    "dimensions": np.asarray(out["dims"]).tolist(),
+                    "pose": np.asarray(out["pose"]).tolist(),
+                })
+            preds_all[rec["image_id"]] = preds
         path = out_dir / f"geo_predictions_{name}.pkl"
         with open(path, "wb") as fh:
             pickle.dump(preds_all, fh)
-        logger.info("%s: wrote %s", name, path)
+        logger.info("%s: %d images -> %s", name, len(preds_all), path)
 
 
 if __name__ == "__main__":
