@@ -72,11 +72,16 @@ class BertEncoder(nn.Module):
         input_ids: jax.Array,        # [B, N] int32
         attention_mask: jax.Array,   # [B, N] bool (valid tokens) OR
                                      # [B, N, N] bool pairwise mask
+        position_ids: jax.Array | None = None,  # [B, N] (GroundingDINO
+                                     # restarts positions per phrase span)
     ) -> jax.Array:
         B, N = input_ids.shape
         tok = nn.Embed(self.vocab_size, self.hidden,
                        dtype=self.dtype, name="word_embeddings")(input_ids)
-        pos_ids = jnp.arange(N)[None]
+        pos_ids = (
+            position_ids if position_ids is not None
+            else jnp.arange(N)[None]
+        )
         pos = nn.Embed(self.max_position, self.hidden,
                        dtype=self.dtype, name="position_embeddings")(pos_ids)
         typ = nn.Embed(self.type_vocab, self.hidden, dtype=self.dtype,

@@ -46,7 +46,7 @@ def build_text_inputs(
     input_ids[0, :n] = ids
     text_mask = np.zeros((1, max_len), bool)
     text_mask[0, :n] = True
-    self_mask, _ = build_subsentence_masks(
+    self_mask, position_ids = build_subsentence_masks(
         input_ids,
         special_ids=(tok.cls_id, tok.sep_id, tok.period_id, tok.pad_id),
     )
@@ -59,6 +59,7 @@ def build_text_inputs(
         "input_ids": input_ids,
         "text_mask": text_mask,
         "text_self_mask": self_mask,
+        "position_ids": position_ids,
         "span_matrix": span_matrix,
         "span_valid": span_valid,
     }
@@ -125,6 +126,7 @@ def detect_open_vocabulary(
         jnp.asarray(text["input_ids"]),
         jnp.asarray(text["text_mask"]),
         jnp.asarray(text["text_self_mask"]),
+        jnp.asarray(text["position_ids"]),
     )
     h, w = image.shape[:2]
     boxes, scores, classes, valid = postprocess_grounding(

@@ -120,21 +120,25 @@ class GroundingDINO(nn.Module):
         self.decoder_norm = nn.LayerNorm(name="decoder_norm")
         self.bbox_head = BoxMLP(self.hidden_dim, name="bbox_head")
 
-    def encode_text(self, input_ids, text_mask, self_attn_mask=None):
+    def encode_text(self, input_ids, text_mask, self_attn_mask=None,
+                    position_ids=None):
         """input_ids [B, T]; text_mask [B, T] valid; optional [B, T, T]
-        sub-sentence mask. Returns projected text features [B, T, C]."""
+        sub-sentence mask + per-span position ids. Returns projected text
+        features [B, T, C]."""
         mask = self_attn_mask if self_attn_mask is not None else text_mask
-        feat = self.bert(input_ids, mask)
+        feat = self.bert(input_ids, mask, position_ids)
         return self.feat_map(feat)
 
-    def __call__(self, images, input_ids, text_mask, text_self_mask=None):
+    def __call__(self, images, input_ids, text_mask, text_self_mask=None,
+                 text_position_ids=None):
         """images [B, H, W, 3] normalized; H, W multiples of 32.
 
         Returns dict(pred_logits [B, Q, max_text_len] raw, pred_boxes
         [B, Q, 4] cxcywh in [0,1]).
         """
         B = images.shape[0]
-        txt = self.encode_text(input_ids, text_mask, text_self_mask)
+        txt = self.encode_text(input_ids, text_mask, text_self_mask,
+                               text_position_ids)
         T = txt.shape[1]
 
         feats = self.backbone(images)

@@ -48,6 +48,14 @@ class OVMono3DLift:
     tokenizer: BertTokenizer
     gdino_size: int = 800   # square input side for the detector
     max_detections: int = 100
+    _jit_cache: dict = dataclasses.field(default_factory=dict)
+
+    def _jitted(self, name: str, fn):
+        """Cache jitted callables — re-wrapping apply in jax.jit per call
+        would recompile every invocation."""
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
 
     @classmethod
     def build(cls, cfg: Config, tokenizer: BertTokenizer,
@@ -113,12 +121,13 @@ class OVMono3DLift:
             self.tokenizer, categories, max_len=self.gdino.max_text_len
         )
         T = self.gdino.max_text_len
-        out = jax.jit(self.gdino.apply)(
+        out = self._jitted("gdino", self.gdino.apply)(
             self.gdino_params,
             jnp.asarray(tensor),
             jnp.asarray(text["input_ids"][:, :T]),
             jnp.asarray(text["text_mask"][:, :T]),
             jnp.asarray(text["text_self_mask"][:, :T, :T]),
+            jnp.asarray(text["position_ids"][:, :T]),
         )
         # pred_boxes are normalized to the PADDED square; rescale with the
         # padded size then divide by the resize scale to original pixels.
@@ -176,7 +185,7 @@ class OVMono3DLift:
         if depth is not None:
             depth_t = jnp.asarray(depth, jnp.float32)[None, ..., None]
 
-        det = jax.jit(self.rcnn.apply)(
+        det = self._jitted("rcnn", self.rcnn.apply)(
             self.rcnn_params,
             jnp.asarray(canvas)[None],
             jnp.asarray(K, jnp.float32)[None],
