@@ -32,8 +32,63 @@ def parse_args():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--output-dir", default="output/geo")
     ap.add_argument("--max-instances", type=int, default=16)
+    ap.add_argument("--eval", action="store_true",
+                    help="evaluate the written predictions against GT "
+                         "(reference tools/eval_ovmono3d_geo.py)")
     ap.add_argument("opts", nargs="*", default=[])
     return ap.parse_args()
+
+
+def evaluate_geo_predictions(records, preds_all, class_names):
+    """Omni3D evaluation of GEO predictions over novel categories
+    (reference eval_ovmono3d_geo.py:62-134)."""
+    import jax.numpy as jnp
+
+    from ovmono3d_tpu.evaluation.helper import Omni3DEvaluationHelper
+    from ovmono3d_tpu.utils.geometry import cuboid_corners
+    from ovmono3d_tpu.vis.logperf import print_ap_summary
+    from tools.eval_net import _record_gt
+
+    helper = Omni3DEvaluationHelper(
+        len(class_names), class_names, novel_categories=set(class_names)
+    )
+    for rec in records:
+        preds = preds_all.get(rec["image_id"], [])
+        n = len(preds)
+        corners = np.zeros((n, 8, 3), np.float32)
+        for i, p in enumerate(preds):
+            corners[i] = np.asarray(
+                cuboid_corners(
+                    jnp.asarray(
+                        np.concatenate([p["center_cam"], p["dimensions"]])
+                        .astype(np.float32)
+                    ),
+                    jnp.asarray(p["pose"], jnp.float32),
+                )
+            )
+        pred = {
+            "classes": np.asarray(
+                [p["category_id"] for p in preds], np.int64
+            ),
+            "scores": np.asarray([p["score"] for p in preds], float),
+            "boxes2d": np.asarray(
+                [p["bbox2d"] for p in preds], float
+            ).reshape(n, 4),
+            "corners3d": corners,
+            "center": np.asarray(
+                [p["center_cam"] for p in preds], np.float32
+            ).reshape(n, 3),
+            "dims": np.asarray(
+                [p["dimensions"] for p in preds], np.float32
+            ).reshape(n, 3),
+            "pose": np.asarray(
+                [p["pose"] for p in preds], np.float32
+            ).reshape(n, 3, 3),
+        }
+        helper.add_image("geo", _record_gt(rec), pred)
+    res = helper.summarize_all()
+    print_ap_summary(res["overall"], title="OVMono3D-GEO")
+    return res
 
 
 def synthetic_scene(rng, num_boxes=3, H=192, W=256, f=300.0):
@@ -227,6 +282,10 @@ def main():
         with open(path, "wb") as fh:
             pickle.dump(preds_all, fh)
         logger.info("%s: %d images -> %s", name, len(preds_all), path)
+        if args.eval:
+            evaluate_geo_predictions(
+                records, preds_all, list(cfg.datasets.category_names)
+            )
 
 
 if __name__ == "__main__":
