@@ -144,4 +144,6 @@ def test_swin_shifted_window_partition_invariance():
         lambda p, x: model.apply(p, x, (12, 12))
     )(params, x))
     # Constant input -> output constant across positions (channels vary).
-    np.testing.assert_allclose(out, out[:, :1, :], atol=1e-4)
+    np.testing.assert_allclose(
+        out, np.broadcast_to(out[:, :1, :], out.shape), atol=1e-4
+    )
