@@ -136,14 +136,26 @@ def make_train_step(model: RCNN3D, tx: optax.GradientTransformation,
     return train_step
 
 
-def shard_train_step(train_step, mesh, donate: bool = True):
-    """jit the step with params replicated and batch sharded over `data`.
+def shard_train_step(train_step, mesh, donate: bool = True,
+                     infer_state_sharding: bool = False):
+    """jit the step with the batch sharded over `data`.
+
+    Default: params/state replicated (pure DP). With
+    `infer_state_sharding=True` the state's committed shardings are
+    respected — used for tensor-parallel params placed by
+    parallel.sharding_rules.apply_tp over the `model` axis.
 
     `donate=True` donates the input TrainState buffers (halves peak HBM);
     pass False when the caller keeps references to the old state (tests).
     """
-    repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    if infer_state_sharding:
+        return jax.jit(
+            train_step,
+            in_shardings=(None, data),
+            donate_argnums=(0,) if donate else (),
+        )
+    repl = NamedSharding(mesh, P())
     return jax.jit(
         train_step,
         in_shardings=(repl, data),
