@@ -51,7 +51,9 @@ def train(
 
         if hooks:
             for hook in hooks:
-                hook(step, state, metrics)
+                # hooks take (step, state, metrics, **kw); batch lets
+                # visualization hooks render training samples.
+                hook(step, state, metrics, batch=batch)
 
         since_ckpt = step - last_ckpt_step
         skipped_since = int(state.skipped) - last_ckpt_skipped

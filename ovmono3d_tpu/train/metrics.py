@@ -42,7 +42,7 @@ class MetricsWriter:
                 logger.warning("tensorboard writer unavailable: %s", e)
         self._last_flush = time.time()
 
-    def __call__(self, step: int, state, metrics: dict):
+    def __call__(self, step: int, state, metrics: dict, **_):
         scalars = {}
         for k, v in metrics.items():
             try:
@@ -88,7 +88,7 @@ class ProfilerHook:
         self.stop = start + count
         self._active = False
 
-    def __call__(self, step: int, state, metrics: dict):
+    def __call__(self, step: int, state, metrics: dict, **_):
         import jax
 
         if step == self.start and not self._active:
@@ -99,3 +99,65 @@ class ProfilerHook:
             jax.profiler.stop_trace()
             self._active = False
             logger.info("profiler trace written -> %s", self.dir)
+
+
+class TrainVisHook:
+    """Periodic training-sample visualization (the reference's
+    visualize_training TensorBoard panels, rcnn3d.py:119-250): every
+    `period` steps, render the first image of the batch with its GT 2D
+    boxes and projected GT 3D cuboids to a PNG under output_dir/vis."""
+
+    def __init__(self, output_dir: str | Path, period: int = 2320):
+        self.dir = Path(output_dir) / "vis"
+        self.period = max(period, 1)
+
+    def __call__(self, step: int, state, metrics: dict, batch=None):
+        if batch is None or step % self.period != 0:
+            return
+        import jax
+        import numpy as np
+
+        from ovmono3d_tpu.utils.util import imwrite_rgb
+        from ovmono3d_tpu.vis.draw import draw_boxes_2d, draw_cuboid_3d
+
+        b = jax.device_get({
+            k: batch[k] for k in
+            ("image", "K", "im_scale_ratio", "gt_boxes", "gt_classes",
+             "gt_boxes3d", "gt_poses", "gt_valid")
+            if k in batch
+        })
+        if "gt_boxes" not in b:
+            return
+        img = np.clip(np.asarray(b["image"][0]), 0, 255).astype(np.uint8)
+        valid = np.asarray(b["gt_valid"][0]).astype(bool)
+        fg = valid & (np.asarray(b["gt_classes"][0]) >= 0)
+        panel = draw_boxes_2d(
+            img, np.asarray(b["gt_boxes"][0])[fg],
+            labels=[str(c) for c in np.asarray(b["gt_classes"][0])[fg]],
+        )
+        # Project GT cuboids with the network-resolution K.
+        K_net = np.asarray(b["K"][0]) / float(b["im_scale_ratio"][0])
+        K_net[2, 2] = 1.0
+        from ovmono3d_tpu.utils.geometry import backproject, cuboid_corners
+        import jax.numpy as jnp
+
+        g3d = np.asarray(b["gt_boxes3d"][0])
+        poses = np.asarray(b["gt_poses"][0])
+        for i in np.where(fg)[0]:
+            u, v, z = g3d[i, :3]
+            center = np.asarray(
+                backproject(jnp.asarray(K_net),
+                            jnp.asarray([u, v]), jnp.asarray(z))
+            )
+            corners = np.asarray(
+                cuboid_corners(
+                    jnp.asarray(
+                        np.concatenate([center, g3d[i, 3:6]]), jnp.float32
+                    ),
+                    jnp.asarray(poses[i]),
+                )
+            )
+            panel = draw_cuboid_3d(panel, corners, K_net)
+        out = self.dir / f"train_{step:07d}.png"
+        imwrite_rgb(out, panel)
+        logger.info("train vis -> %s", out)

@@ -208,7 +208,16 @@ def main():
         datasets = {"synthetic": records}
         image_loader = None
     else:
-        fs = filter_settings_from_cfg(cfg)
+        import dataclasses as _dc
+
+        # Evaluation uses the TEST visibility/truncation thresholds for the
+        # GT ignore decision (reference TEST.VISIBILITY_THRES /
+        # TRUNCATION_THRES, config.py:222-223).
+        fs = _dc.replace(
+            filter_settings_from_cfg(cfg),
+            visibility_thres=cfg.test.visibility_thres,
+            truncation_thres=cfg.test.truncation_thres,
+        )
         cat_map = {n: i for i, n in enumerate(cfg.datasets.category_names)}
         mode = cfg.test.cat_mode
         names = (

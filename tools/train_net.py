@@ -175,9 +175,15 @@ def main():
     )
     sharded = (shard_batch(mesh, b) for b in data)
 
-    from ovmono3d_tpu.train.metrics import MetricsWriter, ProfilerHook
+    from ovmono3d_tpu.train.metrics import (
+        MetricsWriter,
+        ProfilerHook,
+        TrainVisHook,
+    )
 
     hooks = [MetricsWriter(cfg.output_dir, use_tensorboard=args.tensorboard)]
+    if cfg.vis_period > 0:
+        hooks.append(TrainVisHook(cfg.output_dir, period=cfg.vis_period))
     if args.profile:
         hooks.append(ProfilerHook(cfg.output_dir))
 
