@@ -39,6 +39,8 @@ class ImageEval:
     det_matched: np.ndarray     # [T, D] matched gt index or -1
     det_ignored: np.ndarray     # [T, D] bool (matched to ignore gt)
     num_gt: int                 # countable (non-ignore) gt
+    det_far: np.ndarray | None = None  # [D] bool: outside every GT's
+                                       # proximity (eval_prox mode)
     nhd: dict | None = None     # NHD values for matched pairs (3D mode)
 
 
@@ -112,11 +114,19 @@ class Omni3DEvaluator:
     """
 
     def __init__(self, num_classes: int, mode: str = "3D",
-                 class_names: list[str] | None = None):
+                 class_names: list[str] | None = None,
+                 eval_prox: bool = False, proximity_thresh: float = 0.3):
         assert mode in ("2D", "3D")
         self.mode = mode
         self.num_classes = num_classes
         self.class_names = class_names or [str(i) for i in range(num_classes)]
+        # "Proximity evaluation" for non-exhaustively annotated datasets
+        # (Omni3DParams.proximity_thresh; reference enables it for
+        # Objectron/SUNRGBD, omni3d_evaluation.py:263, 1459-1461):
+        # detections farther than proximity_thresh IoU from EVERY GT are
+        # ignored instead of counted as false positives.
+        self.eval_prox = eval_prox
+        self.proximity_thresh = proximity_thresh
         self.iou_thrs = IOU_THRS_3D if mode == "3D" else IOU_THRS_2D
         # evals[band][cat] -> list of ImageEval
         self.evals: dict[str, dict[int, list[ImageEval]]] = {
@@ -187,6 +197,13 @@ class Omni3DEvaluator:
                     np.asarray(gt["boxes2d"])[g_sel],
                 )
 
+            det_far = None
+            if self.eval_prox:
+                det_far = (
+                    iou.max(axis=1) < self.proximity_thresh
+                    if iou.shape[1]
+                    else np.ones(len(d_sel), bool)
+                )
             depths = np.asarray(gt.get("depths", np.zeros(len(g_classes))))
             for band, (lo, hi) in DEPTH_BANDS.items():
                 in_band = (depths[g_sel] >= lo) & (depths[g_sel] < hi)
@@ -200,6 +217,7 @@ class Omni3DEvaluator:
                         det_matched=matched,
                         det_ignored=ignored,
                         num_gt=int((~gt_ignore).sum()),
+                        det_far=det_far,
                     )
                 )
 
@@ -234,6 +252,11 @@ class Omni3DEvaluator:
             scores = np.concatenate([e.det_scores for e in evs])
             matched = np.concatenate([e.det_matched for e in evs], axis=1)
             ignored = np.concatenate([e.det_ignored for e in evs], axis=1)
+            far = np.concatenate([
+                e.det_far if e.det_far is not None
+                else np.zeros(len(e.det_scores), bool)
+                for e in evs
+            ])
             npig = sum(e.num_gt for e in evs)
             if npig == 0:
                 continue
@@ -241,8 +264,11 @@ class Omni3DEvaluator:
             order = np.argsort(-scores, kind="mergesort")
             matched = matched[:, order]
             ignored = ignored[:, order]
+            far = far[order]
             tps = (matched >= 0) & ~ignored
-            fps = (matched < 0)  # unmatched dets are FPs; ignored dropped
+            # Unmatched dets are FPs — except those matched to ignore gt or,
+            # in proximity mode, outside every GT's neighborhood.
+            fps = (matched < 0) & ~far[None, :]
             tp_cum = np.cumsum(tps, axis=1).astype(np.float64)
             fp_cum = np.cumsum(fps, axis=1).astype(np.float64)
             for t in range(T):

@@ -127,3 +127,18 @@ def test_hungarian_distance_permutation_invariant():
     perm = c[[1, 0, 3, 2, 5, 4, 7, 6]]
     d = hungarian_corner_distance(perm[None], c[None])
     np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+
+def test_proximity_eval_ignores_far_detections():
+    """eval_prox: detections far from every GT are ignored, not FPs
+    (Omni3D proximity evaluation for non-exhaustive datasets)."""
+    gt = _gt([(0, 0, 5)])
+    # One perfect TP + one far high-scoring det.
+    pred = _pred([(0, 0, 5), (50, 0, 5)], [0.5, 0.9])
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    ev.add_image(gt, pred)
+    np.testing.assert_allclose(ev.summarize()["AP3D"], 50.0, atol=0.1)
+
+    ev_prox = Omni3DEvaluator(num_classes=1, mode="3D", eval_prox=True)
+    ev_prox.add_image(gt, pred)
+    np.testing.assert_allclose(ev_prox.summarize()["AP3D"], 100.0, atol=1e-5)

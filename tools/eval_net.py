@@ -37,7 +37,7 @@ def parse_args():
 
 
 def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
-                     class_names, dump_path=None):
+                     class_names, dump_path=None, dataset_name=""):
     """Oracle-path inference over a record list -> summary dicts."""
     import jax
     import jax.numpy as jnp
@@ -46,8 +46,13 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
     from ovmono3d_tpu.evaluation.omni3d_eval import Omni3DEvaluator
     from ovmono3d_tpu.utils.geometry import cuboid_corners
 
-    ev3d = Omni3DEvaluator(cfg.model.num_classes, "3D", class_names)
-    ev2d = Omni3DEvaluator(cfg.model.num_classes, "2D", class_names)
+    # Proximity evaluation for non-exhaustively annotated datasets
+    # (reference omni3d_evaluation.py:263).
+    eval_prox = "Objectron" in dataset_name or "SUNRGBD" in dataset_name
+    ev3d = Omni3DEvaluator(cfg.model.num_classes, "3D", class_names,
+                           eval_prox=eval_prox)
+    ev2d = Omni3DEvaluator(cfg.model.num_classes, "2D", class_names,
+                           eval_prox=eval_prox)
 
     @jax.jit
     def run(params, batch):
@@ -242,6 +247,7 @@ def main():
             class_names,
             dump_path=(f"{args.dump_predictions}_{name}.json"
                        if args.dump_predictions else None),
+            dataset_name=name,
         )
         res = {**ev2d.summarize(), **ev3d.summarize()}
         all_results[name] = res
