@@ -78,7 +78,6 @@ def build_train_iterator(
         )
     weights = weights / weights.sum()
 
-    rng = np.random.RandomState(seed)
     out_q: queue.Queue = queue.Queue(maxsize=prefetch)
 
     def load_one(idx: int, map_rng):
@@ -88,10 +87,11 @@ def build_train_iterator(
             rec, cfg, image=image, is_train=True, max_gt=max_gt, rng=map_rng
         )
 
-    def producer():
-        local = np.random.RandomState(seed + 1)
+    def producer(tid: int):
+        # Per-thread RNG (np.random.RandomState is not thread-safe).
+        local = np.random.RandomState(seed + 1 + tid * 7919)
         while True:
-            idx = rng.choice(len(records), size=batch_size, p=weights)
+            idx = local.choice(len(records), size=batch_size, p=weights)
             examples = [
                 load_one(i, np.random.RandomState(local.randint(2**31)))
                 for i in idx
@@ -99,8 +99,8 @@ def build_train_iterator(
             out_q.put(_to_model_batch(batch_examples(examples)))
 
     threads = [
-        threading.Thread(target=producer, daemon=True)
-        for _ in range(num_threads)
+        threading.Thread(target=producer, args=(t,), daemon=True)
+        for t in range(num_threads)
     ]
     for t in threads:
         t.start()
