@@ -172,3 +172,20 @@ def test_map_example_oracle(tmp_path):
     np.testing.assert_allclose(
         ex.oracle_boxes[0], np.array([100, 100, 150, 180]) * scale, rtol=1e-5
     )
+
+
+def test_depth_plumbing(tmp_path):
+    """A per-record depth map flows through the mapper and batching into
+    the model's prompt-depth input."""
+    p = _fake_json(tmp_path)
+    fs = FilterSettings(category_names=("chair", "cup"))
+    recs = load_omni3d_json(p, fs, {"chair": 0, "cup": 1})
+    recs[0]["depth"] = np.full((48, 64), 2.5, np.float32)
+    cfg = Config()
+    ex = map_example(recs[0], cfg, is_train=True, max_gt=4,
+                     rng=np.random.RandomState(0))
+    dh, dw = cfg.input.depth_size[1], cfg.input.depth_size[0]
+    assert ex.depth.shape == (dh, dw, 1)
+    np.testing.assert_allclose(ex.depth, 2.5, atol=1e-5)
+    batch = batch_examples([ex, ex])
+    assert batch["depth"].shape == (2, dh, dw, 1)

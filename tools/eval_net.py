@@ -43,16 +43,20 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
     import jax.numpy as jnp
 
     from ovmono3d_tpu.data.build import build_test_iterator
+    from ovmono3d_tpu.evaluation.helper import Omni3DEvaluationHelper
     from ovmono3d_tpu.evaluation.omni3d_eval import Omni3DEvaluator
     from ovmono3d_tpu.utils.geometry import cuboid_corners
 
     # Proximity evaluation for non-exhaustively annotated datasets
     # (reference omni3d_evaluation.py:263).
     eval_prox = "Objectron" in dataset_name or "SUNRGBD" in dataset_name
+    helper = Omni3DEvaluationHelper(cfg.model.num_classes, class_names)
     ev3d = Omni3DEvaluator(cfg.model.num_classes, "3D", class_names,
                            eval_prox=eval_prox)
     ev2d = Omni3DEvaluator(cfg.model.num_classes, "2D", class_names,
                            eval_prox=eval_prox)
+    helper.ev3d[dataset_name or "dataset"] = ev3d
+    helper.ev2d[dataset_name or "dataset"] = ev2d
 
     @jax.jit
     def run(params, batch):
@@ -80,10 +84,13 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
                 "scores": det.scores[bi][valid],
                 "boxes2d": det.boxes[bi][valid],
                 "corners3d": det.corners3d[bi][valid],
+                "center": det.center_cam[bi][valid],
+                "dims": det.dimensions[bi][valid],
+                "pose": det.pose[bi][valid],
+                "center_2d": det.center_2d[bi][valid],
             }
             gt = _record_gt(rec)
-            ev3d.add_image(gt, pred)
-            ev2d.add_image(gt, pred)
+            helper.add_image(dataset_name or "dataset", gt, pred)
             if dump_path is not None:
                 b = det.boxes[bi][valid]
                 dumped.append({
@@ -115,7 +122,7 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
         Path(dump_path).parent.mkdir(parents=True, exist_ok=True)
         with open(dump_path, "w") as fh:
             json.dump(dumped, fh)
-    return ev2d, ev3d, n_done
+    return helper, ev2d, ev3d, n_done
 
 
 def _record_gt(rec):
@@ -125,6 +132,7 @@ def _record_gt(rec):
     import jax.numpy as jnp
 
     classes, boxes2d, corners, depths = [], [], [], []
+    centers, dims, poses = [], [], []
     for anno in rec.get("annotations", []):
         classes.append(anno["category_id"])
         boxes2d.append(anno["bbox2d"])
@@ -137,14 +145,24 @@ def _record_gt(rec):
                 np.asarray(cuboid_corners(jnp.asarray(box), jnp.asarray(pose)))
             )
             depths.append(anno["center_cam"][2])
+            centers.append(np.asarray(anno["center_cam"], np.float32))
+            dims.append(np.asarray(anno["dimensions"], np.float32))
+            poses.append(pose)
         else:
             corners.append(np.zeros((8, 3), np.float32))
             depths.append(0.0)
+            centers.append(np.zeros(3, np.float32))
+            dims.append(np.ones(3, np.float32))
+            poses.append(np.eye(3, dtype=np.float32))
+    n = len(classes)
     return {
         "classes": np.asarray(classes, np.int64),
         "boxes2d": np.asarray(boxes2d, np.float64).reshape(-1, 4),
         "corners3d": np.asarray(corners).reshape(-1, 8, 3),
         "depths": np.asarray(depths),
+        "center": np.asarray(centers, np.float32).reshape(n, 3),
+        "dims": np.asarray(dims, np.float32).reshape(n, 3),
+        "pose": np.asarray(poses, np.float32).reshape(n, 3, 3),
     }
 
 
@@ -242,14 +260,19 @@ def main():
     all_results = {}
     for name, records in datasets.items():
         logger.info("evaluating %s (%d images)", name, len(records))
-        ev2d, ev3d, n = evaluate_dataset(
+        helper, ev2d, ev3d, n = evaluate_dataset(
             cfg, model, params, records, image_loader, args.batch_size,
             class_names,
             dump_path=(f"{args.dump_predictions}_{name}.json"
                        if args.dump_predictions else None),
             dataset_name=name,
         )
-        res = {**ev2d.summarize(), **ev3d.summarize()}
+        summary = helper.summarize_all()
+        res = {
+            **ev2d.summarize(), **ev3d.summarize(),
+            **{k: v for k, v in summary.items()
+               if k.startswith(("NHD_disentangled", "mean_err"))},
+        }
         all_results[name] = res
         print_ap_summary(res, title=name)
         print_ap_per_category(ev3d.per_category_ap(),
