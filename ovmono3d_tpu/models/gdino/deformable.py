@@ -51,8 +51,14 @@ def deformable_attention_core(
 
 def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Bilinear sample v: [B, h, w, H, D] at per-head points
-    x/y: [B, Q, H, P] -> [B, Q, H, P, D], zero outside."""
+    x/y: [B, Q, H, P] -> [B, Q, H, P, D], zero outside.
+
+    The four corner taps are fused into ONE take_along_axis (indices
+    concatenated along the point axis) — a single large gather schedules far
+    better on TPU than four small ones.
+    """
     B, h, w, H, D = v.shape
+    Q, P = x.shape[1], x.shape[3]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     lx = x - x0
@@ -60,33 +66,28 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def tap(xi, yi):
-        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xc = jnp.clip(xi, 0, w - 1)
-        yc = jnp.clip(yi, 0, h - 1)
-        flat = v.reshape(B, h * w, H, D)
-        idx = yc * w + xc                           # [B, Q, H, P]
-        # Gather per batch & head: build [B, QP, H] index and take along S.
-        Bq = idx.shape[1] * idx.shape[3]
-        idx2 = idx.transpose(0, 2, 1, 3).reshape(B, H, -1)   # [B, H, Q*P]
-        flat2 = flat.transpose(0, 2, 1, 3)                   # [B, H, S, D]
-        g = jnp.take_along_axis(
-            flat2, idx2[..., None].astype(jnp.int32), axis=2
-        )                                                     # [B, H, Q*P, D]
-        g = g.reshape(B, H, idx.shape[1], idx.shape[3], D).transpose(
-            0, 2, 1, 3, 4
-        )                                                     # [B, Q, H, P, D]
-        return jnp.where(inb[..., None], g, 0.0)
+    # Corner coordinates stacked on a new leading axis: [4, B, Q, H, P].
+    xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1])
+    ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1])
+    inb = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    idx = jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1)
 
-    g00 = tap(x0i, y0i)
-    g01 = tap(x0i + 1, y0i)
-    g10 = tap(x0i, y0i + 1)
-    g11 = tap(x0i + 1, y0i + 1)
-    w00 = ((1 - lx) * (1 - ly))[..., None]
-    w01 = (lx * (1 - ly))[..., None]
-    w10 = ((1 - lx) * ly)[..., None]
-    w11 = (lx * ly)[..., None]
-    return g00 * w00 + g01 * w01 + g10 * w10 + g11 * w11
+    flat = v.reshape(B, h * w, H, D).transpose(0, 2, 1, 3)   # [B, H, S, D]
+    # [4, B, Q, H, P] -> [B, H, 4*Q*P]
+    idx2 = idx.transpose(1, 3, 0, 2, 4).reshape(B, H, 4 * Q * P)
+    g = jnp.take_along_axis(flat, idx2[..., None], axis=2)   # [B,H,4QP,D]
+    g = g.reshape(B, H, 4, Q, P, D).transpose(2, 0, 3, 1, 4, 5)
+    g = jnp.where(inb[..., None], g, 0.0)                    # [4,B,Q,H,P,D]
+
+    weights = jnp.stack(
+        [
+            (1 - lx) * (1 - ly),
+            lx * (1 - ly),
+            (1 - lx) * ly,
+            lx * ly,
+        ]
+    )[..., None]                                              # [4,B,Q,H,P,1]
+    return jnp.sum(g * weights, axis=0)
 
 
 def make_reference_points(

@@ -53,6 +53,8 @@ class GroundingDINO(nn.Module):
     swin_heads: tuple = (4, 8, 16, 32)
     swin_window: int = 12
     bert_layers: int = 12
+    # Heavy enhancer/decoder matmuls run bf16 (f32 layernorms/heads).
+    compute_dtype: Dtype = jnp.bfloat16
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -85,17 +87,20 @@ class GroundingDINO(nn.Module):
             (self.num_levels, self.hidden_dim), jnp.float32,
         )
         self.fusion_layers = [
-            BiAttentionBlock(self.hidden_dim, name=f"fusion{i}")
+            BiAttentionBlock(self.hidden_dim, dtype=self.compute_dtype,
+                             name=f"fusion{i}")
             for i in range(self.enc_layers)
         ]
         self.text_layers = [
-            TextEnhancerLayer(self.hidden_dim, name=f"text_enh{i}")
+            TextEnhancerLayer(self.hidden_dim, dtype=self.compute_dtype,
+                              name=f"text_enh{i}")
             for i in range(self.enc_layers)
         ]
         self.image_layers = [
             DeformableLayer(
                 self.hidden_dim, self.nheads, self.enc_points,
-                self.num_levels, self.ffn_dim, name=f"img_enc{i}",
+                self.num_levels, self.ffn_dim, dtype=self.compute_dtype,
+                name=f"img_enc{i}",
             )
             for i in range(self.enc_layers)
         ]
@@ -113,7 +118,8 @@ class GroundingDINO(nn.Module):
         self.decoder_layers = [
             DecoderLayer(
                 self.hidden_dim, self.nheads, self.dec_points,
-                self.num_levels, self.ffn_dim, name=f"dec{i}",
+                self.num_levels, self.ffn_dim, dtype=self.compute_dtype,
+                name=f"dec{i}",
             )
             for i in range(self.dec_layers)
         ]
