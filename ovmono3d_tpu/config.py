@@ -80,6 +80,8 @@ class ROIBoxConfig:
 
 @dataclass(frozen=True)
 class CubeHeadConfig:
+    num_conv: int = 0     # conv stack before the FCs (NUM_CONV/CONV_DIM)
+    conv_dim: int = 256
     num_fc: int = 2
     fc_dim: int = 1024
     shared_fc: bool = True

@@ -91,6 +91,8 @@ class CubeHead(nn.Module):
     """
 
     num_classes: int
+    num_conv: int = 0
+    conv_dim: int = 256
     num_fc: int = 2
     fc_dim: int = 1024
     shared_fc: bool = True
@@ -107,7 +109,15 @@ class CubeHead(nn.Module):
 
     @nn.compact
     def __call__(self, pooled: jax.Array):
-        x = pooled.reshape(pooled.shape[0], -1)
+        # Optional conv stack over the pooled grid before flattening
+        # (cube_head.py NUM_CONV/CONV_DIM; reference default 0).
+        x = pooled
+        for i in range(self.num_conv):
+            x = nn.relu(
+                nn.Conv(self.conv_dim, (3, 3), padding=1,
+                        name=f"conv{i + 1}")(x)
+            )
+        x = x.reshape(x.shape[0], -1)
         n = x.shape[0]
         mult = self.num_classes if self.dims_priors_enabled else 1
         bins = max(self.cluster_bins, 1)

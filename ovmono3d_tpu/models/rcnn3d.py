@@ -592,6 +592,8 @@ class RCNN3D(nn.Module):
         cube = self.cfg.cube
         self.cube_head = CubeHead(
             num_classes=self.cfg.num_classes,
+            num_conv=cube.num_conv,
+            conv_dim=cube.conv_dim,
             num_fc=cube.num_fc,
             fc_dim=cube.fc_dim,
             shared_fc=cube.shared_fc,

@@ -302,3 +302,16 @@ def test_non_disentangled_losses(model_and_params):
         assert np.isfinite(float(v)), k
     # so3 pose loss = 1 - cos in [0, 2].
     assert 0.0 <= float(losses["cube/loss_pose"]) <= 2.0
+
+
+def test_cube_head_conv_stack():
+    """NUM_CONV>0 conv stack before the FCs (cube_head.py config surface)."""
+    from ovmono3d_tpu.models.heads import CubeHead
+
+    head = CubeHead(num_classes=5, num_conv=2, conv_dim=16, fc_dim=32)
+    pooled = jax.random.normal(jax.random.PRNGKey(0), (4, 7, 7, 8))
+    params = jax.jit(head.init)(jax.random.PRNGKey(1), pooled)
+    assert "conv1" in params["params"] and "conv2" in params["params"]
+    out = jax.jit(head.apply)(params, pooled)
+    assert out["dims"].shape == (4, 3)
+    assert np.all(np.isfinite(np.asarray(out["pose"])))
