@@ -75,12 +75,25 @@ def _sgd(lr_schedule, momentum, weight_decay):
 
 
 def _adam_like(kind, lr_schedule, weight_decay):
+    """adam | adam+amsgrad | adamw | adamw+amsgrad (SOLVER.TYPE values,
+    solver/build.py:49-66)."""
+    amsgrad = kind.endswith("+amsgrad")
     if kind.startswith("adamw"):
-        return optax.adamw(lr_schedule, weight_decay=weight_decay)
+        inner = (
+            optax.chain(optax.amsgrad(lr_schedule),)
+            if amsgrad else optax.adamw(lr_schedule,
+                                        weight_decay=weight_decay)
+        )
+        if amsgrad and weight_decay:
+            inner = optax.chain(
+                optax.add_decayed_weights(weight_decay), inner
+            )
+        return inner
+    base = optax.amsgrad(lr_schedule) if amsgrad else optax.adam(lr_schedule)
     return optax.chain(
         optax.add_decayed_weights(weight_decay) if weight_decay else
         optax.identity(),
-        optax.adam(lr_schedule),
+        base,
     )
 
 

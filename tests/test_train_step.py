@@ -121,3 +121,20 @@ def test_skip_on_nonfinite_batch(setup):
         jax.tree.leaves(params), jax.tree.leaves(state1.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_optimizer_types():
+    import jax.numpy as jnp
+
+    from ovmono3d_tpu.config import SolverConfig
+    from ovmono3d_tpu.train.optim import build_optimizer
+
+    params = {"params": {"dense": {"kernel": jnp.ones((4, 4)),
+                                   "bias": jnp.zeros(4)}}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    for kind in ("sgd", "adam", "adamw", "adam+amsgrad", "adamw+amsgrad"):
+        tx = build_optimizer(SolverConfig(type=kind, warmup_iters=0), params)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        for u in jax.tree.leaves(updates):
+            assert np.all(np.isfinite(np.asarray(u))), kind
