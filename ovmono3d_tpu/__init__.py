@@ -18,3 +18,19 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+# Restore standard JAX_PLATFORMS env-var semantics: the container's
+# sitecustomize (axon TPU tunnel registration) force-sets
+# jax_platforms="axon,cpu" via config, which overrides the env var. Honoring
+# the env var again lets the CLIs run CPU smoke tests with JAX_PLATFORMS=cpu
+# (tests/conftest.py does its own pinning).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized: keep whatever the caller chose
+del _os

@@ -1,10 +1,12 @@
-"""Multi-dataset evaluation aggregation + disentangled NHD.
+"""Multi-dataset evaluation aggregation + novel-split rollups.
 
 Re-design of Omni3DEvaluationHelper (omni3d_evaluation.py:193-624): per
 dataset, 2D + 3D evaluators accumulate; `summarize_all` re-accumulates the
 concatenated per-(category, depth-band) image evals across datasets (the
 reference's evals_per_cat_area caching), produces Omni3D rollups, the fixed
-novel easy/hard category split (L602-613), and mean + disentangled NHD.
+novel easy/hard category split (L602-613), and mean + disentangled NHD
+(computed by the evaluators on IoU-matched pairs,
+omni3d_evaluation.py:2370-2426).
 """
 from __future__ import annotations
 
@@ -12,8 +14,7 @@ import numpy as np
 
 from ovmono3d_tpu.evaluation.omni3d_eval import (
     Omni3DEvaluator,
-    corners_diag,
-    hungarian_corner_distance,
+    disentangled_nhd,  # noqa: F401  (re-export; historical import site)
 )
 
 # The reference's fixed split over the 22 novel categories
@@ -22,51 +23,6 @@ EASY_NOVEL_CATEGORIES = frozenset(
     {"board", "printer", "painting", "microwave", "tray", "podium", "cart",
      "tram"}
 )
-
-
-def disentangled_nhd(pred: dict, gt: dict) -> dict[str, np.ndarray]:
-    """Per-pair disentangled NHDs (omni3d_evaluation.py:2250-2290).
-
-    pred/gt: dicts with center [N, 3], dims [N, 3] (w,h,l), pose [N, 3, 3].
-    For each component, build the cuboid from GT with ONLY that component
-    replaced by the prediction, then Hungarian-corner distance / GT diagonal.
-    """
-    import jax.numpy as jnp
-
-    from ovmono3d_tpu.utils.geometry import cuboid_corners
-
-    def corners(center, dims, pose):
-        box = np.concatenate([center, dims], axis=-1)
-        return np.asarray(
-            cuboid_corners(jnp.asarray(box, jnp.float32),
-                           jnp.asarray(pose, jnp.float32))
-        )
-
-    gt_corners = corners(gt["center"], gt["dims"], gt["pose"])
-    diag = np.maximum(corners_diag(gt_corners), 1e-8)
-
-    out = {}
-    # xy: predicted x/y at GT depth.
-    c_xy = np.concatenate(
-        [pred["center"][:, :2], gt["center"][:, 2:3]], axis=1
-    )
-    out["xy"] = hungarian_corner_distance(
-        corners(c_xy, gt["dims"], gt["pose"]), gt_corners
-    ) / diag
-    # z: predicted depth at GT x/y.
-    c_z = np.concatenate(
-        [gt["center"][:, :2], pred["center"][:, 2:3]], axis=1
-    )
-    out["z"] = hungarian_corner_distance(
-        corners(c_z, gt["dims"], gt["pose"]), gt_corners
-    ) / diag
-    out["dims"] = hungarian_corner_distance(
-        corners(gt["center"], pred["dims"], gt["pose"]), gt_corners
-    ) / diag
-    out["pose"] = hungarian_corner_distance(
-        corners(gt["center"], gt["dims"], pred["pose"]), gt_corners
-    ) / diag
-    return out
 
 
 class Omni3DEvaluationHelper:
@@ -81,59 +37,24 @@ class Omni3DEvaluationHelper:
         self.novel_categories = set(novel_categories or [])
         self.ev2d: dict[str, Omni3DEvaluator] = {}
         self.ev3d: dict[str, Omni3DEvaluator] = {}
-        self._nhd_dis: dict[str, list] = {
-            "xy": [], "z": [], "dims": [], "pose": []
-        }
-        # Mean prediction errors (reference vis.py:289-294 log line).
-        self._errors: dict[str, list] = {
-            "xy_px": [], "z_m": [], "whl_m": [], "ry_rad": []
-        }
 
-    def evaluator(self, dataset: str, mode: str) -> Omni3DEvaluator:
+    def evaluator(self, dataset: str, mode: str,
+                  eval_prox: bool = False) -> Omni3DEvaluator:
+        """Get-or-create the per-dataset evaluator. `eval_prox` applies on
+        creation only (proximity evaluation for non-exhaustively annotated
+        datasets, reference omni3d_evaluation.py:263)."""
         store = self.ev2d if mode == "2D" else self.ev3d
         if dataset not in store:
             store[dataset] = Omni3DEvaluator(
-                self.num_classes, mode, self.class_names
+                self.num_classes, mode, self.class_names,
+                eval_prox=eval_prox,
             )
         return store[dataset]
 
-    def add_image(self, dataset: str, gt: dict, pred: dict):
-        self.evaluator(dataset, "2D").add_image(gt, pred)
-        self.evaluator(dataset, "3D").add_image(gt, pred)
-        # Disentangled NHD + error stats on index-aligned pairs when the 3D
-        # components are present (exact for the oracle protocol, where
-        # prediction order mirrors the GT/oracle boxes).
-        if all(
-            k in pred for k in ("center", "dims", "pose")
-        ) and all(k in gt for k in ("center", "dims", "pose")):
-            n = min(len(pred["center"]), len(gt["center"]))
-            if n > 0:
-                p = {k: np.asarray(pred[k])[:n] for k in
-                     ("center", "dims", "pose")}
-                g = {k: np.asarray(gt[k])[:n] for k in
-                     ("center", "dims", "pose")}
-                dis = disentangled_nhd(p, g)
-                for k, v in dis.items():
-                    self._nhd_dis[k].extend(v.tolist())
-                # Mean errors (xy in px needs boxes2d-space centers: use the
-                # 2D projections when provided, else skip xy).
-                if "center_2d" in pred and "center_2d" in gt:
-                    dxy = np.linalg.norm(
-                        np.asarray(pred["center_2d"])[:n]
-                        - np.asarray(gt["center_2d"])[:n], axis=-1,
-                    )
-                    self._errors["xy_px"].extend(dxy.tolist())
-                self._errors["z_m"].extend(
-                    np.abs(p["center"][:, 2] - g["center"][:, 2]).tolist()
-                )
-                self._errors["whl_m"].extend(
-                    np.abs(p["dims"] - g["dims"]).mean(-1).tolist()
-                )
-                rel = np.einsum("nij,nkj->nik", p["pose"], g["pose"])
-                tr = np.clip(
-                    (np.trace(rel, axis1=1, axis2=2) - 1) / 2, -1, 1
-                )
-                self._errors["ry_rad"].extend(np.arccos(tr).tolist())
+    def add_image(self, dataset: str, gt: dict, pred: dict,
+                  eval_prox: bool = False):
+        self.evaluator(dataset, "2D", eval_prox).add_image(gt, pred)
+        self.evaluator(dataset, "3D", eval_prox).add_image(gt, pred)
 
     def summarize_dataset(self, dataset: str) -> dict[str, float]:
         out = {}
@@ -154,6 +75,10 @@ class Omni3DEvaluationHelper:
                     merged.evals[band][c].extend(ev.evals[band][c])
             if mode == "3D":
                 merged._nhd_values.extend(ev._nhd_values)
+                for k in merged._nhd_dis:
+                    merged._nhd_dis[k].extend(ev._nhd_dis[k])
+                for k in merged._errors:
+                    merged._errors[k].extend(ev._errors[k])
         return merged
 
     def summarize_all(self) -> dict[str, object]:
@@ -167,6 +92,17 @@ class Omni3DEvaluationHelper:
         out["overall"] = overall
         per_cat = merged3d.per_category_ap()
         out["per_category_AP3D"] = per_cat
+
+        # Omni3D In/Out rollups over the indoor/outdoor category universes
+        # (reference omni3d_evaluation.py:427-620 analysis tables).
+        from ovmono3d_tpu.data.builtin import get_omni3d_categories
+
+        for roll, key in (("omni3d_in", "AP3D_omni_in"),
+                          ("omni3d_out", "AP3D_omni_out")):
+            cats = get_omni3d_categories(roll)
+            sel = {c: ap for c, ap in per_cat.items() if c in cats}
+            if sel:
+                out[key] = float(np.mean(list(sel.values())))
 
         # Novel easy/hard split (fixed category lists, L602-613).
         if self.novel_categories:
@@ -184,10 +120,10 @@ class Omni3DEvaluationHelper:
             if hard:
                 out["novel_hard_AP3D"] = float(np.mean(list(hard.values())))
 
-        for k, vals in self._nhd_dis.items():
+        for k, vals in merged3d._nhd_dis.items():
             if vals:
                 out[f"NHD_disentangled_{k}"] = float(np.mean(vals))
-        for k, vals in self._errors.items():
+        for k, vals in merged3d._errors.items():
             if vals:
                 out[f"mean_err_{k}"] = float(np.mean(vals))
         return out

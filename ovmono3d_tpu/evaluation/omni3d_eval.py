@@ -51,32 +51,56 @@ def _greedy_match(
 ) -> tuple[np.ndarray, np.ndarray]:
     """COCOeval evaluateImg greedy matching for every threshold.
 
+    Vectorized over thresholds: per detection, the candidate-gt scan keeps
+    [T]-wide running state (best IoU / best gt / gt-used bookkeeping per
+    threshold), so the Python work is O(D x candidates) instead of the naive
+    O(T x D x G) triple loop (reference semantics:
+    omni3d_evaluation.py:1467-1688, COCOeval.evaluateImg).
+
+    Scan rules (identical to the scalar version, golden-tested for parity):
+      - ignore gts stay matchable after being used; real gts are consumed
+      - a det never switches from a real-gt match to an ignore-gt match
+      - equal IoU prefers the later gt (>= comparison)
+
     Returns (matched [T, D] gt idx or -1, ignored [T, D]).
     """
     D, G = iou.shape
     T = len(thresholds)
     matched = -np.ones((T, D), np.int64)
     ignored = np.zeros((T, D), bool)
-    for ti, thr in enumerate(thresholds):
-        gt_used = np.zeros(G, bool)
-        for d in range(D):
-            best_iou = min(thr, 1 - 1e-10)
-            best_g = -1
-            for g in range(G):
-                if gt_used[g] and not gt_ignore[g]:
-                    continue
-                if iou[d, g] < best_iou:
-                    continue
-                # Prefer real gt: once matched to a real gt, never switch to
-                # an ignore gt (COCOeval rule).
-                if best_g > -1 and gt_ignore[g] and not gt_ignore[best_g]:
-                    continue
-                best_iou = iou[d, g]
-                best_g = g
-            if best_g >= 0:
-                gt_used[best_g] = True
-                matched[ti, d] = best_g
-                ignored[ti, d] = gt_ignore[best_g]
+    if D == 0 or G == 0:
+        return matched, ignored
+    base = np.minimum(thresholds.astype(np.float64), 1 - 1e-10)
+    min_thr = base.min()
+    gt_used = np.zeros((T, G), bool)
+    t_idx = np.arange(T)
+    for d in range(D):
+        iou_d = iou[d]
+        cand = np.nonzero(iou_d >= min_thr)[0]
+        if cand.size == 0:
+            continue
+        best_iou = base.copy()                  # [T]
+        best_g = np.full(T, -1, np.int64)
+        best_ign = np.zeros(T, bool)
+        for g in cand:
+            v = iou_d[g]
+            ok = v >= best_iou
+            if gt_ignore[g]:
+                # Never switch from a real-gt match to an ignore gt.
+                ok &= ~((best_g >= 0) & ~best_ign)
+            else:
+                ok &= ~gt_used[:, g]
+            if not ok.any():
+                continue
+            best_iou = np.where(ok, v, best_iou)
+            best_g = np.where(ok, g, best_g)
+            best_ign = np.where(ok, gt_ignore[g], best_ign)
+        sel = best_g >= 0
+        if sel.any():
+            matched[sel, d] = best_g[sel]
+            ignored[sel, d] = best_ign[sel]
+            real = sel & ~best_ign
+            gt_used[t_idx[real], best_g[real]] = True
     return matched, ignored
 
 
@@ -101,6 +125,52 @@ def hungarian_corner_distance(
         )
         r, c = linear_sum_assignment(cost)
         out[i] = cost[r, c].mean()
+    return out
+
+
+def disentangled_nhd(pred: dict, gt: dict) -> dict[str, np.ndarray]:
+    """Per-pair disentangled NHDs (omni3d_evaluation.py:2250-2290).
+
+    pred/gt: dicts with center [N, 3], dims [N, 3] (w,h,l), pose [N, 3, 3],
+    index-aligned matched pairs. For each component, build the cuboid from GT
+    with ONLY that component replaced by the prediction, then
+    Hungarian-corner distance / GT diagonal.
+    """
+    import jax.numpy as jnp
+
+    from ovmono3d_tpu.utils.geometry import cuboid_corners
+
+    def corners(center, dims, pose):
+        box = np.concatenate([center, dims], axis=-1)
+        return np.asarray(
+            cuboid_corners(jnp.asarray(box, jnp.float32),
+                           jnp.asarray(pose, jnp.float32))
+        )
+
+    gt_corners = corners(gt["center"], gt["dims"], gt["pose"])
+    diag = np.maximum(corners_diag(gt_corners), 1e-8)
+
+    out = {}
+    # xy: predicted x/y at GT depth.
+    c_xy = np.concatenate(
+        [pred["center"][:, :2], gt["center"][:, 2:3]], axis=1
+    )
+    out["xy"] = hungarian_corner_distance(
+        corners(c_xy, gt["dims"], gt["pose"]), gt_corners
+    ) / diag
+    # z: predicted depth at GT x/y.
+    c_z = np.concatenate(
+        [gt["center"][:, :2], pred["center"][:, 2:3]], axis=1
+    )
+    out["z"] = hungarian_corner_distance(
+        corners(c_z, gt["dims"], gt["pose"]), gt_corners
+    ) / diag
+    out["dims"] = hungarian_corner_distance(
+        corners(gt["center"], pred["dims"], gt["pose"]), gt_corners
+    ) / diag
+    out["pose"] = hungarian_corner_distance(
+        corners(gt["center"], gt["dims"], pred["pose"]), gt_corners
+    ) / diag
     return out
 
 
@@ -135,6 +205,11 @@ class Omni3DEvaluator:
         self._nhd_values: list[float] = []
         self._nhd_dis: dict[str, list[float]] = {
             "xy": [], "z": [], "dims": [], "pose": []
+        }
+        # Mean prediction errors over matched pairs
+        # (reference vis.py:289-294 log line).
+        self._errors: dict[str, list[float]] = {
+            "xy_px": [], "z_m": [], "whl_m": [], "ry_rad": []
         }
 
     # -- IoU backends -------------------------------------------------------
@@ -235,6 +310,38 @@ class Omni3DEvaluator:
                         corners_diag(gc), 1e-8
                     )
                     self._nhd_values.extend(nhd.tolist())
+                    self._matched_pair_metrics(
+                        pred, gt, d_sel[ok], g_sel[m[ok]]
+                    )
+
+    def _matched_pair_metrics(self, pred, gt, d_idx, g_idx):
+        """Disentangled NHD + mean prediction errors over the SAME IoU-matched
+        pairs the plain NHD uses (reference computes NHD on matched pairs
+        inside the evaluator, omni3d_evaluation.py:2370-2426; the error line
+        is vis.py:289-294). Correct for RPN/GDINO predictions, not just the
+        index-aligned oracle protocol."""
+        keys = ("center", "dims", "pose")
+        if not (all(k in pred for k in keys) and all(k in gt for k in keys)):
+            return
+        p = {k: np.asarray(pred[k], np.float64)[d_idx] for k in keys}
+        g = {k: np.asarray(gt[k], np.float64)[g_idx] for k in keys}
+        for k, v in disentangled_nhd(p, g).items():
+            self._nhd_dis[k].extend(v.tolist())
+        if "center_2d" in pred and "center_2d" in gt:
+            dxy = np.linalg.norm(
+                np.asarray(pred["center_2d"])[d_idx]
+                - np.asarray(gt["center_2d"])[g_idx], axis=-1,
+            )
+            self._errors["xy_px"].extend(dxy.tolist())
+        self._errors["z_m"].extend(
+            np.abs(p["center"][:, 2] - g["center"][:, 2]).tolist()
+        )
+        self._errors["whl_m"].extend(
+            np.abs(p["dims"] - g["dims"]).mean(-1).tolist()
+        )
+        rel = np.einsum("nij,nkj->nik", p["pose"], g["pose"])
+        tr = np.clip((np.trace(rel, axis1=1, axis2=2) - 1) / 2, -1, 1)
+        self._errors["ry_rad"].extend(np.arccos(tr).tolist())
 
     # -- summarization -------------------------------------------------------
 
@@ -271,20 +378,21 @@ class Omni3DEvaluator:
             fps = (matched < 0) & ~far[None, :]
             tp_cum = np.cumsum(tps, axis=1).astype(np.float64)
             fp_cum = np.cumsum(fps, axis=1).astype(np.float64)
+            nd = tp_cum.shape[1]
+            if nd == 0:
+                recall[:, c] = 0
+                precision[:, :, c] = 0
+                continue
+            rc = tp_cum / npig                                      # [T, N]
+            pr = tp_cum / np.maximum(tp_cum + fp_cum, np.spacing(1))
+            recall[:, c] = rc[:, -1]
+            # Monotone precision envelope (reversed running max).
+            pr = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
             for t in range(T):
-                tp, fp = tp_cum[t], fp_cum[t]
-                nd = len(tp)
-                rc = tp / npig
-                pr = tp / np.maximum(tp + fp, np.spacing(1))
-                recall[t, c] = rc[-1] if nd else 0
-                # Monotone precision envelope.
-                for i in range(nd - 1, 0, -1):
-                    pr[i - 1] = max(pr[i - 1], pr[i])
-                inds = np.searchsorted(rc, REC_THRS, side="left")
+                inds = np.searchsorted(rc[t], REC_THRS, side="left")
+                valid = inds < nd
                 q = np.zeros(len(REC_THRS))
-                for ri, pi in enumerate(inds):
-                    if pi < nd:
-                        q[ri] = pr[pi]
+                q[valid] = pr[t, inds[valid]]
                 precision[t, :, c] = q
         return precision, recall, ap_valid
 

@@ -29,6 +29,7 @@ def train(
     data_iter: Iterator,
     checkpointer: SingleCheckpointer | None = None,
     hooks: list[Callable] | None = None,
+    eval_fn: Callable | None = None,
 ):
     """Run up to cfg.solver.max_iter steps with restart-on-divergence.
 
@@ -36,10 +37,13 @@ def train(
     Restart semantics (train_net.py:296-325): if skipped-update fraction
     since the last checkpoint >= cfg.model.stabilize after at least half a
     checkpoint period, reload `model_recent` and retry (bounded attempts).
+    `eval_fn(state) -> dict` runs every cfg.test.eval_period steps (periodic
+    in-train evaluation, reference train_net.py:329-339).
     """
     solver = cfg.solver
     attempts = 0
     period = max(solver.checkpoint_period, 1)
+    eval_period = getattr(cfg.test, "eval_period", 0)
     last_ckpt_step = int(state.step)
     last_ckpt_skipped = int(state.skipped)
 
@@ -75,6 +79,14 @@ def train(
             last_ckpt_step = int(state.step)
             last_ckpt_skipped = int(state.skipped)
             continue
+
+        if eval_fn is not None and eval_period > 0 and step % eval_period == 0:
+            results = eval_fn(state)
+            logger.info(
+                "in-train eval @ iter %d: %s", step,
+                {k: round(float(v), 2) for k, v in results.items()
+                 if isinstance(v, (int, float))},
+            )
 
         if checkpointer is not None and step % period == 0:
             checkpointer.save(jax.device_get(state))

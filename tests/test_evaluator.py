@@ -142,3 +142,88 @@ def test_proximity_eval_ignores_far_detections():
     ev_prox = Omni3DEvaluator(num_classes=1, mode="3D", eval_prox=True)
     ev_prox.add_image(gt, pred)
     np.testing.assert_allclose(ev_prox.summarize()["AP3D"], 100.0, atol=1e-5)
+
+
+def _greedy_match_scalar(iou, gt_ignore, thresholds):
+    """Pre-vectorization scalar matcher: the parity reference."""
+    D, G = iou.shape
+    T = len(thresholds)
+    matched = -np.ones((T, D), np.int64)
+    ignored = np.zeros((T, D), bool)
+    for ti, thr in enumerate(thresholds):
+        gt_used = np.zeros(G, bool)
+        for d in range(D):
+            best_iou = min(thr, 1 - 1e-10)
+            best_g = -1
+            for g in range(G):
+                if gt_used[g] and not gt_ignore[g]:
+                    continue
+                if iou[d, g] < best_iou:
+                    continue
+                if best_g > -1 and gt_ignore[g] and not gt_ignore[best_g]:
+                    continue
+                best_iou = iou[d, g]
+                best_g = g
+            if best_g >= 0:
+                gt_used[best_g] = True
+                matched[ti, d] = best_g
+                ignored[ti, d] = gt_ignore[best_g]
+    return matched, ignored
+
+
+def test_greedy_match_parity_with_scalar_reference():
+    from ovmono3d_tpu.evaluation.omni3d_eval import _greedy_match
+
+    rng = np.random.RandomState(0)
+    thresholds = np.round(np.arange(0.05, 0.501, 0.05), 2)
+    for trial in range(200):
+        D = rng.randint(0, 8)
+        G = rng.randint(0, 8)
+        # Quantized IoUs force frequent exact ties.
+        iou = np.round(rng.rand(D, G), 1)
+        gt_ignore = rng.rand(G) < 0.3
+        m1, i1 = _greedy_match(iou, gt_ignore, thresholds)
+        m2, i2 = _greedy_match_scalar(iou, gt_ignore, thresholds)
+        np.testing.assert_array_equal(m1, m2, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(i1, i2, err_msg=f"trial {trial}")
+
+
+def test_greedy_match_throughput():
+    """10k-image-scale matching completes in seconds (VERDICT weak #6)."""
+    import time
+
+    from ovmono3d_tpu.evaluation.omni3d_eval import _greedy_match
+
+    rng = np.random.RandomState(1)
+    thresholds = np.round(np.arange(0.05, 0.501, 0.05), 2)
+    t0 = time.time()
+    for _ in range(2000):  # ~10k images x 4 bands / 2 modes, 20 dets each
+        iou = rng.rand(20, 6)
+        gt_ignore = rng.rand(6) < 0.2
+        _greedy_match(iou, gt_ignore, thresholds)
+    assert time.time() - t0 < 20.0
+
+
+def test_matched_pair_metrics_shuffle_invariant():
+    """Disentangled NHD computed on IoU-matched pairs: shuffling prediction
+    order must not change it (VERDICT weak #7)."""
+    boxes = [(0, 0, 5), (3, 0, 5), (0, 2, 8)]
+    gt = _gt(boxes)
+    gt["center"] = np.array([b[:3] for b in boxes], float)
+    gt["dims"] = np.ones((3, 3))
+    gt["pose"] = np.tile(np.eye(3), (3, 1, 1))
+
+    pb = [(0.1, 0, 5.5), (3, 0.1, 5.2), (0, 2, 8.4)]
+    results = []
+    for order in ([0, 1, 2], [2, 0, 1]):
+        pred = _pred([pb[i] for i in order], [0.9, 0.8, 0.7])
+        pred["center"] = np.array([pb[i][:3] for i in order], float)
+        pred["dims"] = np.ones((3, 3))
+        pred["pose"] = np.tile(np.eye(3), (3, 1, 1))
+        ev = Omni3DEvaluator(num_classes=1, mode="3D")
+        ev.add_image(gt, pred)
+        results.append({k: sorted(v) for k, v in ev._nhd_dis.items()})
+        assert len(ev._errors["z_m"]) == 3
+    for k in results[0]:
+        np.testing.assert_allclose(results[0][k], results[1][k], atol=1e-9,
+                                   err_msg=k)

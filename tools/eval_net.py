@@ -37,26 +37,18 @@ def parse_args():
 
 
 def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
-                     class_names, dump_path=None, dataset_name=""):
-    """Oracle-path inference over a record list -> summary dicts."""
+                     helper, dataset_name, dump_path=None):
+    """Oracle-path inference over a record list, accumulated into the SHARED
+    multi-dataset `helper` (reference do_test accumulates every test dataset
+    into one Omni3DEvaluationHelper, omni3d_evaluation.py:427-620)."""
     import jax
     import jax.numpy as jnp
 
     from ovmono3d_tpu.data.build import build_test_iterator
-    from ovmono3d_tpu.evaluation.helper import Omni3DEvaluationHelper
-    from ovmono3d_tpu.evaluation.omni3d_eval import Omni3DEvaluator
-    from ovmono3d_tpu.utils.geometry import cuboid_corners
 
     # Proximity evaluation for non-exhaustively annotated datasets
     # (reference omni3d_evaluation.py:263).
     eval_prox = "Objectron" in dataset_name or "SUNRGBD" in dataset_name
-    helper = Omni3DEvaluationHelper(cfg.model.num_classes, class_names)
-    ev3d = Omni3DEvaluator(cfg.model.num_classes, "3D", class_names,
-                           eval_prox=eval_prox)
-    ev2d = Omni3DEvaluator(cfg.model.num_classes, "2D", class_names,
-                           eval_prox=eval_prox)
-    helper.ev3d[dataset_name or "dataset"] = ev3d
-    helper.ev2d[dataset_name or "dataset"] = ev2d
 
     @jax.jit
     def run(params, batch):
@@ -90,7 +82,7 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
                 "center_2d": det.center_2d[bi][valid],
             }
             gt = _record_gt(rec)
-            helper.add_image(dataset_name or "dataset", gt, pred)
+            helper.add_image(dataset_name, gt, pred, eval_prox=eval_prox)
             if dump_path is not None:
                 b = det.boxes[bi][valid]
                 dumped.append({
@@ -122,7 +114,7 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
         Path(dump_path).parent.mkdir(parents=True, exist_ok=True)
         with open(dump_path, "w") as fh:
             json.dump(dumped, fh)
-    return helper, ev2d, ev3d, n_done
+    return n_done
 
 
 def _record_gt(rec):
@@ -155,14 +147,20 @@ def _record_gt(rec):
             dims.append(np.ones(3, np.float32))
             poses.append(np.eye(3, dtype=np.float32))
     n = len(classes)
+    center = np.asarray(centers, np.float32).reshape(n, 3)
+    # Projected GT centers (for the xy-pixel error stat, vis.py:289-294).
+    K = np.asarray(rec.get("K", np.eye(3)), np.float32)
+    z = np.maximum(center[:, 2:3], 1e-6)
+    center_2d = (center / z) @ K.T
     return {
         "classes": np.asarray(classes, np.int64),
         "boxes2d": np.asarray(boxes2d, np.float64).reshape(-1, 4),
         "corners3d": np.asarray(corners).reshape(-1, 8, 3),
         "depths": np.asarray(depths),
-        "center": np.asarray(centers, np.float32).reshape(n, 3),
+        "center": center,
         "dims": np.asarray(dims, np.float32).reshape(n, 3),
         "pose": np.asarray(poses, np.float32).reshape(n, 3, 3),
+        "center_2d": center_2d[:, :2],
     }
 
 
@@ -213,23 +211,32 @@ def main():
             params = loaded["params"]
             logger.info("loaded checkpoint %s", args.checkpoint)
 
+    novel_categories: set[str] = set()
     if args.synthetic:
         from tools.train_net import synthetic_records
 
-        records = synthetic_records(32, cfg.model.num_classes, seed=7)
-        # oracle = GT boxes with score 1 (the reference's GT-oracle mode).
-        for rec in records:
-            rec["oracle2d"] = [
-                {
-                    "bbox2d": a["bbox2d"],
-                    "category_id": a["category_id"],
-                    "score": 1.0,
-                }
-                for a in rec["annotations"]
-                if a["category_id"] >= 0
-            ]
-        datasets = {"synthetic": records}
+        # TWO synthetic datasets so the cross-dataset merge machinery
+        # (summarize_all re-accumulation, Omni3D rollups) is exercised.
+        datasets = {}
+        for name, seed in (("synthetic_a", 7), ("synthetic_b", 11)):
+            records = synthetic_records(16, cfg.model.num_classes, seed=seed)
+            # oracle = GT boxes with score 1 (the reference's GT-oracle mode).
+            for rec in records:
+                rec["oracle2d"] = [
+                    {
+                        "bbox2d": a["bbox2d"],
+                        "category_id": a["category_id"],
+                        "score": 1.0,
+                    }
+                    for a in rec["annotations"]
+                    if a["category_id"] >= 0
+                ]
+            datasets[name] = records
         image_loader = None
+        # Exercise the novel easy/hard split: treat half the synthetic
+        # classes as novel (class names are stringified ints here unless the
+        # config provides real names).
+        novel_categories = set(class_names[: cfg.model.num_classes // 2])
     else:
         import dataclasses as _dc
 
@@ -256,28 +263,51 @@ def main():
                 recs = merge_oracle2d(recs, oracle_path)
             datasets[name] = recs
         image_loader = default_image_loader(cfg.datasets.data_root)
+        if mode == "novel":
+            # Union of the fixed per-dataset novel category sets
+            # (reference builtin.py:12-53 / omni3d_evaluation.py:602-613).
+            from ovmono3d_tpu.data.builtin import get_omni3d_categories
 
-    all_results = {}
+            for name in names:
+                try:
+                    novel_categories |= set(get_omni3d_categories(name))
+                except ValueError:
+                    pass
+
+    # ONE helper across ALL test datasets: summarize_all re-accumulates the
+    # concatenated per-(cat, band) evals (reference Omni3DEvaluationHelper,
+    # omni3d_evaluation.py:427-620).
+    from ovmono3d_tpu.evaluation.helper import Omni3DEvaluationHelper
+
+    helper = Omni3DEvaluationHelper(
+        cfg.model.num_classes, class_names,
+        novel_categories=novel_categories,
+    )
+
     for name, records in datasets.items():
         logger.info("evaluating %s (%d images)", name, len(records))
-        helper, ev2d, ev3d, n = evaluate_dataset(
+        evaluate_dataset(
             cfg, model, params, records, image_loader, args.batch_size,
-            class_names,
+            helper, name,
             dump_path=(f"{args.dump_predictions}_{name}.json"
                        if args.dump_predictions else None),
-            dataset_name=name,
         )
-        summary = helper.summarize_all()
-        res = {
-            **ev2d.summarize(), **ev3d.summarize(),
-            **{k: v for k, v in summary.items()
-               if k.startswith(("NHD_disentangled", "mean_err"))},
-        }
-        all_results[name] = res
+
+    summary = helper.summarize_all()
+    for name, res in summary["datasets"].items():
         print_ap_summary(res, title=name)
-        print_ap_per_category(ev3d.per_category_ap(),
+        print_ap_per_category(helper.ev3d[name].per_category_ap(),
                               title=f"{name} per-category AP3D")
-    print_ap_analysis(all_results)
+    overall = dict(summary["overall"])
+    overall.update({
+        k: v for k, v in summary.items()
+        if k.startswith(("NHD_disentangled", "mean_err", "novel_",
+                         "AP3D_omni"))
+    })
+    print_ap_summary(overall, title="overall (all test datasets merged)")
+    print_ap_per_category(summary["per_category_AP3D"],
+                          title="merged per-category AP3D")
+    print_ap_analysis(summary["datasets"])
 
 
 if __name__ == "__main__":

@@ -134,7 +134,9 @@ def main():
     logger.info("priors computed: mean dims %s", priors["dims"][:, 0].mean(0))
 
     # --- model / optimizer / mesh ---
-    model = build_model(cfg.model)
+    # Priors are injected into the model (reference roi_heads.py:117-143):
+    # dims_priors_enabled / cluster_bins decodes consume them.
+    model = build_model(cfg.model, priors=priors)
     mesh = make_mesh()
     n_dev = mesh.shape["data"]
     batch_size = args.batch_size or max(
@@ -187,12 +189,43 @@ def main():
     if args.profile:
         hooks.append(ProfilerHook(cfg.output_dir))
 
+    # Periodic in-train evaluation (reference do_test every TEST.EVAL_PERIOD,
+    # train_net.py:329-339): oracle-GT protocol over a held-out set.
+    eval_fn = None
+    if cfg.test.eval_period > 0:
+        if args.synthetic:
+            eval_records = synthetic_records(16, cfg.model.num_classes,
+                                             seed=99)
+        else:
+            eval_records = records[: min(len(records), 64)]
+        for rec in eval_records:
+            rec["oracle2d"] = [
+                {"bbox2d": a["bbox2d"], "category_id": a["category_id"],
+                 "score": 1.0}
+                for a in rec["annotations"] if a["category_id"] >= 0
+            ]
+
+        def eval_fn(state):
+            from ovmono3d_tpu.evaluation.helper import Omni3DEvaluationHelper
+            from tools.eval_net import evaluate_dataset
+
+            class_names = list(cfg.datasets.category_names) or [
+                str(i) for i in range(cfg.model.num_classes)
+            ]
+            helper = Omni3DEvaluationHelper(cfg.model.num_classes,
+                                            class_names)
+            evaluate_dataset(
+                cfg, model, jax.device_get(state.params), eval_records,
+                image_loader, batch_size, helper, "in_train_eval",
+            )
+            return helper.summarize_dataset("in_train_eval")
+
     logger.info(
         "starting training: %d iters, batch %d over %d devices",
         max_iter, batch_size, n_dev,
     )
     state = train(cfg, state, step_fn, sharded, checkpointer=ckpt,
-                  hooks=hooks)
+                  hooks=hooks, eval_fn=eval_fn)
     logger.info("done at step %d (skipped %d)", int(state.step),
                 int(state.skipped))
 
