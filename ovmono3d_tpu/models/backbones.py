@@ -32,7 +32,8 @@ VIT_PRESETS: dict[str, dict[str, Any]] = {
     # global attention every 3rd block, 256-ch neck.
     "sam": dict(patch_size=16, pretrain_grid=64, layerscale=False,
                 use_cls_token=False, window_size=14,
-                global_blocks=(2, 5, 8, 11), neck_channels=256),
+                global_blocks=(2, 5, 8, 11), neck_channels=256,
+                use_rel_pos=True),
     # MiDaS DPT_Large ViT-L/16 @ 384 (midas_final.py).
     "midas": dict(patch_size=16, pretrain_grid=24, layerscale=False,
                   embed_dim=1024, depth=24, num_heads=16),

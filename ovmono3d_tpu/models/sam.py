@@ -51,6 +51,15 @@ class PromptEncoder(nn.Module):
             (2, self.embed_dim),
             jnp.float32,
         )
+        # Dense embedding added to the image features when no mask prompt is
+        # given (segment_anything no_mask_embed — the predictor's box-only
+        # path always uses it).
+        self.no_mask_embed = self.param(
+            "no_mask_embed",
+            nn.initializers.normal(1.0),
+            (self.embed_dim,),
+            jnp.float32,
+        )
 
     def __call__(self, boxes: jax.Array, image_size: float):
         """boxes: [B, 4] xyxy in image pixels -> sparse prompt embeddings
@@ -107,12 +116,15 @@ class TwoWayBlock(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, image, token_pe, image_pe):
-        # self attention on tokens
+        # self attention on tokens. In the FIRST layer the attention output
+        # REPLACES the tokens (no residual, segment_anything
+        # TwoWayAttentionBlock skip_first_layer_pe branch).
         q = tokens if self.skip_first_pe else tokens + token_pe
+        att = _Attention(self.dim, self.heads, name="self_attn")(
+            q, q, tokens
+        )
         tokens = nn.LayerNorm(name="norm1")(
-            tokens + _Attention(self.dim, self.heads, name="self_attn")(
-                q, q, tokens
-            )
+            att if self.skip_first_pe else tokens + att
         )
         # token -> image cross attention
         q = tokens + token_pe
@@ -236,4 +248,8 @@ class SamSegmenter(nn.Module):
         boxes: [B, 4] xyxy in image pixels."""
         sparse = self.prompt(boxes, image_size)
         dense_pe = self.prompt.dense_pe(image_embed.shape[1:3])
+        # src = image embedding + dense (no-mask) prompt embedding
+        # (segment_anything MaskDecoder.predict_masks).
+        image_embed = image_embed + self.prompt.no_mask_embed[None, None,
+                                                              None, :]
         return self.decoder(image_embed, dense_pe, sparse)

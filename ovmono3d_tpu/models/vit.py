@@ -43,21 +43,76 @@ class Mlp(nn.Module):
         return x
 
 
+def _resize_rel_pos(rel_pos: jax.Array, size: int) -> jax.Array:
+    """Linear-resize a decomposed relative-position table to 2*size-1 rows
+    (segment_anything get_rel_pos interpolation)."""
+    target = 2 * size - 1
+    if rel_pos.shape[0] == target:
+        return rel_pos
+    return jax.image.resize(
+        rel_pos, (target, rel_pos.shape[1]), method="linear"
+    )
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Dtype = jnp.bfloat16
+    # SAM image-encoder decomposed relative position embeddings
+    # (segment_anything add_decomposed_rel_pos). `rel_pos_size` is the grid
+    # side the tables were trained at (window or pretrain grid).
+    use_rel_pos: bool = False
+    rel_pos_size: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, grid_hw: tuple[int, int] | None = None):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
-        out = dot_product_attention(q, k, v)  # [B, N, H, D]
+        if self.use_rel_pos:
+            assert grid_hw is not None, "rel-pos attention needs grid_hw"
+            out = self._rel_pos_attention(q, k, v, grid_hw, head_dim)
+        else:
+            out = dot_product_attention(q, k, v)  # [B, N, H, D]
         out = out.reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+    def _rel_pos_attention(self, q, k, v, grid_hw, head_dim):
+        """softmax(QK/sqrt(d) + decomposed rel-pos bias) V, f32 logits."""
+        h, w = grid_hw
+        B = q.shape[0]
+        n_rel = 2 * self.rel_pos_size - 1
+        rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                           (n_rel, head_dim), jnp.float32)
+        rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                           (n_rel, head_dim), jnp.float32)
+        Rh = _resize_rel_pos(rel_h, h)
+        Rw = _resize_rel_pos(rel_w, w)
+        idx_h = jnp.arange(h)[:, None] - jnp.arange(h)[None, :] + h - 1
+        idx_w = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + w - 1
+        Rh = Rh[idx_h]  # [h, h, D]
+        Rw = Rw[idx_w]  # [w, w, D]
+        qg = q.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
+            B, self.num_heads, h, w, head_dim
+        )
+        bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qg, Rh)
+        bias_w = jnp.einsum("bnhwc,wkc->bnhwk", qg, Rw)
+        scale = head_dim ** -0.5
+        attn = jnp.einsum(
+            "bqhd,bkhd->bhqk", q.astype(jnp.float32) * scale,
+            k.astype(jnp.float32), preferred_element_type=jnp.float32,
+        )
+        attn = attn.reshape(B, self.num_heads, h, w, h, w)
+        attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
+        attn = attn.reshape(B, self.num_heads, h * w, h * w)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", attn, v.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(self.dtype)
 
 
 class LayerScale(nn.Module):
@@ -80,13 +135,17 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     layerscale: bool = True
     dtype: Dtype = jnp.bfloat16
+    use_rel_pos: bool = False
+    rel_pos_size: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, grid_hw: tuple[int, int] | None = None):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        h = Attention(self.dim, self.num_heads, self.dtype, name="attn")(
-            h.astype(self.dtype)
-        )
+        h = Attention(
+            self.dim, self.num_heads, self.dtype,
+            use_rel_pos=self.use_rel_pos, rel_pos_size=self.rel_pos_size,
+            name="attn",
+        )(h.astype(self.dtype), grid_hw)
         if self.layerscale:
             h = LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
         x = x + h
@@ -145,6 +204,7 @@ class VisionTransformer(nn.Module):
     pre_ln: bool = False           # CLIP ln_pre
     window_size: int = 0           # SAM-style windowed attention
     global_blocks: Sequence[int] = ()  # blocks with global attn when windowed
+    use_rel_pos: bool = False      # SAM decomposed relative-position attn
     neck_channels: int = 0         # SAM neck (1x1 + 3x3 conv to C')
     out_layers: Sequence[int] = ()  # extra block indices to also return
     dtype: Dtype = jnp.bfloat16
@@ -217,8 +277,10 @@ class VisionTransformer(nn.Module):
                     self.mlp_ratio,
                     self.layerscale,
                     self.dtype,
+                    use_rel_pos=self.use_rel_pos,
+                    rel_pos_size=self.pretrain_grid,
                     name=f"block{i}",
-                )(x)
+                )(x, (h, w) if self.use_rel_pos else None)
             if i == self.depth - 1 and self.use_depth_fusion:
                 x = self._fuse_depth(x, prompt_depth, B, h, w, n_prefix)
             if i in self.out_layers:
@@ -264,8 +326,10 @@ class VisionTransformer(nn.Module):
         )
         grid = Block(
             self.embed_dim, self.num_heads, self.mlp_ratio,
-            self.layerscale, self.dtype, name=f"block{i}",
-        )(grid)
+            self.layerscale, self.dtype,
+            use_rel_pos=self.use_rel_pos, rel_pos_size=win,
+            name=f"block{i}",
+        )(grid, (win, win) if self.use_rel_pos else None)
         grid = grid.reshape(B, hp // win, wp // win, win, win,
                             self.embed_dim)
         grid = grid.transpose(0, 1, 3, 2, 4, 5).reshape(

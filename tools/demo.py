@@ -35,6 +35,12 @@ def parse_args():
     ap.add_argument("--focal-length", type=float, default=0.0)
     ap.add_argument("--principal-point", type=float, nargs=2, default=None)
     ap.add_argument("--vocab", default=None, help="BERT vocab.txt")
+    ap.add_argument("--rcnn-ckpt", default=None,
+                    help="released ovmono3d_lift.pth (torch, detectron2 "
+                         "format) — converted + loaded into the cube model")
+    ap.add_argument("--gdino-ckpt", default=None,
+                    help="released GroundingDINO SwinB .pth — converted + "
+                         "loaded into the open-vocab detector")
     ap.add_argument("--output-dir", default="output/demo")
     ap.add_argument("--threshold", type=float, default=0.2)
     ap.add_argument("opts", nargs="*", default=[])
@@ -45,6 +51,8 @@ def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("ovmono3d.demo")
+
+    import dataclasses
 
     from ovmono3d_tpu.config import load_config
     from ovmono3d_tpu.models.gdino.tokenizer import BertTokenizer
@@ -68,6 +76,25 @@ def main():
 
     pipe = OVMono3DLift.build(cfg, tok)
     logger.info("pipeline built (%d categories)", len(categories))
+
+    # Released-weight loading (reference demo.py:144-150 + the GDINO ckpt
+    # load at roi_heads_gdino.py:87-91).
+    if args.rcnn_ckpt:
+        from ovmono3d_tpu.utils.load import load_rcnn_params
+
+        pipe = dataclasses.replace(
+            pipe,
+            rcnn_params=load_rcnn_params(pipe.rcnn_params, args.rcnn_ckpt,
+                                         cfg.model),
+        )
+    if args.gdino_ckpt:
+        from ovmono3d_tpu.utils.load import load_gdino_params
+
+        pipe = dataclasses.replace(
+            pipe,
+            gdino_params=load_gdino_params(pipe.gdino_params,
+                                           args.gdino_ckpt),
+        )
 
     out_dir = Path(args.output_dir)
     for path in list_images(args.input_folder):

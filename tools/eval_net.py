@@ -26,7 +26,11 @@ import numpy as np
 def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config-file", default=None)
-    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="orbax checkpoint dir/name from tools/train_net.py")
+    ap.add_argument("--rcnn-ckpt", default=None,
+                    help="released ovmono3d_lift.pth (torch, detectron2 "
+                         "format) — converted + loaded")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--dump-predictions", default=None,
@@ -210,6 +214,10 @@ def main():
         if loaded is not None:
             params = loaded["params"]
             logger.info("loaded checkpoint %s", args.checkpoint)
+    if args.rcnn_ckpt:
+        from ovmono3d_tpu.utils.load import load_rcnn_params
+
+        params = load_rcnn_params(params, args.rcnn_ckpt, cfg.model)
 
     novel_categories: set[str] = set()
     if args.synthetic:

@@ -32,6 +32,17 @@ def parse_args():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--output-dir", default="output/geo")
     ap.add_argument("--max-instances", type=int, default=16)
+    ap.add_argument("--sam-ckpt", default=None,
+                    help="official sam_vit_*.pth — converted + loaded into "
+                         "the SAM encoder and prompt/mask decoder")
+    ap.add_argument("--sam-arch", default="vit_b",
+                    choices=("vit_b", "vit_l", "vit_h"),
+                    help="SAM encoder size (reference uses vit_h, "
+                         "ovmono3d_geo.py:270)")
+    ap.add_argument("--depth-ckpt", default=None,
+                    help=".npz of DepthPro params (flat '/'-joined keys); "
+                         "the official dual-ViT depth_pro.pt is not yet "
+                         "convertible onto this single-trunk DPT")
     ap.add_argument("--eval", action="store_true",
                     help="evaluate the written predictions against GT "
                          "(reference tools/eval_ovmono3d_geo.py)")
@@ -177,7 +188,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ovmono3d_tpu.config import BackboneConfig, load_config
+    from ovmono3d_tpu.config import load_config
     from ovmono3d_tpu.data.build import default_image_loader
     from ovmono3d_tpu.data.datasets import (
         filter_settings_from_cfg,
@@ -186,24 +197,31 @@ def main():
         simple_register,
     )
     from ovmono3d_tpu.geo.pipeline import fit_box_from_mask_depth
-    from ovmono3d_tpu.models.backbones import build_backbone
+    from ovmono3d_tpu.models.backbones import VIT_PRESETS
     from ovmono3d_tpu.models.depth import DepthPro, metric_depth
     from ovmono3d_tpu.models.sam import SamSegmenter
+    from ovmono3d_tpu.models.vit import VisionTransformer
 
     cfg = load_config(args.config_file, overrides=args.opts)
     fs = filter_settings_from_cfg(cfg)
     cat_map = {n: i for i, n in enumerate(cfg.datasets.category_names)}
 
-    # Build SAM encoder+segmenter and DepthPro (converted checkpoints are
-    # merged via utils.checkpoint_convert when available).
+    # Raw SAM image encoder (windowed + rel-pos ViT, 256-ch neck) — the
+    # segment_anything semantics, no SFP harness (that is only for SAM as a
+    # detection backbone).
     S_SAM, S_DEPTH = 1024, 768
-    sam_backbone = build_backbone(BackboneConfig(
-        name="sam", out_channels=256, scale_factors=(1.0,), square_pad=S_SAM
-    ))
+    arch = {
+        "vit_b": dict(embed_dim=768, depth=12, num_heads=12),
+        "vit_l": dict(embed_dim=1024, depth=24, num_heads=16),
+        "vit_h": dict(embed_dim=1280, depth=32, num_heads=16),
+    }[args.sam_arch]
+    sam_encoder = VisionTransformer(
+        use_depth_fusion=False, **arch, **VIT_PRESETS["sam"]
+    )
     segmenter = SamSegmenter()
     depth_model = DepthPro()
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
-    sam_params = jax.jit(sam_backbone.init)(
+    sam_params = jax.jit(sam_encoder.init)(
         k0, jnp.zeros((1, S_SAM, S_SAM, 3))
     )
     seg_params = jax.jit(segmenter.init)(
@@ -212,7 +230,20 @@ def main():
     depth_params = jax.jit(depth_model.init)(
         k2, jnp.zeros((1, S_DEPTH, S_DEPTH, 3))
     )
-    embed_fn = jax.jit(sam_backbone.apply)
+    if args.sam_ckpt:
+        from ovmono3d_tpu.utils.load import load_sam_params
+
+        sam_params, seg_params = load_sam_params(
+            sam_params, seg_params, args.sam_ckpt, depth=arch["depth"]
+        )
+    if args.depth_ckpt:
+        from ovmono3d_tpu.utils.load import load_npz_params
+
+        depth_params = load_npz_params(depth_params, args.depth_ckpt)
+
+    embed_fn = jax.jit(
+        lambda p, img: sam_encoder.apply(p, img)["last_feat"]
+    )
     seg_fn = jax.jit(
         lambda p, e, b: segmenter.apply(p, e, b, float(S_SAM))
     )
@@ -255,7 +286,7 @@ def main():
                               (int(W * scale), int(H * scale)))
             canvas = np.zeros((S_SAM, S_SAM, 3), np.float32)
             canvas[: simg.shape[0], : simg.shape[1]] = (simg - mean) / std
-            embed = embed_fn(sam_params, jnp.asarray(canvas)[None])["p4"]
+            embed = embed_fn(sam_params, jnp.asarray(canvas)[None])
             preds = []
             for det in rec.get("oracle2d", [])[: args.max_instances]:
                 if det["score"] < SCORE_THRESHOLD:  # ovmono3d_geo.py:274
