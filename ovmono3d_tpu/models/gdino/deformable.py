@@ -53,10 +53,79 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Bilinear sample v: [B, h, w, H, D] at per-head points
     x/y: [B, Q, H, P] -> [B, Q, H, P, D], zero outside.
 
-    The four corner taps are fused into ONE take_along_axis (indices
-    concatenated along the point axis) — a single large gather schedules far
-    better on TPU than four small ones.
+    Each point's full 2x2xD bilinear support is fetched as ONE lax.gather
+    slice (start clipped to the grid). Measured on v5e: the TPU gather cost
+    is dominated by a fixed ~8 ns per gathered row-segment, so one 2-row
+    window per point is ~2x faster than four fused corner-row gathers at
+    identical numerics (tools/probe_window_gather.py).
+
+    Out-of-bounds / clipping correctness: the window rows are ys..ys+1 with
+    ys = clip(floor(y), 0, h-2); each row's interpolation weight is (1-ly)
+    where the row coordinate equals y0, ly where it equals y0+1, else 0 —
+    out-of-bounds corners never coincide with a window row, so they drop out
+    exactly like the reference's zero padding (grid_sample
+    align_corners=False semantics).
     """
+    B, h, w, H, D = v.shape
+    if h < 2 or w < 2:  # degenerate grid: 2x2 windows don't exist
+        return _bilinear_hw_corners(v, x, y)
+    Q, P = x.shape[1], x.shape[3]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = (x - x0)[..., None]
+    ly = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    xs = jnp.clip(x0i, 0, w - 2)
+    ys = jnp.clip(y0i, 0, h - 2)
+
+    vt = v.transpose(0, 3, 1, 2, 4)               # [B, H, h, w, D]
+    starts = jnp.stack(
+        [ys.transpose(0, 2, 1, 3).reshape(B, H, Q * P),
+         xs.transpose(0, 2, 1, 3).reshape(B, H, Q * P)], axis=-1
+    )
+
+    def g(op, st):  # op: [h, w, D]; st: [T, 2] -> [T, 2, 2, D]
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        )
+        return jax.lax.gather(
+            op, st, dn, slice_sizes=(2, 2, D),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+
+    win = jax.vmap(jax.vmap(g))(vt, starts)       # [B, H, T, 2, 2, D]
+    win = win.reshape(B, H, Q, P, 2, 2, D).transpose(0, 2, 1, 3, 4, 5, 6)
+
+    y0e = y0i[..., None]
+    x0e = x0i[..., None]
+    ya0, ya1 = ys[..., None], ys[..., None] + 1
+    xa0, xa1 = xs[..., None], xs[..., None] + 1
+    wy0 = jnp.where(ya0 == y0e, 1 - ly, 0.0) + jnp.where(
+        ya0 == y0e + 1, ly, 0.0
+    )
+    wy1 = jnp.where(ya1 == y0e, 1 - ly, 0.0) + jnp.where(
+        ya1 == y0e + 1, ly, 0.0
+    )
+    wx0 = jnp.where(xa0 == x0e, 1 - lx, 0.0) + jnp.where(
+        xa0 == x0e + 1, lx, 0.0
+    )
+    wx1 = jnp.where(xa1 == x0e, 1 - lx, 0.0) + jnp.where(
+        xa1 == x0e + 1, lx, 0.0
+    )
+    return (
+        win[..., 0, 0, :] * (wy0 * wx0)
+        + win[..., 0, 1, :] * (wy0 * wx1)
+        + win[..., 1, 0, :] * (wy1 * wx0)
+        + win[..., 1, 1, :] * (wy1 * wx1)
+    )
+
+
+def _bilinear_hw_corners(v: jax.Array, x: jax.Array, y: jax.Array):
+    """Fallback for degenerate (h or w < 2) grids: four fused corner-row
+    gathers (the pre-window formulation)."""
     B, h, w, H, D = v.shape
     Q, P = x.shape[1], x.shape[3]
     x0 = jnp.floor(x)
@@ -66,27 +135,20 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # Corner coordinates stacked on a new leading axis: [4, B, Q, H, P].
     xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1])
     ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1])
     inb = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
     idx = jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1)
 
     flat = v.reshape(B, h * w, H, D).transpose(0, 2, 1, 3)   # [B, H, S, D]
-    # [4, B, Q, H, P] -> [B, H, 4*Q*P]
     idx2 = idx.transpose(1, 3, 0, 2, 4).reshape(B, H, 4 * Q * P)
     g = jnp.take_along_axis(flat, idx2[..., None], axis=2)   # [B,H,4QP,D]
     g = g.reshape(B, H, 4, Q, P, D).transpose(2, 0, 3, 1, 4, 5)
     g = jnp.where(inb[..., None], g, 0.0)                    # [4,B,Q,H,P,D]
 
     weights = jnp.stack(
-        [
-            (1 - lx) * (1 - ly),
-            lx * (1 - ly),
-            (1 - lx) * ly,
-            lx * ly,
-        ]
-    )[..., None]                                              # [4,B,Q,H,P,1]
+        [(1 - lx) * (1 - ly), lx * (1 - ly), (1 - lx) * ly, lx * ly]
+    )[..., None]
     return jnp.sum(g * weights, axis=0)
 
 

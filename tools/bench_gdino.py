@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""GroundingDINO SwinB @800^2 single-image throughput on one TPU chip.
+
+The reference's open-vocab 2D stage (GroundingDINO SwinB + BERT + deformable
+transformer) dominates OVMono3D-LIFT open-vocab inference; the reference's
+whole pipeline runs ~4.6 img/s/GPU (BASELINE.md). Timing protocol per
+CLAUDE.md: chained dependency + forced host read, best-of-N.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ovmono3d_jax_cache")
+
+
+def main():
+    from ovmono3d_tpu.models.gdino.model import GroundingDINO
+
+    S = 800
+    model = GroundingDINO()
+    img = jnp.asarray(
+        np.random.RandomState(0).rand(1, S, S, 3), jnp.float32
+    )
+    T = 64
+    ids = jnp.ones((1, T), jnp.int32)
+    mask = jnp.ones((1, T), bool)
+
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img, ids, mask)
+    fn = jax.jit(model.apply)
+    out = fn(params, img, ids, mask)
+    float(np.asarray(out["pred_logits"][0, 0, 0]))
+    print(f"compile+init: {time.time()-t0:.1f}s")
+
+    def round_time(iters=10):
+        t0 = time.perf_counter()
+        im = img
+        for _ in range(iters):
+            out = fn(params, im, ids, mask)
+            im = img + out["pred_logits"][0, 0, 0] * 1e-9
+        float(np.asarray(out["pred_logits"][0, 0, 0]))
+        return (time.perf_counter() - t0) / iters
+
+    dt = min(round_time() for _ in range(4))
+    print(f"GDINO SwinB @{S}^2 b1: {dt*1e3:.1f} ms/img = "
+          f"{1/dt:.2f} img/s/chip")
+
+
+if __name__ == "__main__":
+    main()
