@@ -30,6 +30,43 @@ from ovmono3d_tpu.ops.attention import dot_product_attention
 Dtype = Any
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding as space-to-depth + matmul.
+
+    Numerically identical to the usual stride-p Conv (the kernel param keeps
+    the Conv HWIO layout so checkpoint converters are unchanged) but ~20x
+    faster on TPU: XLA lowers the large-stride conv poorly (profiled 1.35 ms
+    vs a ~0.06 ms matmul @896^2 p14).
+
+    Returns [B, h*w, C] flattened patch tokens.
+    """
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        B, H, W, c_in = images.shape
+        p = self.patch_size
+        h, w = H // p, W // p
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, c_in, self.embed_dim),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32
+        )
+        patches = images.astype(self.dtype).reshape(B, h, p, w, p, c_in)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, h * w, p * p * c_in
+        )
+        k2d = kernel.reshape(p * p * c_in, self.embed_dim)
+        return patches @ k2d.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -129,6 +166,30 @@ class LayerScale(nn.Module):
         return x * gamma.astype(self.dtype)
 
 
+class LayerNormBf16Out(nn.Module):
+    """LayerNorm with f32 statistics but output written directly in the
+    compute dtype. Same math as nn.LayerNorm(dtype=f32) followed by a cast
+    (the consumer casts to bf16 anyway); skipping the intermediate f32
+    materialization halves this memory-bound op's traffic. Param names
+    match nn.LayerNorm (scale/bias) for checkpoint compatibility."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,),
+                          jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = jnp.square(xf - mean).mean(-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -140,19 +201,19 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, grid_hw: tuple[int, int] | None = None):
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = LayerNormBf16Out(dtype=self.dtype, name="norm1")(x)
         h = Attention(
             self.dim, self.num_heads, self.dtype,
             use_rel_pos=self.use_rel_pos, rel_pos_size=self.rel_pos_size,
             name="attn",
-        )(h.astype(self.dtype), grid_hw)
+        )(h, grid_hw)
         if self.layerscale:
             h = LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = LayerNormBf16Out(dtype=self.dtype, name="norm2")(x)
         h = Mlp(
             int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp"
-        )(h.astype(self.dtype))
+        )(h)
         if self.layerscale:
             h = LayerScale(self.dim, dtype=self.dtype, name="ls2")(h)
         return x + h
@@ -219,14 +280,9 @@ class VisionTransformer(nn.Module):
         B, H, W, _ = images.shape
         h, w = H // self.patch_size, W // self.patch_size
 
-        x = nn.Conv(
-            self.embed_dim,
-            (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            dtype=self.dtype,
-            name="patch_embed",
-        )(images.astype(self.dtype))
-        x = x.reshape(B, h * w, self.embed_dim)
+        x = PatchEmbed(
+            self.patch_size, self.embed_dim, self.dtype, name="patch_embed"
+        )(images)
 
         n_prefix = 1 if self.use_cls_token else 0
         pos_embed = self.param(

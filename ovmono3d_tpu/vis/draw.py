@@ -96,6 +96,109 @@ def draw_bev(corners3d_list, extent: float = 10.0, size: int = 400,
     return canvas
 
 
+def pred_vs_gt_panels(
+    image,
+    K,
+    gt: dict,
+    pred: dict,
+    class_names: list[str] | None = None,
+    prompted_ids: set[int] | None = None,
+    score_thres: float | None = None,
+) -> np.ndarray:
+    """3x2 evaluation panel grid (reference visualize_from_instances,
+    vis.py:76-296): columns = GT all classes | GT evaluated classes |
+    predictions; rows = 2D boxes | 3D wireframes.
+
+    gt/pred: evaluation dicts (classes [N], boxes2d [N, 4] xyxy,
+    corners3d [N, 8, 3]; pred also scores [N]).
+    """
+    import cv2
+
+    g_cls = np.asarray(gt.get("classes", np.zeros(0, np.int64)))
+    p_cls = np.asarray(pred.get("classes", np.zeros(0, np.int64)))
+    p_scores = np.asarray(pred.get("scores", np.ones(len(p_cls))))
+    if score_thres is None:
+        # score > sqrt(1/n_cats) * 1.2 (vis.py:103-104)
+        n_cats = max(len(class_names) if class_names else 1, 1)
+        score_thres = float(np.sqrt(1.0 / n_cats) * 1.2)
+
+    def name(c):
+        return class_names[int(c)] if class_names else str(int(c))
+
+    def column(classes, boxes2d, corners3d, keep, scores=None):
+        im2d = np.ascontiguousarray(np.asarray(image).copy())
+        im3d = np.ascontiguousarray(np.asarray(image).copy())
+        for i in np.flatnonzero(keep):
+            c = get_color(int(classes[i]))
+            im2d = draw_boxes_2d(
+                im2d, boxes2d[i : i + 1], [name(classes[i])],
+                None if scores is None else scores[i : i + 1], color=c,
+            )
+            if corners3d is not None and (
+                scores is None or scores[i] > score_thres
+            ):
+                im3d = draw_cuboid_3d(im3d, corners3d[i], K, color=c)
+        return im2d, im3d
+
+    g_boxes = np.asarray(gt.get("boxes2d", np.zeros((0, 4))))
+    g_corners = np.asarray(gt.get("corners3d")) if "corners3d" in gt else None
+    p_boxes = np.asarray(pred.get("boxes2d", np.zeros((0, 4))))
+    p_corners = (
+        np.asarray(pred.get("corners3d")) if "corners3d" in pred else None
+    )
+
+    all_keep = g_cls >= 0
+    if prompted_ids is None:
+        eval_keep = all_keep
+    else:
+        eval_keep = all_keep & np.isin(g_cls, list(prompted_ids))
+
+    c1_2d, c1_3d = column(g_cls, g_boxes, g_corners, all_keep)
+    c2_2d, c2_3d = column(g_cls, g_boxes, g_corners, eval_keep)
+    c3_2d, c3_3d = column(
+        p_cls, p_boxes, p_corners, np.ones(len(p_cls), bool), p_scores
+    )
+    top = cv2.hconcat([c1_2d, c2_2d, c3_2d])
+    bottom = cv2.hconcat([c1_3d, c2_3d, c3_3d])
+    return cv2.vconcat([top, bottom])
+
+
+def draw_scene_view(image, K, corners3d_list, colors=None,
+                    novel_angle_deg: float = 45.0) -> np.ndarray:
+    """Front shaded render + novel-view shaded render, side by side
+    (reference draw_scene_view, vis.py:309+, pytorch3d SoftPhong render
+    replaced by the CPU flat-shaded z-buffer in vis.rasterize)."""
+    import cv2
+
+    from ovmono3d_tpu.vis.rasterize import render_mesh_view
+
+    corners = np.asarray(corners3d_list, np.float64).reshape(-1, 8, 3)
+    if colors is None:
+        colors = np.array(
+            [get_color(i) for i in range(len(corners))], np.float64
+        )
+    front = render_mesh_view(image, K, corners, colors)
+
+    # Novel view: orbit the camera upward around the scene centroid by
+    # novel_angle_deg about the camera-x axis (the reference's elevated
+    # view), rendered on a blank canvas.
+    if len(corners):
+        center = corners.reshape(-1, 3).mean(0)
+    else:
+        center = np.array([0.0, 0.0, 5.0])
+    a = np.deg2rad(novel_angle_deg)
+    Rx = np.array(
+        [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]]
+    )
+    moved = (corners - center) @ Rx.T + center
+    blank = np.full_like(np.asarray(image), 255)
+    novel = render_mesh_view(blank, K, moved, colors)
+    for i in range(len(moved)):
+        novel = draw_cuboid_3d(novel, moved[i], K,
+                               color=tuple(int(v) for v in colors[i]))
+    return cv2.hconcat([front, novel])
+
+
 def scene_panel(image, det, K, class_names=None) -> np.ndarray:
     """Side-by-side: image with 2D+3D boxes | BEV (draw_scene_view spirit)."""
     import cv2

@@ -1,0 +1,36 @@
+"""Flash-attention kernel correctness (interpret mode on the CPU mesh) vs
+the XLA reference path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ovmono3d_tpu.ops.attention import attention_xla, flash_attention
+
+
+def _rand(shape, key, dtype):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32
+                             ).astype(dtype)
+
+
+def test_flash_matches_xla_bf16_unaligned():
+    # N=133: exercises both q and kv padding + the last-block mask.
+    B, N, H, D = 2, 133, 4, 64
+    q = _rand((B, N, H, D), 0, jnp.bfloat16)
+    k = _rand((B, N, H, D), 1, jnp.bfloat16)
+    v = _rand((B, N, H, D), 2, jnp.bfloat16)
+    want = attention_xla(q, k, v).astype(jnp.float32)
+    got = flash_attention(q, k, v, block_q=64, block_k=64,
+                          interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_flash_single_kv_block_auto():
+    B, N, H, D = 1, 200, 2, 32
+    q = _rand((B, N, H, D), 3, jnp.float32)
+    k = _rand((B, N, H, D), 4, jnp.float32)
+    v = _rand((B, N, H, D), 5, jnp.float32)
+    want = attention_xla(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -36,12 +36,17 @@ def parse_args():
     ap.add_argument("--dump-predictions", default=None,
                     help="write per-image predictions JSON (the reference's "
                          "instances_predictions.pth equivalent)")
+    ap.add_argument("--vis-dir", default=None,
+                    help="write pred-vs-GT 3x2 panel JPEGs here")
+    ap.add_argument("--vis-period", type=int, default=50,
+                    help="panel every Nth eval image (reference vis.py:105)")
     ap.add_argument("opts", nargs="*", default=[])
     return ap.parse_args()
 
 
 def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
-                     helper, dataset_name, dump_path=None):
+                     helper, dataset_name, dump_path=None, vis_dir=None,
+                     vis_period=50):
     """Oracle-path inference over a record list, accumulated into the SHARED
     multi-dataset `helper` (reference do_test accumulates every test dataset
     into one Omni3DEvaluationHelper, omni3d_evaluation.py:427-620)."""
@@ -87,6 +92,26 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
             }
             gt = _record_gt(rec)
             helper.add_image(dataset_name, gt, pred, eval_prox=eval_prox)
+            if vis_dir is not None and (n_done + bi) % vis_period == 0:
+                # Pred-vs-GT 3x2 panel every Nth eval image (reference
+                # visualize_from_instances, vis.py:76-296).
+                from ovmono3d_tpu.utils.util import imwrite_rgb
+                from ovmono3d_tpu.vis.draw import pred_vs_gt_panels
+
+                img = image_loader(rec) if image_loader else None
+                if img is None:
+                    img = np.full(
+                        (rec["height"], rec["width"], 3), 255, np.uint8
+                    )
+                panel = pred_vs_gt_panels(
+                    img, np.asarray(rec["K"], np.float64), gt, pred,
+                    class_names=helper.class_names,
+                )
+                imwrite_rgb(
+                    Path(vis_dir)
+                    / f"{dataset_name}_{n_done + bi:06d}.jpg",
+                    panel,
+                )
             if dump_path is not None:
                 b = det.boxes[bi][valid]
                 dumped.append({
@@ -294,11 +319,14 @@ def main():
 
     for name, records in datasets.items():
         logger.info("evaluating %s (%d images)", name, len(records))
+        if args.vis_dir:
+            Path(args.vis_dir).mkdir(parents=True, exist_ok=True)
         evaluate_dataset(
             cfg, model, params, records, image_loader, args.batch_size,
             helper, name,
             dump_path=(f"{args.dump_predictions}_{name}.json"
                        if args.dump_predictions else None),
+            vis_dir=args.vis_dir, vis_period=args.vis_period,
         )
 
     summary = helper.summarize_all()
