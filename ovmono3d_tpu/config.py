@@ -106,8 +106,6 @@ class CubeHeadConfig:
     loss_w_dims: float = 1.0
     loss_w_pose: float = 1.0
     loss_w_joint: float = 1.0
-    z_min: float = 0.01             # decode clamp
-    z_max: float = 300.0
 
 
 @dataclass(frozen=True)
@@ -178,7 +176,9 @@ class DatasetConfig:
     trunc_2d_boxes: bool = True
     data_root: str = "datasets"     # base dir for Omni3D jsons/images
     oracle2d_eval_mode: str = "target_aware"  # target_aware | previous_metric
-    oracle2d_files: dict[str, str] = field(default_factory=dict)
+    # Two-level reference layout {eval_mode: {base|novel: {dataset: path}}}
+    # (reference config.py:41-76); a flat {dataset: path} is also accepted.
+    oracle2d_files: dict[str, Any] = field(default_factory=dict)
     balance_datasets: bool = False
     repeat_threshold: float = 0.0
 
@@ -209,6 +209,19 @@ class Config:
 # Loading / overriding
 # ---------------------------------------------------------------------------
 
+def _set_in_dict(d: dict, path: str, value: Any) -> dict:
+    """Functionally set a dotted path inside a plain-dict config field."""
+    head, _, rest = path.partition(".")
+    d = dict(d)
+    if rest:
+        child = d.get(head)
+        d[head] = _set_in_dict(child if isinstance(child, dict) else {},
+                               rest, value)
+    else:
+        d[head] = value
+    return d
+
+
 def _set_by_path(obj: Any, path: str, value: Any) -> Any:
     """Functionally set a dotted path on a (frozen) dataclass tree."""
     head, _, rest = path.partition(".")
@@ -221,7 +234,12 @@ def _set_by_path(obj: Any, path: str, value: Any) -> Any:
             f"valid: {sorted(names)}"
         )
     if rest:
-        new_child = _set_by_path(getattr(obj, head), rest, value)
+        child = getattr(obj, head)
+        if isinstance(child, dict):
+            # dict-valued leaf fields (e.g. oracle2d_files) accept arbitrary
+            # nested keys, mirroring the reference's CfgNode sub-trees.
+            return dataclasses.replace(obj, **{head: _set_in_dict(child, rest, value)})
+        new_child = _set_by_path(child, rest, value)
         return dataclasses.replace(obj, **{head: new_child})
     current = getattr(obj, head)
     return dataclasses.replace(obj, **{head: _coerce(value, current)})
@@ -286,3 +304,26 @@ def load_config(
 
         cfg = _set_by_path(cfg, key.strip(), yaml.safe_load(value.strip()))
     return cfg
+
+
+def oracle2d_file(ds_cfg: DatasetConfig, dataset: str, cat_mode: str) -> str | None:
+    """Resolve the oracle-2D detection JSON path for a test dataset.
+
+    Implements the reference's two-level lookup
+    `ORACLE2D_FILES[EVAL_MODE][cat_mode][dataset]` keyed on
+    `DATASETS.ORACLE2D_FILES.EVAL_MODE` ('target_aware' | 'previous_metric')
+    and the test category mode (reference config.py:41-76, train_net.py
+    do_test mode). A flat `{dataset: path}` dict is accepted as a
+    convenience; returns None when no file is configured.
+    """
+    files = ds_cfg.oracle2d_files or {}
+    sub = files.get(ds_cfg.oracle2d_eval_mode)
+    if isinstance(sub, dict):
+        mode = cat_mode if cat_mode in ("base", "novel") else "base"
+        per_mode = sub.get(mode)
+        if isinstance(per_mode, dict):
+            path = per_mode.get(dataset)
+            return path if isinstance(path, str) else None
+        return None
+    path = files.get(dataset)
+    return path if isinstance(path, str) else None

@@ -217,6 +217,22 @@ def register_model_categories(
     return mapping
 
 
+def load_category_meta(path: str | Path) -> dict:
+    """Load a category-meta JSON ID map (reference configs/category_meta*.json
+    consumed by train_net.py:404-416): thing_classes plus the
+    dataset-ID -> contiguous-ID mapping with integer keys."""
+    with open(path) as f:
+        meta = json.load(f)
+    id_map = {
+        int(k): int(v)
+        for k, v in meta["thing_dataset_id_to_contiguous_id"].items()
+    }
+    return {
+        "thing_classes": list(meta["thing_classes"]),
+        "thing_dataset_id_to_contiguous_id": id_map,
+    }
+
+
 def merge_oracle2d(
     records: list[dict], oracle_json: str | Path, score_key: str = "score"
 ) -> list[dict]:

@@ -114,11 +114,15 @@ class CNNFPNBackbone(nn.Module):
         return ["p2", "p3", "p4", "p5", "p6"]
 
     def setup(self):
+        from ovmono3d_tpu.models.cnns import DenseNet, MNASNet, ShuffleNetV2
+        from ovmono3d_tpu.models.dla import DLA_PRESETS
         from ovmono3d_tpu.models.resnet import ResNet
 
         name = self.cfg.name
-        if name in ("dla", "dla34"):
-            self.trunk = DLA(name="dla")
+        if name == "dla":
+            name = "dla34"
+        if name in DLA_PRESETS:
+            self.trunk = DLA(name="dla", **DLA_PRESETS[name])
         elif name in ("resnet18", "resnet34"):
             depths = (2, 2, 2, 2) if name == "resnet18" else (3, 4, 6, 3)
             self.trunk = ResNet(depths=depths, bottleneck=False,
@@ -126,6 +130,12 @@ class CNNFPNBackbone(nn.Module):
         elif name in ("resnet", "resnet50", "resnet101"):
             depths = (3, 4, 23, 3) if name == "resnet101" else (3, 4, 6, 3)
             self.trunk = ResNet(depths=depths, name="resnet")
+        elif name in ("densenet", "densenet121"):
+            self.trunk = DenseNet(name="densenet")
+        elif name in ("mnasnet", "mnasnet1_0"):
+            self.trunk = MNASNet(name="mnasnet")
+        elif name in ("shufflenet", "shufflenet_v2"):
+            self.trunk = ShuffleNetV2(name="shufflenet")
         else:
             raise ValueError(f"unknown CNN backbone '{name}'")
         self.fpn = FPN(out_channels=self.cfg.out_channels, name="fpn")
@@ -134,9 +144,12 @@ class CNNFPNBackbone(nn.Module):
         return self.fpn(self.trunk(images))
 
 
+from ovmono3d_tpu.models.dla import DLA_PRESETS as _DLA_PRESETS
+
 _CNN_NAMES = (
-    "dla", "dla34", "resnet", "resnet18", "resnet34", "resnet50",
-    "resnet101",
+    "dla", *_DLA_PRESETS, "resnet", "resnet18", "resnet34", "resnet50",
+    "resnet101", "densenet", "densenet121", "mnasnet", "mnasnet1_0",
+    "shufflenet", "shufflenet_v2",
 )
 
 

@@ -22,6 +22,7 @@ class ConvBN(nn.Module):
     kernel: int = 3
     strides: int = 1
     dtype: Dtype = jnp.float32
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -29,7 +30,7 @@ class ConvBN(nn.Module):
             self.features, (self.kernel, self.kernel),
             strides=(self.strides, self.strides),
             padding=self.kernel // 2, use_bias=False, dtype=self.dtype,
-            name="conv",
+            feature_group_count=self.groups, name="conv",
         )(x)
         return nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -54,6 +55,66 @@ class BasicBlock(nn.Module):
         return nn.relu(out + residual)
 
 
+class DLABottleneck(nn.Module):
+    """1-3-1 bottleneck residual unit (reference dla.py:71-109, expansion 2:
+    bottle width = features // 2)."""
+
+    features: int
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        bottle = self.features // 2
+        out = nn.relu(ConvBN(bottle, 1, 1, self.dtype,
+                             name="conv1")(x, train))
+        out = nn.relu(ConvBN(bottle, 3, self.strides, self.dtype,
+                             name="conv2")(out, train))
+        out = ConvBN(self.features, 1, 1, self.dtype, name="conv3")(
+            out, train
+        )
+        return nn.relu(out + residual)
+
+
+class DLABottleneckX(nn.Module):
+    """ResNeXt-style grouped bottleneck (reference dla.py:112-152:
+    bottle width = features * cardinality / 32, grouped 3x3)."""
+
+    features: int
+    strides: int = 1
+    cardinality: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        bottle = self.features * self.cardinality // 32
+        out = nn.relu(ConvBN(bottle, 1, 1, self.dtype,
+                             name="conv1")(x, train))
+        out = nn.relu(ConvBN(bottle, 3, self.strides, self.dtype,
+                             groups=self.cardinality,
+                             name="conv2")(out, train))
+        out = ConvBN(self.features, 1, 1, self.dtype, name="conv3")(
+            out, train
+        )
+        return nn.relu(out + residual)
+
+
+def _make_block(block: str, features: int, strides: int, cardinality: int,
+                dtype, name: str):
+    if block == "basic":
+        return BasicBlock(features, strides, dtype, name=name)
+    if block == "bottleneck":
+        return DLABottleneck(features, strides, dtype, name=name)
+    if block == "bottleneckx":
+        return DLABottleneckX(features, strides, cardinality, dtype,
+                              name=name)
+    raise ValueError(f"unknown DLA block '{block}'")
+
+
 class Root(nn.Module):
     features: int
     residual: bool = False
@@ -74,6 +135,8 @@ class Tree(nn.Module):
     strides: int = 1
     level_root: bool = False
     root_residual: bool = False
+    block: str = "basic"
+    cardinality: int = 32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -95,31 +158,39 @@ class Tree(nn.Module):
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = BasicBlock(self.features, self.strides, self.dtype,
-                            name="tree1")(x, proj, train)
-            x2 = BasicBlock(self.features, 1, self.dtype,
-                            name="tree2")(x1, None, train)
+            x1 = _make_block(self.block, self.features, self.strides,
+                             self.cardinality, self.dtype,
+                             name="tree1")(x, proj, train)
+            x2 = _make_block(self.block, self.features, 1,
+                             self.cardinality, self.dtype,
+                             name="tree2")(x1, None, train)
             return Root(self.features, self.root_residual, self.dtype,
                         name="root")([x2, x1] + children, train)
         x1 = Tree(
             self.levels - 1, self.features, self.strides,
-            root_residual=self.root_residual, dtype=self.dtype, name="tree1",
+            root_residual=self.root_residual, block=self.block,
+            cardinality=self.cardinality, dtype=self.dtype, name="tree1",
         )(x, None, None, train)
         children.append(x1)
         return Tree(
             self.levels - 1, self.features, 1,
-            root_residual=self.root_residual, dtype=self.dtype, name="tree2",
+            root_residual=self.root_residual, block=self.block,
+            cardinality=self.cardinality, dtype=self.dtype, name="tree2",
         )(x1, None, children, train)
 
 
 class DLA(nn.Module):
     """DLA trunk; returns {'p2': /4 ... 'p6': /64} raw stage features
     (channels 64/128/256/512/512 for DLA-34 with the extra p6 maxpool, as in
-    the reference DLABackbone p2-p6, dla.py:417-484)."""
+    the reference DLABackbone p2-p6, dla.py:417-484). `block` selects the
+    residual unit family (basic | bottleneck | bottleneckx) covering the
+    dla34..dla169 variants (reference dla.py:312-414)."""
 
     levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     root_residual: bool = False
+    block: str = "basic"
+    cardinality: int = 32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -130,24 +201,56 @@ class DLA(nn.Module):
         # level1: stride 2 conv
         x = nn.relu(ConvBN(ch[1], 3, 2, self.dtype, name="level1")(x, train))
         out = {}
+        kw = dict(root_residual=self.root_residual, block=self.block,
+                  cardinality=self.cardinality, dtype=self.dtype)
         x = Tree(self.levels[2], ch[2], 2, level_root=False,
-                 root_residual=self.root_residual, dtype=self.dtype,
-                 name="level2")(x, train=train)
+                 name="level2", **kw)(x, train=train)
         out["p2"] = x          # stride 4
         x = Tree(self.levels[3], ch[3], 2, level_root=True,
-                 root_residual=self.root_residual, dtype=self.dtype,
-                 name="level3")(x, train=train)
+                 name="level3", **kw)(x, train=train)
         out["p3"] = x          # stride 8
         x = Tree(self.levels[4], ch[4], 2, level_root=True,
-                 root_residual=self.root_residual, dtype=self.dtype,
-                 name="level4")(x, train=train)
+                 name="level4", **kw)(x, train=train)
         out["p4"] = x          # stride 16
         x = Tree(self.levels[5], ch[5], 2, level_root=True,
-                 root_residual=self.root_residual, dtype=self.dtype,
-                 name="level5")(x, train=train)
+                 name="level5", **kw)(x, train=train)
         out["p5"] = x          # stride 32
         out["p6"] = nn.max_pool(x, (2, 2), strides=(2, 2))  # stride 64
         return out
+
+
+# Variant presets (reference dla.py:312-414).
+DLA_PRESETS: dict[str, dict[str, Any]] = {
+    "dla34": dict(levels=(1, 1, 1, 2, 2, 1),
+                  channels=(16, 32, 64, 128, 256, 512), block="basic"),
+    "dla46_c": dict(levels=(1, 1, 1, 2, 2, 1),
+                    channels=(16, 32, 64, 64, 128, 256), block="bottleneck"),
+    "dla46x_c": dict(levels=(1, 1, 1, 2, 2, 1),
+                     channels=(16, 32, 64, 64, 128, 256),
+                     block="bottleneckx"),
+    "dla60x_c": dict(levels=(1, 1, 1, 2, 3, 1),
+                     channels=(16, 32, 64, 64, 128, 256),
+                     block="bottleneckx"),
+    "dla60": dict(levels=(1, 1, 1, 2, 3, 1),
+                  channels=(16, 32, 128, 256, 512, 1024),
+                  block="bottleneck"),
+    "dla60x": dict(levels=(1, 1, 1, 2, 3, 1),
+                   channels=(16, 32, 128, 256, 512, 1024),
+                   block="bottleneckx"),
+    "dla102": dict(levels=(1, 1, 1, 3, 4, 1),
+                   channels=(16, 32, 128, 256, 512, 1024),
+                   block="bottleneck", root_residual=True),
+    "dla102x": dict(levels=(1, 1, 1, 3, 4, 1),
+                    channels=(16, 32, 128, 256, 512, 1024),
+                    block="bottleneckx", root_residual=True),
+    "dla102x2": dict(levels=(1, 1, 1, 3, 4, 1),
+                     channels=(16, 32, 128, 256, 512, 1024),
+                     block="bottleneckx", cardinality=64,
+                     root_residual=True),
+    "dla169": dict(levels=(1, 1, 2, 3, 5, 1),
+                   channels=(16, 32, 128, 256, 512, 1024),
+                   block="bottleneck", root_residual=True),
+}
 
 
 class FPN(nn.Module):

@@ -30,13 +30,19 @@ def train(
     checkpointer: SingleCheckpointer | None = None,
     hooks: list[Callable] | None = None,
     eval_fn: Callable | None = None,
+    data_iter_factory: Callable[[int], Iterator] | None = None,
 ):
     """Run up to cfg.solver.max_iter steps with restart-on-divergence.
 
     `data_iter` yields sharded batch dicts. Returns the final state.
-    Restart semantics (train_net.py:296-325): if skipped-update fraction
-    since the last checkpoint >= cfg.model.stabilize after at least half a
-    checkpoint period, reload `model_recent` and retry (bounded attempts).
+    Restart semantics (train_net.py:296-325, 426-473 — full teardown): if
+    the skipped-update fraction since the last checkpoint >=
+    cfg.model.stabilize after at least half a checkpoint period, reload
+    `model_recent` — or, when no checkpoint exists yet, restore the INITIAL
+    state (the reference re-enters do_train, which resume_or_load()s back to
+    the pretrain weights) — and rebuild the data stream via
+    `data_iter_factory(attempt)` so the retry sees a fresh shuffle order
+    (the reference rebuilds the loader + worker processes).
     `eval_fn(state) -> dict` runs every cfg.test.eval_period steps (periodic
     in-train evaluation, reference train_net.py:329-339).
     """
@@ -46,6 +52,11 @@ def train(
     eval_period = getattr(cfg.test, "eval_period", 0)
     last_ckpt_step = int(state.step)
     last_ckpt_skipped = int(state.skipped)
+    # Host copy of the entry state: the restart target until the first
+    # checkpoint lands (only needed when stabilization is on).
+    init_host_state = (
+        jax.device_get(state) if cfg.model.stabilize > 0 else None
+    )
 
     while int(state.step) < solver.max_iter:
         t0 = time.time()
@@ -76,6 +87,13 @@ def train(
                 raise RuntimeError("exceeded max training attempts")
             if checkpointer is not None and checkpointer.has():
                 state = checkpointer.load(state)
+            elif init_host_state is not None:
+                # No checkpoint yet: back to the initial weights/optimizer,
+                # not the diverged ones (reference do_train re-entry). Host
+                # arrays re-shard on the next jitted step like a restore.
+                state = init_host_state
+            if data_iter_factory is not None:
+                data_iter = data_iter_factory(attempts)
             last_ckpt_step = int(state.step)
             last_ckpt_skipped = int(state.skipped)
             continue

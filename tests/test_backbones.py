@@ -157,3 +157,58 @@ def test_resnet_variants():
         assert out["p6"].shape == (1, 1, 1, 32)
         for v in out.values():
             assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_densenet_mnasnet_shufflenet_trunks():
+    """Trunk channel/stride parity with the reference wrappers
+    (densenet.py:19, mnasnet.py:20, shufflenet.py:22)."""
+    from ovmono3d_tpu.models.cnns import DenseNet, MNASNet, ShuffleNetV2
+
+    want = {
+        DenseNet: {"p2": 256, "p3": 512, "p4": 1024, "p5": 1024, "p6": 1024},
+        MNASNet: {"p2": 24, "p3": 40, "p4": 96, "p5": 320, "p6": 320},
+        ShuffleNetV2: {"p2": 24, "p3": 116, "p4": 232, "p5": 464, "p6": 464},
+    }
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    for cls, channels in want.items():
+        trunk = cls()
+        variables = jax.jit(trunk.init)(jax.random.PRNGKey(0), img)
+        out = jax.jit(trunk.apply)(variables, img)
+        assert set(out) == set(channels), cls.__name__
+        for i, (name, ch) in enumerate(sorted(channels.items())):
+            size = 64 // (4 * 2**i)
+            assert out[name].shape == (1, size, size, ch), (
+                cls.__name__, name, out[name].shape)
+            assert np.all(np.isfinite(np.asarray(out[name])))
+
+
+def test_dla_variant_presets():
+    """Bottleneck/BottleneckX DLA variants (reference dla.py:312-414) build
+    and keep the p2-p6 contract."""
+    from ovmono3d_tpu.models.dla import DLA, DLA_PRESETS
+
+    assert set(DLA_PRESETS) >= {
+        "dla34", "dla46_c", "dla46x_c", "dla60", "dla60x", "dla102",
+        "dla102x2", "dla169",
+    }
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    for name, p5_ch in (("dla46_c", 256), ("dla60", 1024), ("dla102", 1024)):
+        trunk = DLA(**DLA_PRESETS[name])
+        variables = jax.jit(trunk.init)(jax.random.PRNGKey(0), img)
+        out = jax.jit(trunk.apply)(variables, img)
+        assert out["p2"].shape[1:3] == (16, 16), name
+        assert out["p5"].shape == (1, 2, 2, p5_ch), name
+        assert out["p6"].shape == (1, 1, 1, p5_ch), name
+        assert np.all(np.isfinite(np.asarray(out["p5"])))
+
+
+def test_cnn_fpn_backbone_new_families():
+    for name in ("densenet", "mnasnet", "shufflenet"):
+        cfg = BackboneConfig(name=name, out_channels=16)
+        model = build_backbone(cfg)
+        img = jnp.zeros((1, 64, 64, 3))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+        out = jax.jit(model.apply)(variables, img)
+        assert model.strides == [4, 8, 16, 32, 64]
+        assert out["p2"].shape == (1, 16, 16, 16)
+        assert out["p6"].shape == (1, 1, 1, 16)

@@ -50,6 +50,89 @@ def test_config_unknown_key_raises():
         load_config(None, overrides=["model.not_a_key=1"])
 
 
+def test_oracle2d_two_level_lookup(tmp_path):
+    """ORACLE2D_FILES[eval_mode][cat_mode][dataset] (ref config.py:41-76)."""
+    from ovmono3d_tpu.config import oracle2d_file
+
+    yml = tmp_path / "cfg.yaml"
+    yml.write_text(
+        "datasets:\n"
+        "  oracle2d_files:\n"
+        "    target_aware:\n"
+        "      base: {Objectron_test: gdino_objectron_base_oracle_2d.json}\n"
+        "      novel: {KITTI_test_novel: gdino_kitti_novel_oracle_2d.json}\n"
+        "    previous_metric:\n"
+        "      base: {Objectron_test: gdino_previous_eval_objectron.json}\n"
+        "      novel: {}\n"
+    )
+    cfg = load_config(yml)
+    ds = cfg.datasets
+    assert oracle2d_file(ds, "Objectron_test", "base") == (
+        "gdino_objectron_base_oracle_2d.json")
+    assert oracle2d_file(ds, "KITTI_test_novel", "novel") == (
+        "gdino_kitti_novel_oracle_2d.json")
+    assert oracle2d_file(ds, "KITTI_test_novel", "base") is None
+    # EVAL_MODE switches the whole table (previous_metric prefix files).
+    cfg2 = load_config(
+        yml, overrides=["datasets.oracle2d_eval_mode=previous_metric"])
+    assert oracle2d_file(cfg2.datasets, "Objectron_test", "base") == (
+        "gdino_previous_eval_objectron.json")
+    assert oracle2d_file(cfg2.datasets, "KITTI_test_novel", "novel") is None
+    # Dotted CLI overrides reach into the dict sub-tree.
+    cfg3 = load_config(
+        yml,
+        overrides=["datasets.oracle2d_files.target_aware.base.SUNRGBD_test=x.json"],
+    )
+    assert oracle2d_file(cfg3.datasets, "SUNRGBD_test", "base") == "x.json"
+    assert oracle2d_file(cfg3.datasets, "Objectron_test", "base") == (
+        "gdino_objectron_base_oracle_2d.json")
+    # Flat {dataset: path} convenience form still resolves.
+    flat = load_config(
+        None, overrides=["datasets.oracle2d_files.Objectron_test=y.json"])
+    assert oracle2d_file(flat.datasets, "Objectron_test", "base") == "y.json"
+
+
+def test_shipped_variant_configs_load():
+    """The four foundation-backbone variant YAMLs (reference
+    configs/OVMono3D_{clip,mae,midas,sam}_SFP.yaml) parse and carry the
+    1024-pad 4-level surface."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "configs"
+    for name, embed in (("clip", 768), ("mae", 768), ("midas", 1024),
+                        ("sam", 768)):
+        cfg = load_config(root / f"OVMono3D_{name}_SFP.yaml")
+        bb = cfg.model.backbone
+        assert bb.name == name
+        assert bb.embed_dim == embed
+        assert bb.square_pad == 1024
+        assert bb.scale_factors == (4.0, 2.0, 1.0, 0.5)
+        assert cfg.model.rpn.in_features == ("p2", "p3", "p4", "p5")
+        assert cfg.model.num_classes == 50
+        assert len(cfg.datasets.train) == 12
+        assert len(cfg.datasets.category_names) == 50
+        assert cfg.input.max_size_test == 1024
+
+
+def test_category_meta_jsons():
+    """Shipped category-meta ID maps (reference configs/category_meta*.json)."""
+    from pathlib import Path
+
+    from ovmono3d_tpu.data.datasets import load_category_meta
+
+    root = Path(__file__).resolve().parent.parent / "configs"
+    for fname, n in (("category_meta.json", 97), ("category_meta50.json", 50),
+                     ("category_objectron.json", 9)):
+        meta = load_category_meta(root / fname)
+        assert len(meta["thing_classes"]) == n
+        id_map = meta["thing_dataset_id_to_contiguous_id"]
+        assert len(id_map) == n
+        assert all(isinstance(k, int) for k in id_map)
+        assert sorted(id_map.values()) == list(range(n))
+    objectron = load_category_meta(root / "category_objectron.json")
+    assert objectron["thing_classes"][:3] == ["bicycle", "books", "bottle"]
+
+
 def test_builtin_categories():
     assert len(get_omni3d_categories("omni3d")) == 50
     assert len(get_omni3d_categories("omni3d_in")) == 38

@@ -36,6 +36,73 @@ def test_linear_ramp_is_recovered():
     np.testing.assert_allclose(out, np.tile(want, (4, 1)), atol=1e-4)
 
 
+def _roi_align_v2_numpy(feat, boxes, spatial_scale, resolution, sampling_ratio):
+    """Scalar-loop ROIAlignV2 (torchvision `aligned=True` semantics).
+
+    Independent of the package's separable-matmul formulation: literal
+    translation of the sampling rule (continuous coords offset by -0.5,
+    sampling_ratio x sampling_ratio grid per bin, border-clamped bilinear,
+    zero outside [-1, size]). Reference: detectron2 ROIAlignV2 as configured
+    by /root/reference/configs/Base.yaml POOLER_TYPE 'ROIAlignV2'.
+    """
+    H, W, C = feat.shape
+    out = np.zeros((len(boxes), resolution, resolution, C), np.float32)
+
+    def bilinear(y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return np.zeros(C, np.float32)
+        y = min(max(y, 0.0), H - 1)
+        x = min(max(x, 0.0), W - 1)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+        ly, lx = y - y0, x - x0
+        return ((1 - ly) * (1 - lx) * feat[y0, x0]
+                + (1 - ly) * lx * feat[y0, x1]
+                + ly * (1 - lx) * feat[y1, x0]
+                + ly * lx * feat[y1, x1])
+
+    for b, (x1, y1, x2, y2) in enumerate(boxes):
+        sy = y1 * spatial_scale - 0.5
+        sx = x1 * spatial_scale - 0.5
+        bh = (y2 - y1) * spatial_scale / resolution
+        bw = (x2 - x1) * spatial_scale / resolution
+        g = sampling_ratio
+        for ph in range(resolution):
+            for pw in range(resolution):
+                acc = np.zeros(C, np.float32)
+                for iy in range(g):
+                    for ix in range(g):
+                        acc += bilinear(sy + ph * bh + (iy + 0.5) * bh / g,
+                                        sx + pw * bw + (ix + 0.5) * bw / g)
+                out[b, ph, pw] = acc / (g * g)
+    return out
+
+
+def test_matches_independent_numpy_reference():
+    rng = np.random.RandomState(0)
+    feat = rng.randn(24, 24, 16).astype(np.float32)
+    boxes = np.array(
+        [[2.0, 3.0, 18.0, 20.0], [0.5, 0.5, 10.0, 8.0], [5.0, 5.0, 23.0, 23.0]],
+        np.float32,
+    )
+    want = _roi_align_v2_numpy(feat, boxes, 1.0, 7, sampling_ratio=2)
+    got = roi_align(jnp.asarray(feat), jnp.asarray(boxes),
+                    stride=1, resolution=7, sampling_ratio=2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_matches_independent_numpy_reference_with_stride():
+    rng = np.random.RandomState(1)
+    feat = rng.randn(16, 16, 4).astype(np.float32)
+    # Image-coordinate boxes, one partially out of bounds at stride 4.
+    boxes = np.array([[8.0, 8.0, 56.0, 48.0], [-4.0, 2.0, 30.0, 70.0]],
+                     np.float32)
+    want = _roi_align_v2_numpy(feat, boxes, 0.25, 7, sampling_ratio=2)
+    got = roi_align(jnp.asarray(feat), jnp.asarray(boxes),
+                    stride=4, resolution=7, sampling_ratio=2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
 def test_matches_torchvision_roialign():
     torch = pytest.importorskip("torch")
     tv = pytest.importorskip("torchvision")

@@ -123,6 +123,58 @@ def test_skip_on_nonfinite_batch(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_restart_restores_initial_state_and_rebuilds_iterator():
+    """Divergence before any checkpoint must restore the INITIAL state (not
+    keep diverged weights) and pull a fresh data stream
+    (reference train_net.py:296-325 full teardown)."""
+    import itertools
+
+    from ovmono3d_tpu.config import Config, load_config
+    from ovmono3d_tpu.train.loop import train
+
+    cfg = load_config(None, overrides=[
+        "model.stabilize=0.5", "solver.max_iter=6",
+        "solver.checkpoint_period=2", "solver.max_training_attempts=5",
+        "test.eval_period=0",
+    ])
+
+    from flax import struct
+
+    @struct.dataclass
+    class S:
+        params: jax.Array
+        step: jax.Array
+        skipped: jax.Array
+
+    state0 = S(params=jnp.zeros(()), step=jnp.zeros((), jnp.int32),
+               skipped=jnp.zeros((), jnp.int32))
+    made_iters = []
+
+    def factory(attempt):
+        made_iters.append(attempt)
+        return itertools.count()
+
+    calls = {"n": 0}
+
+    def step_fn(state, batch):
+        calls["n"] += 1
+        diverge = calls["n"] <= 2   # first two steps skip -> restart
+        return S(
+            params=state.params + 1.0,          # drift to detect restore
+            step=state.step + 1,
+            skipped=state.skipped + jnp.int32(diverge),
+        ), {"total_loss": jnp.zeros(())}
+
+    final = train(cfg, state0, step_fn, iter(itertools.count()),
+                  checkpointer=None, data_iter_factory=factory)
+    # One restart happened (2 skipped of first 2 >= 0.5 after period//2=1).
+    assert made_iters, "data_iter_factory never invoked on restart"
+    # After restore, training re-ran max_iter steps from the initial state:
+    # params counts only post-restart steps.
+    assert int(final.step) == 6
+    assert float(final.params) == 6.0 - 0.0  # restored to 0 then +1 per step
+
+
 def test_optimizer_types():
     import jax.numpy as jnp
 

@@ -6,7 +6,9 @@ Usage:
   python tools/eval_net.py --config-file configs/OVMono3D_dinov2_SFP.yaml \
       [--checkpoint output/model_recent] [--synthetic] [key=value ...]
 
-Per test dataset: merge the oracle 2D JSON (datasets.oracle2d_files[name]),
+Per test dataset: merge the oracle 2D JSON
+(datasets.oracle2d_files[eval_mode][cat_mode][name], reference
+config.py:41-76),
 run the oracle inference path, and feed the Omni3D evaluator (2D + 3D modes
 with the fixed exact-3D-IoU dispatch). `--synthetic` self-checks the loop by
 evaluating the model on generated data.
@@ -40,6 +42,11 @@ def parse_args():
                     help="write pred-vs-GT 3x2 panel JPEGs here")
     ap.add_argument("--vis-period", type=int, default=50,
                     help="panel every Nth eval image (reference vis.py:105)")
+    ap.add_argument("--category-meta", default=None,
+                    help="category-meta JSON (configs/category_meta*.json) "
+                         "providing the model's class names/ID map, as the "
+                         "reference eval registers from category_objectron"
+                         ".json (train_net.py:404-416)")
     ap.add_argument("opts", nargs="*", default=[])
     return ap.parse_args()
 
@@ -217,9 +224,14 @@ def main():
     )
 
     cfg = load_config(args.config_file, overrides=args.opts)
-    class_names = list(cfg.datasets.category_names) or [
-        str(i) for i in range(cfg.model.num_classes)
-    ]
+    if args.category_meta:
+        from ovmono3d_tpu.data.datasets import load_category_meta
+
+        class_names = load_category_meta(args.category_meta)["thing_classes"]
+    else:
+        class_names = list(cfg.datasets.category_names) or [
+            str(i) for i in range(cfg.model.num_classes)
+        ]
 
     model = build_model(cfg.model)
     S = cfg.model.backbone.square_pad
@@ -291,7 +303,9 @@ def main():
             json_path = Path(cfg.datasets.data_root) / "Omni3D" / f"{name}.json"
             simple_register(name, json_path, fs, cat_map)
             recs = get_dataset(name)
-            oracle_path = cfg.datasets.oracle2d_files.get(name)
+            from ovmono3d_tpu.config import oracle2d_file
+
+            oracle_path = oracle2d_file(cfg.datasets, name, mode)
             if cfg.test.oracle2d and oracle_path:
                 recs = merge_oracle2d(recs, oracle_path)
             datasets[name] = recs

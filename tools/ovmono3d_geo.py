@@ -258,7 +258,10 @@ def main():
         json_path = Path(cfg.datasets.data_root) / "Omni3D" / f"{name}.json"
         simple_register(name, json_path, fs, cat_map)
         records = get_dataset(name)
-        oracle_path = cfg.datasets.oracle2d_files.get(name)
+        from ovmono3d_tpu.config import oracle2d_file
+
+        # GEO runs on the novel split (reference ovmono3d_geo.py:261-264).
+        oracle_path = oracle2d_file(cfg.datasets, name, "novel")
         if oracle_path:
             records = merge_oracle2d(records, oracle_path)
         preds_all = {}

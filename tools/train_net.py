@@ -171,11 +171,16 @@ def main():
         cfg, solver=dataclasses.replace(cfg.solver, max_iter=max_iter)
     )
 
-    data = build_train_iterator(
-        cfg, records, batch_size, image_loader=image_loader,
-        seed=cfg.seed,
-    )
-    sharded = (shard_batch(mesh, b) for b in data)
+    def make_data_iter(attempt: int = 0):
+        # Fresh producers + shuffle stream per restart attempt (the
+        # reference rebuilds loader/worker processes, train_net.py:296-325).
+        data = build_train_iterator(
+            cfg, records, batch_size, image_loader=image_loader,
+            seed=cfg.seed + 1000 * attempt,
+        )
+        return (shard_batch(mesh, b) for b in data)
+
+    sharded = make_data_iter()
 
     from ovmono3d_tpu.train.metrics import (
         MetricsWriter,
@@ -225,7 +230,8 @@ def main():
         max_iter, batch_size, n_dev,
     )
     state = train(cfg, state, step_fn, sharded, checkpointer=ckpt,
-                  hooks=hooks, eval_fn=eval_fn)
+                  hooks=hooks, eval_fn=eval_fn,
+                  data_iter_factory=make_data_iter)
     logger.info("done at step %d (skipped %d)", int(state.step),
                 int(state.skipped))
 
