@@ -32,6 +32,11 @@ def parse_args():
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--tensorboard", action="store_true")
+    ap.add_argument("--trunk-ckpt", default=None,
+                    help="torch CNN-trunk checkpoint (DLA model-zoo or "
+                         "torchvision resnet/densenet/mnasnet/shufflenet) — "
+                         "converted + grafted, the reference's "
+                         "pretrained=True ImageNet load (dla.py:300-310)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of steps 10-15")
     ap.add_argument("opts", nargs="*", default=[])
@@ -154,6 +159,12 @@ def main():
         jnp.full((1, 2), S, jnp.int32),
         jnp.ones((1,)),
     )
+    if args.trunk_ckpt:
+        from ovmono3d_tpu.utils.cnn_convert import load_cnn_trunk
+
+        params = load_cnn_trunk(params, args.trunk_ckpt,
+                                cfg.model.backbone.name)
+        logger.info("loaded CNN trunk weights from %s", args.trunk_ckpt)
     tx = build_optimizer(cfg.solver, params)
     if cfg.model.backbone.freeze:
         tx = apply_freeze(tx, freeze_backbone_mask(params))
