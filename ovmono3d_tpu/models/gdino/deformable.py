@@ -44,9 +44,73 @@ def deformable_attention_core(
         # grid_sample align_corners=False: x_pix = x_norm * W - 0.5.
         x = loc[..., 0] * w - 0.5
         y = loc[..., 1] * h - 0.5
-        sampled = _bilinear_hw(v, x, y)            # [B, Q, H, P, D]
+        if h * w <= _MATMUL_MAX_SIZE:
+            sampled = _bilinear_matmul(v, x, y)    # [B, Q, H, P, D]
+        else:
+            sampled = _bilinear_hw(v, x, y)
         out = out + jnp.sum(sampled * wgt[..., None], axis=3)
     return out.reshape(B, Q, H * D)
+
+
+# h*w threshold below which separable one-hot matmul sampling beats the
+# 2x2-window gather (v5e, tools/probe_level_costs.py: per encoder layer
+# 25^2 level 10.3 -> 6.9 ms, 13^2 level 9.9 -> 4.4 ms at Precision.HIGHEST
+# i.e. f32-exact; the 50^2 level loses, gathers stay).
+_MATMUL_MAX_SIZE = 1024
+
+
+def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
+                     chunk: int = 2048) -> jax.Array:
+    """Bilinear sample small-level tables via separable one-hot matmuls.
+
+    Same contract as _bilinear_hw. wy[t, :] carries (1-ly) at row y0 and ly
+    at row y0+1 built from the UNCLIPPED corner indices, so out-of-bounds
+    corners contribute exactly zero (grid_sample zero padding); the row
+    matmul then column reduction touch every table row, turning the
+    gather's per-row-segment DMA cost into MXU work — a win when the table
+    is tiny. Precision.HIGHEST keeps the f32 dot exact (max err ~2e-7 vs
+    the gather path). Queries are processed in `chunk`-sized scan steps so
+    the [chunk, w, D] row intermediate stays VMEM-sized.
+    """
+    B, h, w, H, D = v.shape
+    Q, P = x.shape[1], x.shape[3]
+    vt = v.transpose(0, 3, 1, 2, 4).reshape(B, H, h, w * D)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    iy = jnp.arange(h)
+    ix = jnp.arange(w)
+    wy = (jnp.where(iy == y0i[..., None], (1 - ly)[..., None], 0.0)
+          + jnp.where(iy == y0i[..., None] + 1, ly[..., None], 0.0))
+    wx = (jnp.where(ix == x0i[..., None], (1 - lx)[..., None], 0.0)
+          + jnp.where(ix == x0i[..., None] + 1, lx[..., None], 0.0))
+    wy = wy.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * P, h)
+    wx = wx.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * P, w)
+
+    nt = Q * P
+    pad = (-nt) % chunk
+    wy = jnp.pad(wy, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    wx = jnp.pad(wx, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nc = (nt + pad) // chunk
+    wy = wy.reshape(B, H, nc, chunk, h).transpose(2, 0, 1, 3, 4)
+    wx = wx.reshape(B, H, nc, chunk, w).transpose(2, 0, 1, 3, 4)
+
+    def one_chunk(carry, ws):
+        wyc, wxc = ws  # [B, H, c, h], [B, H, c, w]
+        rows = jax.lax.dot_general(
+            wyc, vt, (((3,), (2,)), ((0, 1), (0, 1))),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(B, H, chunk, w, D)
+        return carry, jnp.sum(rows * wxc[..., None], axis=3)
+
+    _, outs = jax.lax.scan(one_chunk, 0, (wy, wx))   # [nc, B, H, c, D]
+    outs = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, nc * chunk, D)
+    return outs[:, :, :nt].reshape(B, H, Q, P, D).transpose(0, 2, 1, 3, 4)
 
 
 def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:

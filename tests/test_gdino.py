@@ -109,6 +109,34 @@ def test_deformable_multilevel_weights():
                                atol=1e-5)
 
 
+def test_deformable_matmul_path_matches_gather_path():
+    """The small-level separable-matmul sampler must match the window-gather
+    sampler bit-tightly (both implement grid_sample align_corners=False with
+    zero padding), including out-of-bounds and edge-straddling points."""
+    from ovmono3d_tpu.models.gdino.deformable import (
+        _bilinear_hw,
+        _bilinear_matmul,
+    )
+
+    rng = np.random.RandomState(0)
+    for (h, w) in ((25, 25), (13, 13), (5, 9), (1, 7)):
+        v = jnp.asarray(rng.rand(1, h, w, 2, 8), jnp.float32)
+        x = jnp.asarray(rng.rand(1, 300, 2, 4) * (w * 1.2) - 0.1 * w,
+                        jnp.float32)
+        y = jnp.asarray(rng.rand(1, 300, 2, 4) * (h * 1.2) - 0.1 * h,
+                        jnp.float32)
+        got = np.asarray(jax.jit(_bilinear_matmul)(v, x, y))
+        if h >= 2 and w >= 2:
+            want = np.asarray(jax.jit(_bilinear_hw)(v, x, y))
+        else:
+            from ovmono3d_tpu.models.gdino.deformable import (
+                _bilinear_hw_corners,
+            )
+
+            want = np.asarray(jax.jit(_bilinear_hw_corners)(v, x, y))
+        np.testing.assert_allclose(got, want, atol=5e-7, err_msg=f"{h}x{w}")
+
+
 def test_reference_points():
     refs = make_reference_points([(2, 2), (1, 1)])
     assert refs.shape == (5, 2, 2)
