@@ -50,6 +50,86 @@ def test_train_cli_priors_cluster_decode_and_intrain_eval(
                for r in caplog.records), "periodic eval did not run"
 
 
+def test_train_cli_resume(monkeypatch, tmp_path, caplog):
+    """--resume picks up params+optimizer+step from output_dir/model_recent
+    (reference resume_or_load, train_net.py:151-168)."""
+    from tools import train_net
+
+    base = [
+        "train_net.py", "--synthetic", "--batch-size", "8",
+        *TINY,
+        "test.eval_period=0",
+        "solver.checkpoint_period=2",
+        f"output_dir={tmp_path}",
+    ]
+    monkeypatch.setattr(sys, "argv", [*base, "--max-iter", "2"])
+    train_net.main()
+    assert (tmp_path / "model_recent").exists()
+    monkeypatch.setattr(sys, "argv", [*base, "--max-iter", "4", "--resume"])
+    with caplog.at_level(logging.INFO):
+        train_net.main()
+    assert any("resumed from" in r.getMessage() and "at step 2" in
+               r.getMessage() for r in caplog.records)
+
+
+def test_train_cli_eval_only_delegates(monkeypatch, capsys, tmp_path):
+    """train_net --eval-only runs the oracle evaluation (reference
+    train_net.py:403-452 --eval-only -> do_test)."""
+    from tools import train_net
+
+    monkeypatch.setattr(sys, "argv", [
+        "train_net.py", "--eval-only", "--synthetic",
+        *TINY,
+        f"output_dir={tmp_path}",
+    ])
+    train_net.main()
+    out = capsys.readouterr().out
+    assert "overall (all test datasets merged)" in out
+
+
+def test_demo_cli_smoke(monkeypatch, tmp_path):
+    """demo.py runs end-to-end on a folder of images: focal heuristic,
+    prompt-local vocab fallback, GDINO->cube pipeline, rendered panels
+    (reference demo/demo.py flow, SURVEY.md §3.3). GDINO is shrunk via a
+    wrapped build so the test is CPU-sized; the CLI logic is unchanged."""
+    import numpy as np
+
+    from ovmono3d_tpu.models.ovmono3d import OVMono3DLift
+    from ovmono3d_tpu.utils.util import imwrite_rgb
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    imwrite_rgb(img_dir / "a.jpg", (rng.rand(96, 128, 3) * 255).astype(np.uint8))
+
+    tiny_gdino = dict(
+        hidden_dim=32, nheads=2, enc_layers=1, dec_layers=1, num_queries=16,
+        enc_points=2, dec_points=2, max_text_len=32, ffn_dim=64,
+        swin_embed_dim=8, swin_depths=(1, 1, 1, 1), swin_heads=(1, 2, 4, 8),
+        swin_window=4, bert_layers=1,
+    )
+    real_build = OVMono3DLift.build.__func__
+
+    def tiny_build(cls, cfg, tok, **kw):
+        kw["gdino_kwargs"] = tiny_gdino
+        kw["gdino_size"] = 64
+        return real_build(cls, cfg, tok, **kw)
+
+    monkeypatch.setattr(OVMono3DLift, "build", classmethod(tiny_build))
+
+    from tools import demo
+
+    out_dir = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "demo.py", "--input-folder", str(img_dir),
+        "--labels", "chair,cup", "--output-dir", str(out_dir),
+        *TINY,
+    ])
+    demo.main()
+    outs = list(out_dir.glob("*"))
+    assert outs, "demo wrote no output images"
+
+
 def test_eval_cli_multi_dataset_merge(monkeypatch, capsys, tmp_path):
     """--synthetic eval runs TWO datasets through ONE shared helper and
     prints the merged overall table + analysis rollup."""

@@ -26,7 +26,15 @@ import numpy as np
 def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config-file", default=None)
-    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training, run the oracle-protocol evaluation "
+                         "(delegates to tools/eval_net.py — reference "
+                         "train_net.py:403-452)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from output_dir/model_recent if present "
+                         "(reference resume_or_load, train_net.py:151-168)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="with --eval-only: orbax checkpoint to evaluate")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on generated data (smoke test)")
     ap.add_argument("--max-iter", type=int, default=None)
@@ -87,6 +95,22 @@ def main():
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
     )
+
+    if args.eval_only:
+        # Delegate to the evaluation CLI (reference train_net.py:403-452
+        # dispatches --eval-only to do_test with the same config/opts).
+        from tools import eval_net
+
+        argv = ["eval_net.py"]
+        if args.config_file:
+            argv += ["--config-file", args.config_file]
+        if args.synthetic:
+            argv += ["--synthetic"]
+        if args.checkpoint:
+            argv += ["--checkpoint", args.checkpoint]
+        argv += list(args.opts)
+        sys.argv = argv
+        return eval_net.main()
 
     import jax
 
@@ -174,6 +198,12 @@ def main():
     )
 
     ckpt = SingleCheckpointer(cfg.output_dir)
+    if args.resume and ckpt.has():
+        # resume_or_load semantics (reference train_net.py:151-168): pick up
+        # params + optimizer + step from the rolling checkpoint.
+        state = ckpt.load(state)
+        logger.info("resumed from %s/model_recent at step %d",
+                    cfg.output_dir, int(state.step))
 
     max_iter = args.max_iter or cfg.solver.max_iter
     import dataclasses
