@@ -20,23 +20,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/ovmono3d_jax_cache")
 
 
 def bench(fn, feed, probe, iters=15, rounds=4, label=""):
-    """fn(x) -> pytree; probe(out) -> scalar array for the chain."""
-    print(f"[compiling] {label}", flush=True)
-    out = fn(feed)
-    float(np.asarray(probe(out)))
+    """In-graph chained iterations (tools/bench_util.py protocol)."""
+    from tools.bench_util import bench_loop
 
-    def rt():
-        t0 = time.perf_counter()
-        x = feed
-        for _ in range(iters):
-            out = fn(x)
-            x = feed + probe(out) * 1e-9
-        float(np.asarray(probe(out)))
-        return (time.perf_counter() - t0) / iters
-
-    best = min(rt() for _ in range(rounds))
-    print(f"{label}: {best*1e3:.2f} ms")
-    return best
+    return bench_loop(fn, feed, probe, iters=iters, rounds=rounds,
+                      label=label)
 
 
 def main():

@@ -25,24 +25,12 @@ B, H, D, L, P = 1, 8, 32, 4, 4
 
 
 def bench(fn, value, loc, wgt, n_rounds=6, iters=20, label=""):
-    """Chained data dependency + forced host read, best-of-N rounds
-    (bench.py protocol — block_until_ready lies through the tunnel)."""
-    out = fn(value, loc, wgt)
-    float(np.asarray(out[0, 0, 0]))
+    """In-graph chained iterations (tools/bench_util.py protocol)."""
+    from tools.bench_util import bench_loop
 
-    def round_time():
-        t0 = time.perf_counter()
-        v = value
-        out = None
-        for _ in range(iters):
-            out = fn(v, loc, wgt)
-            v = value + out[0, 0, 0] * 1e-9
-        float(np.asarray(out[0, 0, 0]))
-        return (time.perf_counter() - t0) / iters
-
-    best = min(round_time() for _ in range(n_rounds))
-    print(f"{label}: best {best*1e3:.3f} ms")
-    return best
+    return bench_loop(lambda v: fn(v, loc, wgt), value,
+                      lambda o: o[0, 0, 0], iters=iters, rounds=n_rounds,
+                      label=label)
 
 
 def main():

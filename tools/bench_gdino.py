@@ -33,23 +33,19 @@ def main():
     ids = jnp.ones((1, T), jnp.int32)
     mask = jnp.ones((1, T), bool)
 
+    from tools.bench_util import bench_loop
+
     t0 = time.time()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), img, ids, mask)
-    fn = jax.jit(model.apply)
-    out = fn(params, img, ids, mask)
-    float(np.asarray(out["pred_logits"][0, 0, 0]))
-    print(f"compile+init: {time.time()-t0:.1f}s")
+    print(f"init: {time.time()-t0:.1f}s")
 
-    def round_time(iters=10):
-        t0 = time.perf_counter()
-        im = img
-        for _ in range(iters):
-            out = fn(params, im, ids, mask)
-            im = img + out["pred_logits"][0, 0, 0] * 1e-9
-        float(np.asarray(out["pred_logits"][0, 0, 0]))
-        return (time.perf_counter() - t0) / iters
-
-    dt = min(round_time() for _ in range(4))
+    dt = bench_loop(
+        lambda im: model.apply(params, im, ids, mask),
+        img,
+        lambda out: out["pred_logits"][0, 0, 0],
+        iters=10,
+        label=f"GDINO SwinB @{S}^2 b1",
+    )
     print(f"GDINO SwinB @{S}^2 b1: {dt*1e3:.1f} ms/img = "
           f"{1/dt:.2f} img/s/chip")
 
