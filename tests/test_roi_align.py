@@ -103,6 +103,61 @@ def test_matches_independent_numpy_reference_with_stride():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
 
+# Baked golden values for ROIAlignV2 `aligned=True` semantics (reference:
+# detectron2 POOLER_TYPE 'ROIAlignV2', /root/reference/configs/Base.yaml).
+# Feature is the linear lattice feat[y,x,c] = 100y + 10x + c, so bilinear
+# interpolation is exact and every in-bounds bin equals the analytic mean of
+# its 2x2 sample points — the constants are hand-checkable, independent of
+# both the package impl and the scalar reference above. Box 2 exercises the
+# out-of-bounds zero rule (rows past y=H contribute exact zeros).
+_G_BOXES = np.array([[1.0, 2.0, 7.0, 8.5], [-2.0, 3.0, 6.0, 14.0]], np.float32)
+_G_STRIDE1 = np.array(
+    [[[[273 + 1 / 3, 274 + 1 / 3], [293 + 1 / 3, 294 + 1 / 3],
+       [313 + 1 / 3, 314 + 1 / 3]],
+      [[490.0, 491.0], [510.0, 511.0], [530.0, 531.0]],
+      [[706 + 2 / 3, 707 + 2 / 3], [726 + 2 / 3, 727 + 2 / 3],
+       [746 + 2 / 3, 747 + 2 / 3]]],
+     [[[216 + 2 / 3, 217 + 1 / 6], [448 + 1 / 3, 449 + 1 / 3],
+       [475.0, 476.0]],
+      [[400.0, 400.5], [815.0, 816.0], [841 + 2 / 3, 842 + 2 / 3]],
+      [[0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]]],
+    np.float32,
+)
+_G_STRIDE4 = np.array(
+    [[[[190.0, 191.0], [210.0, 211.0], [230.0, 231.0]],
+      [[440.0, 441.0], [460.0, 461.0], [480.0, 481.0]],
+      [[690.0, 691.0], [710.0, 711.0], [730.0, 731.0]]]],
+    np.float32,
+)
+
+
+def _lattice_feature(h=10, w=10, c=2):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return (yy[:, :, None] * 100 + xx[:, :, None] * 10
+            + np.arange(c)).astype(np.float32)
+
+
+def test_baked_goldens_stride1():
+    got = roi_align(jnp.asarray(_lattice_feature()), jnp.asarray(_G_BOXES),
+                    stride=1, resolution=3, sampling_ratio=2)
+    np.testing.assert_allclose(np.asarray(got), _G_STRIDE1, atol=1e-3)
+
+
+def test_baked_goldens_stride4():
+    boxes = jnp.array([[4.0, 4.0, 28.0, 34.0]])  # image coords, stride 4
+    got = roi_align(jnp.asarray(_lattice_feature()), boxes,
+                    stride=4, resolution=3, sampling_ratio=2)
+    np.testing.assert_allclose(np.asarray(got), _G_STRIDE4, atol=1e-3)
+
+
+def test_scalar_reference_matches_baked_goldens():
+    # Cross-check the scalar-loop reference itself against the analytic
+    # constants, so the two torchvision-parity tests above (skipped when
+    # torchvision is absent) have an always-on stand-in.
+    want = _roi_align_v2_numpy(_lattice_feature(), _G_BOXES, 1.0, 3, 2)
+    np.testing.assert_allclose(want, _G_STRIDE1, atol=1e-3)
+
+
 def test_matches_torchvision_roialign():
     torch = pytest.importorskip("torch")
     tv = pytest.importorskip("torchvision")
