@@ -35,6 +35,8 @@ def deformable_attention_core(
     for s in sizes:
         offsets.append(offsets[-1] + s)
 
+    bf16 = value.dtype == jnp.bfloat16
+    max_mm = _MATMUL_MAX_SIZE_BF16 if bf16 else _MATMUL_MAX_SIZE
     out = jnp.zeros((B, Q, H, D), value.dtype)
     for li, (h, w) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, offsets[li], sizes[li], axis=1)
@@ -44,7 +46,7 @@ def deformable_attention_core(
         # grid_sample align_corners=False: x_pix = x_norm * W - 0.5.
         x = loc[..., 0] * w - 0.5
         y = loc[..., 1] * h - 0.5
-        if h * w <= _MATMUL_MAX_SIZE:
+        if h * w <= max_mm:
             sampled = _bilinear_matmul(v, x, y)    # [B, Q, H, P, D]
         else:
             sampled = _bilinear_hw(v, x, y)
@@ -52,11 +54,18 @@ def deformable_attention_core(
     return out.reshape(B, Q, H * D)
 
 
-# h*w threshold below which separable one-hot matmul sampling beats the
-# 2x2-window gather (v5e, tools/probe_level_costs.py: per encoder layer
-# 25^2 level 10.3 -> 6.9 ms, 13^2 level 9.9 -> 4.4 ms at Precision.HIGHEST
-# i.e. f32-exact; the 50^2 level loses, gathers stay).
+# h*w thresholds below which separable one-hot matmul sampling beats the
+# 2x2-window gather (v5e, tools/probe_level_costs.py +
+# tools/probe_matmul_bf16.py, encoder Q=13294 per layer):
+# - f32 values need Precision.HIGHEST to stay exact, so the matmul only
+#   wins for tiny tables (25^2: 9.7 -> 7.1 ms, 13^2: 9.6 -> 4.8 ms).
+# - bf16 values (the in-model case) are ALREADY quantized, so bf16 weights
+#   add no further error (max-err 3.5e-2 vs the bf16 gather's 2.6e-2) and
+#   the single-pass bf16 matmul also flips the 50^2 level
+#   (gather 11.6 -> 8.0 ms; 25^2 -> 4.7, 13^2 -> 3.5). The 100^2 level
+#   stays gather (18.3 ms vs 30.6 matmul: row-traffic-bound).
 _MATMUL_MAX_SIZE = 1024
+_MATMUL_MAX_SIZE_BF16 = 2500
 
 
 def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
@@ -68,12 +77,20 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
     corners contribute exactly zero (grid_sample zero padding); the row
     matmul then column reduction touch every table row, turning the
     gather's per-row-segment DMA cost into MXU work — a win when the table
-    is tiny. Precision.HIGHEST keeps the f32 dot exact (max err ~2e-7 vs
-    the gather path). Queries are processed in `chunk`-sized scan steps so
-    the [chunk, w, D] row intermediate stays VMEM-sized.
+    is small. Queries are processed in `chunk`-sized scan steps so the
+    [chunk, w, D] row intermediate stays VMEM-sized.
+
+    Precision: f32 values pin Precision.HIGHEST, keeping the dot exact
+    (max err ~2e-7 vs the gather path — the golden-test configuration).
+    bf16 values instead cast the weights to bf16 and run a single MXU pass:
+    bf16 x bf16 products accumulate exactly in f32, and with the table
+    already bf16-quantized the weight rounding adds no measurable error
+    (tools/probe_matmul_bf16.py: max-err 3.5e-2 vs the bf16 gather's
+    2.6e-2, both pure value-quantization noise) at ~1/3 the cost.
     """
     B, h, w, H, D = v.shape
     Q, P = x.shape[1], x.shape[3]
+    bf16 = v.dtype == jnp.bfloat16
     vt = v.transpose(0, 3, 1, 2, 4).reshape(B, H, h, w * D)
 
     x0 = jnp.floor(x)
@@ -91,6 +108,8 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
           + jnp.where(ix == x0i[..., None] + 1, lx[..., None], 0.0))
     wy = wy.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * P, h)
     wx = wx.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * P, w)
+    if bf16:
+        wy = wy.astype(jnp.bfloat16)
 
     nt = Q * P
     pad = (-nt) % chunk
@@ -104,12 +123,14 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
         wyc, wxc = ws  # [B, H, c, h], [B, H, c, w]
         rows = jax.lax.dot_general(
             wyc, vt, (((3,), (2,)), ((0, 1), (0, 1))),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(None if bf16 else jax.lax.Precision.HIGHEST),
+            preferred_element_type=jnp.float32,
         ).reshape(B, H, chunk, w, D)
         return carry, jnp.sum(rows * wxc[..., None], axis=3)
 
     _, outs = jax.lax.scan(one_chunk, 0, (wy, wx))   # [nc, B, H, c, D]
     outs = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, nc * chunk, D)
+    # f32 accumulator either way (the gather path also yields f32 products).
     return outs[:, :, :nt].reshape(B, H, Q, P, D).transpose(0, 2, 1, 3, 4)
 
 

@@ -28,26 +28,30 @@ import numpy as np
 Dtype = Any
 
 
-def _rel_pos_index(table_window: int, window: int | None = None) -> np.ndarray:
+def _rel_pos_index(table_window: int, window: int | None = None) -> jax.Array:
     """Static [w*w, w*w] relative-position index into a bias table built for
     `table_window` (the checkpoint's window). When the effective window `w`
     is smaller (tiny feature maps), the same packing indexes the centered
-    sub-range of the full table."""
+    sub-range of the full table. Built from jnp iotas so it is folded during
+    compilation instead of uploaded as a per-block HLO literal (the axon
+    relay caps the remote-compile request body)."""
     window = window or table_window
-    coords = np.stack(
-        np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
+    coords = jnp.stack(
+        jnp.meshgrid(jnp.arange(window), jnp.arange(window), indexing="ij")
     ).reshape(2, -1)
-    rel = coords[:, :, None] - coords[:, None, :]
-    rel = rel.transpose(1, 2, 0)
-    rel[:, :, 0] += table_window - 1
-    rel[:, :, 1] += table_window - 1
-    rel[:, :, 0] *= 2 * table_window - 1
-    return rel.sum(-1)
+    rel = (coords[:, :, None] - coords[:, None, :]).transpose(1, 2, 0)
+    return (
+        (rel[:, :, 0] + table_window - 1) * (2 * table_window - 1)
+        + rel[:, :, 1] + table_window - 1
+    )
 
 
-def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
-    """Static attention mask for shifted windows: [num_windows, W*W, W*W]
-    additive (-inf where tokens come from different spatial regions)."""
+def _shift_region_ids(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
+    """Static per-window region ids for the shifted-window mask:
+    [num_windows, W*W] int32. The additive [nw, W*W, W*W] mask is expanded
+    IN-graph (ids equal -> 0, else -1e9) so the baked constant stays tiny —
+    materializing the full f32 mask as an HLO literal costs ~24 MB for the
+    stride-4 stage alone and overflows the axon remote-compile upload."""
     img_mask = np.zeros((hp, wp))
     cnt = 0
     for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
@@ -57,8 +61,7 @@ def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
             cnt += 1
     mask = img_mask.reshape(hp // window, window, wp // window, window)
     mask = mask.transpose(0, 2, 1, 3).reshape(-1, window * window)
-    attn = mask[:, None, :] - mask[:, :, None]
-    return np.where(attn != 0, -1e9, 0.0).astype(np.float32)
+    return mask.astype(np.int32)
 
 
 class WindowAttention(nn.Module):
@@ -87,7 +90,7 @@ class WindowAttention(nn.Module):
             ((2 * self.window - 1) ** 2, self.num_heads),
             jnp.float32,
         )
-        idx = jnp.asarray(_rel_pos_index(self.window, self.eff_window))
+        idx = _rel_pos_index(self.window, self.eff_window)
         bias = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
         attn = attn + bias.transpose(2, 0, 1)[None]
 
@@ -134,7 +137,10 @@ class SwinBlock(nn.Module):
         h = jnp.pad(h, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
         if shift > 0:
             h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(hp, wp, win, shift))
+            ids = jnp.asarray(_shift_region_ids(hp, wp, win, shift))
+            mask = jnp.where(
+                ids[:, None, :] == ids[:, :, None], 0.0, -1e9
+            ).astype(jnp.float32)
         else:
             mask = None
         # window partition

@@ -31,35 +31,40 @@ def sine_position_embedding(
     temperature: float = 20.0,
 ) -> jax.Array:
     """Per-token 2D sine embeddings for all levels, concat-flattened [S, dim]
-    (position_embedding='sine', pe_temperature{H,W}=20)."""
+    (position_embedding='sine', pe_temperature{H,W}=20).
+
+    Built from jnp iotas, NOT a baked numpy literal: as a literal this is a
+    ~13.6 MB f32 HLO constant at 800^2 shapes, which alone overflows the
+    axon relay's remote-compile upload limit; as ops it folds to the same
+    constant during compilation on the server side."""
     outs = []
     for h, w in spatial_shapes:
-        ys = np.arange(h, dtype=np.float32) + 0.5
-        xs = np.arange(w, dtype=np.float32) + 0.5
+        ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+        xs = jnp.arange(w, dtype=jnp.float32) + 0.5
         # normalized * 2pi (as in DETR sine embedding with normalize=True)
-        ys = ys / h * 2 * np.pi
-        xs = xs / w * 2 * np.pi
+        ys = ys / h * 2 * jnp.pi
+        xs = xs / w * 2 * jnp.pi
         half = dim // 2
         dim_t = temperature ** (
-            2 * (np.arange(half, dtype=np.float32) // 2) / half
+            2 * (jnp.arange(half, dtype=jnp.float32) // 2) / half
         )
         pos_x = xs[:, None] / dim_t[None]
         pos_y = ys[:, None] / dim_t[None]
-        pos_x = np.stack(
-            [np.sin(pos_x[:, 0::2]), np.cos(pos_x[:, 1::2])], axis=2
+        pos_x = jnp.stack(
+            [jnp.sin(pos_x[:, 0::2]), jnp.cos(pos_x[:, 1::2])], axis=2
         ).reshape(w, -1)
-        pos_y = np.stack(
-            [np.sin(pos_y[:, 0::2]), np.cos(pos_y[:, 1::2])], axis=2
+        pos_y = jnp.stack(
+            [jnp.sin(pos_y[:, 0::2]), jnp.cos(pos_y[:, 1::2])], axis=2
         ).reshape(h, -1)
-        grid = np.concatenate(
+        grid = jnp.concatenate(
             [
-                np.broadcast_to(pos_y[:, None, :], (h, w, half)),
-                np.broadcast_to(pos_x[None, :, :], (h, w, half)),
+                jnp.broadcast_to(pos_y[:, None, :], (h, w, half)),
+                jnp.broadcast_to(pos_x[None, :, :], (h, w, half)),
             ],
             axis=-1,
         )
         outs.append(grid.reshape(h * w, dim))
-    return jnp.asarray(np.concatenate(outs, axis=0))
+    return jnp.concatenate(outs, axis=0)
 
 
 def coordinate_sine_embedding(coords: jax.Array, dim: int = 256,

@@ -19,12 +19,14 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/ovmono3d_jax_cache")
 
 
-def bench(fn, feed, probe, iters=15, rounds=4, label=""):
-    """In-graph chained iterations (tools/bench_util.py protocol)."""
+def bench(fn, feed, probe, iters=15, rounds=4, label="", args=()):
+    """In-graph chained iterations (tools/bench_util.py protocol).
+    Params go through `args` (bench_util docstring: closures inline them
+    as HLO literals and overflow the axon remote-compile upload)."""
     from tools.bench_util import bench_loop
 
     return bench_loop(fn, feed, probe, iters=iters, rounds=rounds,
-                      label=label)
+                      label=label, args=args)
 
 
 def main():
@@ -53,18 +55,16 @@ def main():
         layerscale=bb.layerscale, use_depth_fusion=bb.use_depth_fusion,
     )
     vp = jax.jit(vit.init)(jax.random.PRNGKey(0), image)
-    japply = jax.jit(vit.apply)
-    trunk = lambda x: japply(vp, x)
-    bench(trunk, image, lambda o: o["last_feat"][0, 0, 0, 0],
-          label="ViT-B/14 trunk @896^2")
+    bench(lambda x, p: vit.apply(p, x), image,
+          lambda o: o["last_feat"][0, 0, 0, 0],
+          label="ViT-B/14 trunk @896^2", args=(vp,))
 
     # 3. full backbone (trunk + SFP)
     full_bb = build_backbone(bb)
     bp = jax.jit(full_bb.init)(jax.random.PRNGKey(0), image)
-    jbb = jax.jit(full_bb.apply)
-    bfn = lambda x: jbb(bp, x)
-    bench(bfn, image, lambda o: o["p2"][0, 0, 0, 0],
-          label="backbone trunk+SFP @896^2")
+    bench(lambda x, p: full_bb.apply(p, x), image,
+          lambda o: o["p2"][0, 0, 0, 0],
+          label="backbone trunk+SFP @896^2", args=(bp,))
 
     # 4. full model oracle path (the bench.py measurement)
     model = build_model(cfg.model)
@@ -83,13 +83,12 @@ def main():
         oracle_boxes=boxes, oracle_classes=classes, oracle_scores=scores,
         oracle_valid=valid)
 
-    jm = jax.jit(lambda p, x: model.apply(
-        p, x, K, im_hw, ratio, oracle_boxes=boxes,
-        oracle_classes=classes, oracle_scores=scores,
-        oracle_valid=valid))
-    mfn = lambda x: jm(params, x)
-    bench(mfn, image, lambda o: o.scores[0, 0],
-          label="full model oracle @896^2")
+    bench(lambda x, p: model.apply(
+              p, x, K, im_hw, ratio, oracle_boxes=boxes,
+              oracle_classes=classes, oracle_scores=scores,
+              oracle_valid=valid),
+          image, lambda o: o.scores[0, 0],
+          label="full model oracle @896^2", args=(params,))
 
 
 if __name__ == "__main__":

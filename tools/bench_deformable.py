@@ -28,9 +28,9 @@ def bench(fn, value, loc, wgt, n_rounds=6, iters=20, label=""):
     """In-graph chained iterations (tools/bench_util.py protocol)."""
     from tools.bench_util import bench_loop
 
-    return bench_loop(lambda v: fn(v, loc, wgt), value,
+    return bench_loop(fn, value,
                       lambda o: o[0, 0, 0], iters=iters, rounds=n_rounds,
-                      label=label)
+                      label=label, args=(loc, wgt))
 
 
 def main():

@@ -40,11 +40,12 @@ def main():
     print(f"init: {time.time()-t0:.1f}s")
 
     dt = bench_loop(
-        lambda im: model.apply(params, im, ids, mask),
+        lambda im, p: model.apply(p, im, ids, mask),
         img,
         lambda out: out["pred_logits"][0, 0, 0],
         iters=10,
         label=f"GDINO SwinB @{S}^2 b1",
+        args=(params,),
     )
     print(f"GDINO SwinB @{S}^2 b1: {dt*1e3:.1f} ms/img = "
           f"{1/dt:.2f} img/s/chip")

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Training-step throughput of the flagship model on one TPU chip.
+
+Full RCNN3D train step (backbone fwd+bwd, RPN + box + cube losses, optax
+update, in-graph stabilization) on a synthetic batch at the training
+resolution. Chains iterations through the TrainState dependency — each
+dispatch returns the next state ON DEVICE, so steps queue back-to-back and
+only the final host read synchronizes (the fori_loop protocol would exceed
+the axon remote-compile upload for a graph this size).
+
+Reference anchor (BASELINE.md): the training config of record is 8 GPUs x
+IMS_PER_BATCH 64 = 8 img/step/device; no reference step time is published,
+so this records our own img/s/chip for round-over-round tracking.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ovmono3d_jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=4)
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship_config
+    from ovmono3d_tpu.data.build import build_train_iterator
+    from ovmono3d_tpu.models.rcnn3d import build_model
+    from ovmono3d_tpu.parallel.mesh import make_mesh, shard_batch
+    from ovmono3d_tpu.parallel.train_step import (
+        create_train_state,
+        make_train_step,
+        shard_train_step,
+    )
+    from ovmono3d_tpu.train.optim import (
+        apply_freeze,
+        build_optimizer,
+        freeze_backbone_mask,
+    )
+    from tools.train_net import synthetic_records
+
+    cfg = _flagship_config(square_pad=896)
+    B = args.batch_size
+    print("devices:", jax.devices(), "batch", B, flush=True)
+
+    model = build_model(cfg.model)
+    records = synthetic_records(B * 2, cfg.model.num_classes)
+    batch = next(iter(build_train_iterator(cfg, records, B, seed=0)))
+
+    mesh = make_mesh()
+    batch = shard_batch(mesh, batch)
+
+    import jax.numpy as jnp
+
+    S = cfg.model.backbone.square_pad
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, S, S, 3)),
+        jnp.eye(3)[None],
+        jnp.full((1, 2), S, jnp.int32),
+        jnp.ones((1,)),
+    )
+    tx = build_optimizer(cfg.solver, params)
+    if cfg.model.backbone.freeze:
+        tx = apply_freeze(tx, freeze_backbone_mask(params))
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step_fn = shard_train_step(make_train_step(model, tx, 0.01), mesh)
+
+    t0 = time.time()
+    state, metrics = step_fn(state, batch)
+    loss = float(np.asarray(metrics["total_loss"]))
+    print(f"compile+first step: {time.time()-t0:.0f}s loss={loss:.3f}",
+          flush=True)
+
+    def round_time():
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(args.iters):
+            state, m = step_fn(state, batch)
+        float(np.asarray(m["total_loss"]))
+        return (time.perf_counter() - t0) / args.iters
+
+    best = min(round_time() for _ in range(args.rounds))
+    print(f"train step @896^2 b{B}: {best*1e3:.1f} ms "
+          f"= {B/best:.2f} img/s/chip", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,11 @@ chaining ops (o[0,0,0] * 1e-9 + feed) each pay it too — measured to add
 protocol (same as bench.py): chain N iterations through a data dependency
 INSIDE one jitted fori_loop so per-round overhead is a single dispatch +
 one forced host read.
+
+IMPORTANT: model parameters (and any other large arrays) MUST be passed via
+`args`, not closed over in `fn` — jit inlines closed-over arrays as HLO
+literals, and a literal-laden program overflows the axon relay's
+remote-compile upload limit (HTTP 413) on any compile-cache miss.
 """
 from __future__ import annotations
 
@@ -18,29 +23,62 @@ import numpy as np
 
 
 def bench_loop(fn: Callable, feed: jax.Array, probe: Callable,
-               iters: int = 20, rounds: int = 4, label: str = "") -> float:
-    """Best-of-`rounds` per-iteration seconds for fn(feed).
+               iters: int = 20, rounds: int = 4, label: str = "",
+               args: tuple = ()) -> float:
+    """Best-of-`rounds` per-iteration seconds for fn(feed, *args).
 
-    fn: feed-array -> pytree output (close over other inputs).
+    fn: (feed-array, *args) -> pytree output. Pass params/tables through
+    `args` (see module docstring); only close over genuinely small inputs.
     probe: output -> scalar array (the data dependency carried between
     iterations; also the forced host read at the end of a round).
     """
 
     @jax.jit
-    def loop(x):
+    def loop(x, *a):
         def body(i, carry):
-            o = fn(carry)
+            o = fn(carry, *a)
             return x * (1.0 + probe(o).astype(x.dtype) * 1e-12)
 
         return jax.lax.fori_loop(0, iters, body, x)
 
     if label:
         print(f"[compiling] {label}", flush=True)
-    float(np.asarray(loop(feed)).ravel()[0])   # compile + warm
+    try:
+        float(np.asarray(loop(feed, *args)).ravel()[0])   # compile + warm
+    except jax.errors.JaxRuntimeError as e:
+        # Very large programs can still overflow the axon remote-compile
+        # upload when wrapped in the fori_loop. Fall back to host-side
+        # enqueue chaining: each step is one jitted dispatch returning the
+        # next feed ON DEVICE, so steps queue back-to-back and only the
+        # final host read synchronizes.
+        print(f"[bench_loop] in-graph loop failed ({e}); "
+              "falling back to enqueue-chained steps", flush=True)
+
+        @jax.jit
+        def step(x, *a):
+            return x * (1.0 + probe(fn(x, *a)).astype(x.dtype) * 1e-12)
+
+        def run_chain():
+            x = feed
+            for _ in range(iters):
+                x = step(x, *args)
+            float(np.asarray(x).ravel()[0])
+
+        run_chain()  # compile + warm
+
+        def rt():
+            t0 = time.perf_counter()
+            run_chain()
+            return (time.perf_counter() - t0) / iters
+
+        best = min(rt() for _ in range(rounds))
+        if label:
+            print(f"{label}: {best*1e3:.3f} ms", flush=True)
+        return best
 
     def rt():
         t0 = time.perf_counter()
-        float(np.asarray(loop(feed)).ravel()[0])
+        float(np.asarray(loop(feed, *args)).ravel()[0])
         return (time.perf_counter() - t0) / iters
 
     best = min(rt() for _ in range(rounds))
