@@ -29,6 +29,8 @@ class BackboneConfig:
     use_depth_fusion: bool = True
     layerscale: bool = True
     freeze: bool = True             # reference freezes the trunk (train_net.py:431-434)
+    remat: bool = False             # jax.checkpoint the trunk blocks (HBM<->FLOPs
+                                    # trade for unfrozen-trunk training)
     out_channels: int = 256         # FPN/SFP channels
     scale_factors: tuple[float, ...] = (2.0, 1.0, 0.5)
     square_pad: int = 896           # fixed input side (MODEL.FPN.SQUARE_PAD)

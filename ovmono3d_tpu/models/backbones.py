@@ -84,6 +84,7 @@ class ViTSFPBackbone(nn.Module):
                 preset.setdefault(k, v)
         self.vit = VisionTransformer(
             use_depth_fusion=self.cfg.use_depth_fusion,
+            remat=self.cfg.remat,
             name="vit",
             **preset,
         )

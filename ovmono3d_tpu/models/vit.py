@@ -268,6 +268,7 @@ class VisionTransformer(nn.Module):
     use_rel_pos: bool = False      # SAM decomposed relative-position attn
     neck_channels: int = 0         # SAM neck (1x1 + 3x3 conv to C')
     out_layers: Sequence[int] = ()  # extra block indices to also return
+    remat: bool = False            # rematerialize blocks in backward
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -327,7 +328,16 @@ class VisionTransformer(nn.Module):
             if windowed:
                 x = self._windowed_block(x, i, B, h, w, n_prefix)
             else:
-                x = Block(
+                # Optional remat: recompute block activations in the
+                # backward pass (jax.checkpoint) — trades HBM for FLOPs so
+                # unfrozen-trunk training fits larger batches. Skipped for
+                # the rel-pos variant (its static (h, w) arg would be
+                # traced by the lifted transform).
+                block_cls = (
+                    nn.remat(Block)
+                    if self.remat and not self.use_rel_pos else Block
+                )
+                x = block_cls(
                     self.embed_dim,
                     self.num_heads,
                     self.mlp_ratio,

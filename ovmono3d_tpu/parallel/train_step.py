@@ -53,11 +53,24 @@ def create_train_state(params, tx, rng) -> TrainState:
 
 
 def make_train_step(model: RCNN3D, tx: optax.GradientTransformation,
-                    stabilize: float = 0.01):
+                    stabilize: float = 0.01, trainable_mask=None):
     """Returns train_step(state, batch) -> (state, metrics), jittable and
-    shardable (batch leading axis over `data`)."""
+    shardable (batch leading axis over `data`).
+
+    `trainable_mask` (True = trainable, e.g. optim.freeze_backbone_mask):
+    frozen leaves get stop_gradient, the reference's `requires_grad=False`
+    (train_net.py:431-434). Beyond making the zero-update explicit, this
+    lets XLA dead-code-eliminate the whole trunk backward pass and free its
+    activations — apply_freeze alone still pays for computing the unused
+    trunk gradients.
+    """
 
     def loss_fn(params, batch, rng):
+        if trainable_mask is not None:
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params, trainable_mask,
+            )
         gt = GroundTruth(
             boxes=batch["gt_boxes"],
             classes=batch["gt_classes"],

@@ -127,12 +127,18 @@ def build_optimizer(cfg: SolverConfig, params) -> optax.GradientTransformation:
 
 
 def freeze_backbone_mask(params) -> Any:
-    """True = trainable. Freezes the ViT trunk (reference train_net.py:
-    431-434 freezes `backbone.net` params; SFP and heads stay trainable)."""
+    """True = trainable. Freezes the backbone TRUNK only (reference
+    train_net.py:431-434 freezes `backbone.net` — the ViT/CNN trunk inside
+    the pyramid wrapper; the SFP/FPN and all heads stay trainable)."""
 
     def label(path, _):
         keys = [getattr(p, "key", str(p)) for p in path]
-        return not (len(keys) > 1 and keys[1] == "backbone")
+        in_trunk = (
+            len(keys) > 2
+            and keys[1] == "backbone"
+            and keys[2] not in ("sfp", "fpn")
+        )
+        return not in_trunk
 
     return jax.tree_util.tree_map_with_path(label, params)
 

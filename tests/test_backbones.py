@@ -212,3 +212,32 @@ def test_cnn_fpn_backbone_new_families():
         assert model.strides == [4, 8, 16, 32, 64]
         assert out["p2"].shape == (1, 16, 16, 16)
         assert out["p6"].shape == (1, 1, 1, 16)
+
+
+def test_remat_matches_plain():
+    """backbone.remat (jax.checkpoint on trunk blocks) must not change the
+    forward values or the gradients — only the backward-pass schedule."""
+    cfg = _tiny("dinov2", patch_size=14, scale_factors=(2.0, 1.0, 0.5))
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 56, 56, 3))
+
+    model = build_backbone(cfg)
+    model_r = build_backbone(cfg_r)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, img)
+            return jnp.sum(out["p3"].astype(jnp.float32) ** 2)
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    (v, g), (v_r, g_r) = loss(model), loss(model_r)
+    np.testing.assert_allclose(float(v), float(v_r), rtol=1e-6)
+    # The trunk computes in bf16; the recompute schedule changes fusion /
+    # reassociation, so gradients agree only to bf16 noise (~1%), not
+    # bitwise. Guard against real divergence (sign/scale), not rounding.
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=0.02)

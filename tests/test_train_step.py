@@ -78,7 +78,9 @@ def test_sharded_train_step_runs_and_updates(setup):
     assert mesh.shape["data"] == 8
 
     step_fn = shard_train_step(
-        make_train_step(model, tx, cfg.model.stabilize), mesh, donate=False
+        make_train_step(model, tx, cfg.model.stabilize,
+                        trainable_mask=freeze_backbone_mask(params)),
+        mesh, donate=False
     )
     state = create_train_state(params, tx, jax.random.PRNGKey(2))
     sbatch = shard_batch(mesh, batch)
@@ -87,20 +89,55 @@ def test_sharded_train_step_runs_and_updates(setup):
     assert np.isfinite(float(metrics1["total_loss"]))
     assert float(metrics1["skipped"]) == 0.0
 
-    # Frozen ViT params unchanged; trainable head params changed.
-    old_vit = params["params"]["backbone"]
-    new_vit = state1.params["params"]["backbone"]
+    # Frozen ViT TRUNK params unchanged; SFP and head params changed
+    # (reference freezes backbone.net only, train_net.py:431-434).
+    old_vit = params["params"]["backbone"]["vit"]
+    new_vit = state1.params["params"]["backbone"]["vit"]
     for a, b in zip(jax.tree.leaves(old_vit), jax.tree.leaves(new_vit)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    old_head = jax.tree.leaves(params["params"]["cube_head"])
-    new_head = jax.tree.leaves(state1.params["params"]["cube_head"])
-    changed = sum(
-        float(jnp.sum(jnp.abs(a - b))) for a, b in zip(old_head, new_head)
-    )
-    assert changed > 0
+    for group in ("backbone", "cube_head"):
+        sub = (("sfp",) if group == "backbone" else ())
+        old_t = params["params"][group]
+        new_t = state1.params["params"][group]
+        for k in sub:
+            old_t, new_t = old_t[k], new_t[k]
+        changed = sum(
+            float(jnp.sum(jnp.abs(a - b)))
+            for a, b in zip(jax.tree.leaves(old_t), jax.tree.leaves(new_t))
+        )
+        assert changed > 0, f"{group} did not train"
 
     state2, metrics2 = step_fn(state1, sbatch)
     assert int(state2.step) == 2
+
+
+def test_frozen_trunk_stop_gradient_matches_apply_freeze(setup):
+    """The stop_gradient freeze (requires_grad=False semantics) must yield
+    the same updated params as apply_freeze alone — it only removes dead
+    backward work, never changes trainable gradients."""
+    cfg, model, params, tx, batch = setup
+    mesh = make_mesh()
+    mask = freeze_backbone_mask(params)
+    sbatch = shard_batch(mesh, batch)
+
+    outs = []
+    for m in (None, mask):
+        step_fn = shard_train_step(
+            make_train_step(model, tx, cfg.model.stabilize,
+                            trainable_mask=m), mesh, donate=False
+        )
+        state = create_train_state(params, tx, jax.random.PRNGKey(7))
+        s1, met = step_fn(state, sbatch)
+        outs.append((s1, met))
+    (s_a, m_a), (s_b, m_b) = outs
+    np.testing.assert_allclose(
+        float(m_a["total_loss"]), float(m_b["total_loss"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=2e-5, atol=2e-6,
+        )
 
 
 def test_skip_on_nonfinite_batch(setup):

@@ -72,10 +72,14 @@ def main():
         jnp.ones((1,)),
     )
     tx = build_optimizer(cfg.solver, params)
+    trainable_mask = None
     if cfg.model.backbone.freeze:
-        tx = apply_freeze(tx, freeze_backbone_mask(params))
+        trainable_mask = freeze_backbone_mask(params)
+        tx = apply_freeze(tx, trainable_mask)
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
-    step_fn = shard_train_step(make_train_step(model, tx, 0.01), mesh)
+    step_fn = shard_train_step(
+        make_train_step(model, tx, 0.01, trainable_mask=trainable_mask),
+        mesh)
 
     t0 = time.time()
     state, metrics = step_fn(state, batch)

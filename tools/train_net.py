@@ -190,11 +190,14 @@ def main():
                                 cfg.model.backbone.name)
         logger.info("loaded CNN trunk weights from %s", args.trunk_ckpt)
     tx = build_optimizer(cfg.solver, params)
+    trainable_mask = None
     if cfg.model.backbone.freeze:
-        tx = apply_freeze(tx, freeze_backbone_mask(params))
+        trainable_mask = freeze_backbone_mask(params)
+        tx = apply_freeze(tx, trainable_mask)
     state = create_train_state(params, tx, jax.random.PRNGKey(cfg.seed + 1))
     step_fn = shard_train_step(
-        make_train_step(model, tx, cfg.model.stabilize), mesh
+        make_train_step(model, tx, cfg.model.stabilize,
+                        trainable_mask=trainable_mask), mesh
     )
 
     ckpt = SingleCheckpointer(cfg.output_dir)
