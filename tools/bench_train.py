@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--no-stop-gradient", action="store_true",
+                    help="keep apply_freeze but skip the stop_gradient "
+                         "mask (measures the dead trunk-backward cost)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_config
@@ -76,6 +79,8 @@ def main():
     if cfg.model.backbone.freeze:
         trainable_mask = freeze_backbone_mask(params)
         tx = apply_freeze(tx, trainable_mask)
+    if args.no_stop_gradient:
+        trainable_mask = None
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
     step_fn = shard_train_step(
         make_train_step(model, tx, 0.01, trainable_mask=trainable_mask),
