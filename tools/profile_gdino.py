@@ -55,22 +55,41 @@ def main():
         data = json.load(f)
     events = data["traceEvents"] if isinstance(data, dict) else data
 
-    # keep slices on TPU op tracks; aggregate by sanitized name
-    agg = collections.Counter()
+    # Track (pid, tid) names so host python slices can be filtered out.
+    track = {}
+    for ev in events:
+        if isinstance(ev, dict) and ev.get("ph") == "M" \
+                and ev.get("name") == "thread_name":
+            track[(ev.get("pid"), ev.get("tid"))] = (
+                ev.get("args", {}).get("name", "")
+            )
+
+    agg = collections.Counter()          # by sanitized name
+    tops = collections.Counter()         # by full name + metadata
     for ev in events:
         if not isinstance(ev, dict) or ev.get("ph") != "X":
             continue
+        tname = track.get((ev.get("pid"), ev.get("tid")), "")
+        if "python" in tname.lower() or "Framework" in tname:
+            continue
         name = ev.get("name", "")
         dur = ev.get("dur", 0)  # microseconds
-        if not name or dur <= 0:
+        if not name or dur <= 0 or name.startswith("$"):
             continue
+        args = ev.get("args", {})
+        meta = args.get("long_name") or args.get("tf_op") or ""
         base = re.sub(r"[.\d]+$", "", name)        # strip op numbering
         agg[base] += dur
+        tops[f"{name} | {str(meta)[:120]}"] += dur
     total = sum(agg.values())
     print(f"\ntrace: {traces[-1]}  total slice time {total/1e3:.1f} ms "
-          "(3 iters, all tracks)")
-    for name, dur in agg.most_common(40):
-        print(f"  {dur/1e3/3:9.3f} ms/iter  {name[:90]}")
+          "(3 iters, device tracks)")
+    print("--- by op class ---")
+    for name, dur in agg.most_common(20):
+        print(f"  {dur/1e3/3:9.3f} ms/iter  {name[:80]}")
+    print("--- top individual ops ---")
+    for name, dur in tops.most_common(45):
+        print(f"  {dur/1e3/3:9.3f} ms/iter  {name[:150]}")
 
 
 if __name__ == "__main__":
