@@ -12,6 +12,12 @@ Conventions follow the original op:
 - attention_weights: [B, Q, H, L, P] (softmax over L*P done by caller).
 - bilinear sampling uses align_corners=False grid semantics
   (pixel centers at (i + 0.5) / size), zero padding outside.
+
+Internally everything runs HEAD-MAJOR ([B, H, Q, ...]): the gathers and
+one-hot matmuls are per-head, and profiling the encoder at 800^2 shapes
+showed the per-level [B, Q, H, ...] <-> [B, H, Q, ...] round-trips costing
+~25 ms/forward in pure layout copies. The core transposes value/locations/
+weights once per call and transposes the [B, H, Q, D] result back once.
 """
 from __future__ import annotations
 
@@ -37,21 +43,24 @@ def deformable_attention_core(
 
     bf16 = value.dtype == jnp.bfloat16
     max_mm = _MATMUL_MAX_SIZE_BF16 if bf16 else _MATMUL_MAX_SIZE
-    out = jnp.zeros((B, Q, H, D), value.dtype)
+
+    vh = value.transpose(0, 2, 1, 3)                      # [B, H, S, D]
+    loc = sampling_locations.transpose(0, 2, 1, 3, 4, 5)  # [B, H, Q, L, P, 2]
+    wgt = attention_weights.transpose(0, 2, 1, 3, 4)      # [B, H, Q, L, P]
+
+    out = jnp.zeros((B, H, Q, D), value.dtype)
     for li, (h, w) in enumerate(spatial_shapes):
-        v = jax.lax.dynamic_slice_in_dim(value, offsets[li], sizes[li], axis=1)
-        v = v.reshape(B, h, w, H, D)
-        loc = sampling_locations[:, :, :, li]      # [B, Q, H, P, 2]
-        wgt = attention_weights[:, :, :, li]       # [B, Q, H, P]
+        v = jax.lax.dynamic_slice_in_dim(vh, offsets[li], sizes[li], axis=2)
+        v = v.reshape(B, H, h, w, D)
         # grid_sample align_corners=False: x_pix = x_norm * W - 0.5.
-        x = loc[..., 0] * w - 0.5
-        y = loc[..., 1] * h - 0.5
+        x = loc[:, :, :, li, :, 0] * w - 0.5              # [B, H, Q, P]
+        y = loc[:, :, :, li, :, 1] * h - 0.5
         if h * w <= max_mm:
-            sampled = _bilinear_matmul(v, x, y)    # [B, Q, H, P, D]
+            sampled = _bilinear_matmul(v, x, y)           # [B, H, Q, P, D]
         else:
             sampled = _bilinear_hw(v, x, y)
-        out = out + jnp.sum(sampled * wgt[..., None], axis=3)
-    return out.reshape(B, Q, H * D)
+        out = out + jnp.sum(sampled * wgt[:, :, :, li, :, None], axis=3)
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 
 
 # h*w thresholds below which separable one-hot matmul sampling beats the
@@ -72,13 +81,14 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
                      chunk: int = 2048) -> jax.Array:
     """Bilinear sample small-level tables via separable one-hot matmuls.
 
-    Same contract as _bilinear_hw. wy[t, :] carries (1-ly) at row y0 and ly
-    at row y0+1 built from the UNCLIPPED corner indices, so out-of-bounds
-    corners contribute exactly zero (grid_sample zero padding); the row
-    matmul then column reduction touch every table row, turning the
-    gather's per-row-segment DMA cost into MXU work — a win when the table
-    is small. Queries are processed in `chunk`-sized scan steps so the
-    [chunk, w, D] row intermediate stays VMEM-sized.
+    v: [B, H, h, w, D]; x/y: [B, H, Q, P] -> [B, H, Q, P, D] (head-major).
+    wy[t, :] carries (1-ly) at row y0 and ly at row y0+1 built from the
+    UNCLIPPED corner indices, so out-of-bounds corners contribute exactly
+    zero (grid_sample zero padding); the row matmul then column reduction
+    touch every table row, turning the gather's per-row-segment DMA cost
+    into MXU work — a win when the table is small. Queries are processed in
+    `chunk`-sized scan steps so the [chunk, w, D] row intermediate stays
+    VMEM-sized.
 
     Precision: f32 values pin Precision.HIGHEST, keeping the dot exact
     (max err ~2e-7 vs the gather path — the golden-test configuration).
@@ -88,10 +98,10 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
     (tools/probe_matmul_bf16.py: max-err 3.5e-2 vs the bf16 gather's
     2.6e-2, both pure value-quantization noise) at ~1/3 the cost.
     """
-    B, h, w, H, D = v.shape
-    Q, P = x.shape[1], x.shape[3]
+    B, H, h, w, D = v.shape
+    Q, P = x.shape[2], x.shape[3]
     bf16 = v.dtype == jnp.bfloat16
-    vt = v.transpose(0, 3, 1, 2, 4).reshape(B, H, h, w * D)
+    vt = v.reshape(B, H, h, w * D)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -106,8 +116,8 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
           + jnp.where(iy == y0i[..., None] + 1, ly[..., None], 0.0))
     wx = (jnp.where(ix == x0i[..., None], (1 - lx)[..., None], 0.0)
           + jnp.where(ix == x0i[..., None] + 1, lx[..., None], 0.0))
-    wy = wy.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * P, h)
-    wx = wx.transpose(0, 2, 1, 3, 4).reshape(B, H, Q * P, w)
+    wy = wy.reshape(B, H, Q * P, h)
+    wx = wx.reshape(B, H, Q * P, w)
     if bf16:
         wy = wy.astype(jnp.bfloat16)
 
@@ -131,12 +141,12 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
     _, outs = jax.lax.scan(one_chunk, 0, (wy, wx))   # [nc, B, H, c, D]
     outs = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, nc * chunk, D)
     # f32 accumulator either way (the gather path also yields f32 products).
-    return outs[:, :, :nt].reshape(B, H, Q, P, D).transpose(0, 2, 1, 3, 4)
+    return outs[:, :, :nt].reshape(B, H, Q, P, D)
 
 
 def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Bilinear sample v: [B, h, w, H, D] at per-head points
-    x/y: [B, Q, H, P] -> [B, Q, H, P, D], zero outside.
+    """Bilinear sample v: [B, H, h, w, D] at per-head points
+    x/y: [B, H, Q, P] -> [B, H, Q, P, D], zero outside (head-major).
 
     Each point's full 2x2xD bilinear support is fetched as ONE lax.gather
     slice (start clipped to the grid). Measured on v5e: the TPU gather cost
@@ -151,10 +161,10 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     exactly like the reference's zero padding (grid_sample
     align_corners=False semantics).
     """
-    B, h, w, H, D = v.shape
+    B, H, h, w, D = v.shape
     if h < 2 or w < 2:  # degenerate grid: 2x2 windows don't exist
         return _bilinear_hw_corners(v, x, y)
-    Q, P = x.shape[1], x.shape[3]
+    Q, P = x.shape[2], x.shape[3]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     lx = (x - x0)[..., None]
@@ -164,10 +174,8 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     xs = jnp.clip(x0i, 0, w - 2)
     ys = jnp.clip(y0i, 0, h - 2)
 
-    vt = v.transpose(0, 3, 1, 2, 4)               # [B, H, h, w, D]
     starts = jnp.stack(
-        [ys.transpose(0, 2, 1, 3).reshape(B, H, Q * P),
-         xs.transpose(0, 2, 1, 3).reshape(B, H, Q * P)], axis=-1
+        [ys.reshape(B, H, Q * P), xs.reshape(B, H, Q * P)], axis=-1
     )
 
     def g(op, st):  # op: [h, w, D]; st: [T, 2] -> [T, 2, 2, D]
@@ -181,8 +189,8 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
         )
 
-    win = jax.vmap(jax.vmap(g))(vt, starts)       # [B, H, T, 2, 2, D]
-    win = win.reshape(B, H, Q, P, 2, 2, D).transpose(0, 2, 1, 3, 4, 5, 6)
+    win = jax.vmap(jax.vmap(g))(v, starts)        # [B, H, T, 2, 2, D]
+    win = win.reshape(B, H, Q, P, 2, 2, D)
 
     y0e = y0i[..., None]
     x0e = x0i[..., None]
@@ -210,9 +218,9 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
 def _bilinear_hw_corners(v: jax.Array, x: jax.Array, y: jax.Array):
     """Fallback for degenerate (h or w < 2) grids: four fused corner-row
-    gathers (the pre-window formulation)."""
-    B, h, w, H, D = v.shape
-    Q, P = x.shape[1], x.shape[3]
+    gathers (the pre-window formulation). Head-major like _bilinear_hw."""
+    B, H, h, w, D = v.shape
+    Q, P = x.shape[2], x.shape[3]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     lx = x - x0
@@ -220,16 +228,16 @@ def _bilinear_hw_corners(v: jax.Array, x: jax.Array, y: jax.Array):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1])
+    xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1])   # [4, B, H, Q, P]
     ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1])
     inb = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
     idx = jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1)
 
-    flat = v.reshape(B, h * w, H, D).transpose(0, 2, 1, 3)   # [B, H, S, D]
-    idx2 = idx.transpose(1, 3, 0, 2, 4).reshape(B, H, 4 * Q * P)
+    flat = v.reshape(B, H, h * w, D)
+    idx2 = idx.transpose(1, 2, 0, 3, 4).reshape(B, H, 4 * Q * P)
     g = jnp.take_along_axis(flat, idx2[..., None], axis=2)   # [B,H,4QP,D]
-    g = g.reshape(B, H, 4, Q, P, D).transpose(2, 0, 3, 1, 4, 5)
-    g = jnp.where(inb[..., None], g, 0.0)                    # [4,B,Q,H,P,D]
+    g = g.reshape(B, H, 4, Q, P, D).transpose(2, 0, 1, 3, 4, 5)
+    g = jnp.where(inb[..., None], g, 0.0)                    # [4,B,H,Q,P,D]
 
     weights = jnp.stack(
         [(1 - lx) * (1 - ly), lx * (1 - ly), (1 - lx) * ly, lx * ly]

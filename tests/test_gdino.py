@@ -120,10 +120,11 @@ def test_deformable_matmul_path_matches_gather_path():
 
     rng = np.random.RandomState(0)
     for (h, w) in ((25, 25), (13, 13), (5, 9), (1, 7)):
-        v = jnp.asarray(rng.rand(1, h, w, 2, 8), jnp.float32)
-        x = jnp.asarray(rng.rand(1, 300, 2, 4) * (w * 1.2) - 0.1 * w,
+        # head-major internal layout: v [B, H, h, w, D]; x/y [B, H, Q, P]
+        v = jnp.asarray(rng.rand(1, 2, h, w, 8), jnp.float32)
+        x = jnp.asarray(rng.rand(1, 2, 300, 4) * (w * 1.2) - 0.1 * w,
                         jnp.float32)
-        y = jnp.asarray(rng.rand(1, 300, 2, 4) * (h * 1.2) - 0.1 * h,
+        y = jnp.asarray(rng.rand(1, 2, 300, 4) * (h * 1.2) - 0.1 * h,
                         jnp.float32)
         got = np.asarray(jax.jit(_bilinear_matmul)(v, x, y))
         if h >= 2 and w >= 2:

@@ -33,13 +33,18 @@ def bench_loop(fn: Callable, feed: jax.Array, probe: Callable,
     iterations; also the forced host read at the end of a round).
     """
 
+    # The loop carries and returns only a SCALAR: returning the feed-sized
+    # carry makes every round pay a multi-MB host readback through the
+    # tunnel (measured: +15 ms/iter on a 19 MB feed at iters=10), which
+    # silently inflates the number. The scalar still chains iterations
+    # (input i+1 = feed * (1 + eps * scalar_i)).
     @jax.jit
     def loop(x, *a):
-        def body(i, carry):
-            o = fn(carry, *a)
-            return x * (1.0 + probe(o).astype(x.dtype) * 1e-12)
+        def body(i, s):
+            o = fn(x * (1.0 + s * 1e-12).astype(x.dtype), *a)
+            return probe(o).astype(jnp.float32).reshape(())
 
-        return jax.lax.fori_loop(0, iters, body, x)
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
     if label:
         print(f"[compiling] {label}", flush=True)
@@ -55,14 +60,15 @@ def bench_loop(fn: Callable, feed: jax.Array, probe: Callable,
               "falling back to enqueue-chained steps", flush=True)
 
         @jax.jit
-        def step(x, *a):
-            return x * (1.0 + probe(fn(x, *a)).astype(x.dtype) * 1e-12)
+        def step(s, x, *a):
+            o = fn(x * (1.0 + s * 1e-12).astype(x.dtype), *a)
+            return probe(o).astype(jnp.float32).reshape(())
 
         def run_chain():
-            x = feed
+            s = jnp.zeros((), jnp.float32)
             for _ in range(iters):
-                x = step(x, *args)
-            float(np.asarray(x).ravel()[0])
+                s = step(s, feed, *args)
+            float(np.asarray(s))
 
         run_chain()  # compile + warm
 

@@ -33,12 +33,11 @@ Q = 13294
 
 
 def _matmul_bf16(v, x, y, passes=2, chunk=2048):
-    """One-hot separable matmul with bf16 weights (1 or 2 passes)."""
-    B, h, w, H, D = v.shape
-    Qn, P = x.shape[1], x.shape[3]
-    vt = v.transpose(0, 3, 1, 2, 4).reshape(B, H, h, w * D).astype(
-        jnp.bfloat16
-    )
+    """One-hot separable matmul with bf16 weights (1 or 2 passes).
+    Head-major: v [B, H, h, w, D]; x/y [B, H, Q, P]."""
+    B, H, h, w, D = v.shape
+    Qn, P = x.shape[2], x.shape[3]
+    vt = v.reshape(B, H, h, w * D).astype(jnp.bfloat16)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -53,8 +52,8 @@ def _matmul_bf16(v, x, y, passes=2, chunk=2048):
           + jnp.where(iy == y0i[..., None] + 1, ly[..., None], 0.0))
     wx = (jnp.where(ix == x0i[..., None], (1 - lx)[..., None], 0.0)
           + jnp.where(ix == x0i[..., None] + 1, lx[..., None], 0.0))
-    wy = wy.transpose(0, 2, 1, 3, 4).reshape(B, H, Qn * P, h)
-    wx = wx.transpose(0, 2, 1, 3, 4).reshape(B, H, Qn * P, w)
+    wy = wy.reshape(B, H, Qn * P, h)
+    wx = wx.reshape(B, H, Qn * P, w)
 
     nt = Qn * P
     pad = (-nt) % chunk
@@ -82,17 +81,17 @@ def _matmul_bf16(v, x, y, passes=2, chunk=2048):
 
     _, outs = jax.lax.scan(one_chunk, 0, (wy, wx))
     outs = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, nc * chunk, D)
-    return outs[:, :, :nt].reshape(B, H, Qn, P, D).transpose(0, 2, 1, 3, 4)
+    return outs[:, :, :nt].reshape(B, H, Qn, P, D)
 
 
 def main():
     rng = np.random.RandomState(0)
     print("devices:", jax.devices())
     for h, w in [(100, 100), (50, 50), (25, 25), (13, 13)]:
-        v32 = jnp.asarray(rng.randn(B, h, w, H, D), jnp.float32)
+        v32 = jnp.asarray(rng.randn(B, H, h, w, D), jnp.float32)
         v16 = v32.astype(jnp.bfloat16)
-        x = jnp.asarray(rng.rand(B, Q, H, P) * w - 0.5, jnp.float32)
-        y = jnp.asarray(rng.rand(B, Q, H, P) * h - 0.5, jnp.float32)
+        x = jnp.asarray(rng.rand(B, H, Q, P) * w - 0.5, jnp.float32)
+        y = jnp.asarray(rng.rand(B, H, Q, P) * h - 0.5, jnp.float32)
 
         # numeric error vs f32 window-gather reference
         ref = np.asarray(_bilinear_hw(v32, x, y), np.float64)
