@@ -129,6 +129,24 @@ def test_demo_cli_smoke(monkeypatch, tmp_path):
     outs = list(out_dir.glob("*"))
     assert outs, "demo wrote no output images"
 
+    # --labels-file variant (reference demo.py:35,53-55): per-image prompt
+    # lists keyed by basename; empty/unmapped images are skipped.
+    imwrite_rgb(img_dir / "b.jpg",
+                (rng.rand(96, 128, 3) * 255).astype(np.uint8))
+    import json
+
+    labels_path = tmp_path / "labels.json"
+    labels_path.write_text(json.dumps({"a": ["chair", "cup"], "b": []}))
+    out_dir2 = tmp_path / "out2"
+    monkeypatch.setattr(sys, "argv", [
+        "demo.py", "--input-folder", str(img_dir),
+        "--labels-file", str(labels_path), "--output-dir", str(out_dir2),
+        *TINY,
+    ])
+    demo.main()
+    names = sorted(p.name for p in out_dir2.glob("*"))
+    assert names == ["a_3d.png"], names  # b skipped (empty prompt list)
+
 
 def test_eval_cli_multi_dataset_merge(monkeypatch, capsys, tmp_path):
     """--synthetic eval runs TWO datasets through ONE shared helper and

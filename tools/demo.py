@@ -4,6 +4,7 @@
 Reference demo/demo.py equivalent (SURVEY.md §3.3):
 
   python tools/demo.py --input-folder imgs/ --labels "chair,table,lamp" \
+      [--labels-file labels.json]   # per-image prompts instead of --labels
       [--config-file configs/OVMono3D_dinov2_SFP.yaml] \
       [--focal-length F] [--principal-point X Y] \
       [--vocab path/to/bert_vocab.txt] [--output-dir out/]
@@ -28,8 +29,15 @@ import numpy as np
 def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input-folder", required=True)
-    ap.add_argument("--labels", required=True,
-                    help="comma-separated category prompts")
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--labels",
+                   help="comma-separated category prompts (same prompts "
+                        "for every image)")
+    g.add_argument("--labels-file",
+                   help="JSON mapping image basename (no extension) -> "
+                        "list of category prompts; images mapped to [] "
+                        "are skipped (reference demo.py --labels-file, "
+                        "datasets/coco_examples/labels.json format)")
     ap.add_argument("--config-file",
                     default="configs/OVMono3D_dinov2_SFP.yaml")
     ap.add_argument("--focal-length", type=float, default=0.0)
@@ -61,7 +69,14 @@ def main():
     from ovmono3d_tpu.vis.draw import scene_panel
 
     cfg = load_config(args.config_file, overrides=args.opts)
-    categories = [c.strip() for c in args.labels.split(",") if c.strip()]
+    cats_per_img = None
+    if args.labels_file:
+        import json
+
+        cats_per_img = json.load(open(args.labels_file))
+        categories = sorted({c for v in cats_per_img.values() for c in v})
+    else:
+        categories = [c.strip() for c in args.labels.split(",") if c.strip()]
 
     if args.vocab:
         tok = BertTokenizer(args.vocab)
@@ -98,6 +113,11 @@ def main():
 
     out_dir = Path(args.output_dir)
     for path in list_images(args.input_folder):
+        img_cats = categories
+        if cats_per_img is not None:
+            img_cats = cats_per_img.get(path.stem, [])
+            if not img_cats:  # unmapped / empty -> skip (demo.py:53-55)
+                continue
         image = imread_rgb(path)
         h, w = image.shape[:2]
         if args.focal_length > 0:
@@ -108,7 +128,7 @@ def main():
             )
         else:
             K = default_focal_K(h, w)
-        det = pipe.predict(image, K, categories)
+        det = pipe.predict(image, K, img_cats)
         keep = np.asarray(det.scores) >= args.threshold
         import jax
 
@@ -117,7 +137,7 @@ def main():
             is_leaf=lambda x: x is None,
         )
         det = det.replace(valid=np.asarray(det.valid) & keep)
-        panel = scene_panel(image, det, K, class_names=categories)
+        panel = scene_panel(image, det, K, class_names=img_cats)
         out_path = out_dir / f"{path.stem}_3d.png"
         imwrite_rgb(out_path, panel)
         n = int(det.valid.sum())

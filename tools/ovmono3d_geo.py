@@ -46,6 +46,10 @@ def parse_args():
     ap.add_argument("--eval", action="store_true",
                     help="evaluate the written predictions against GT "
                          "(reference tools/eval_ovmono3d_geo.py)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip the SAM/Depth-Pro pipeline and evaluate "
+                         "previously written geo_predictions_*.pkl (the "
+                         "reference's separate eval_ovmono3d_geo.py step)")
     ap.add_argument("opts", nargs="*", default=[])
     return ap.parse_args()
 
@@ -205,6 +209,25 @@ def main():
     cfg = load_config(args.config_file, overrides=args.opts)
     fs = filter_settings_from_cfg(cfg)
     cat_map = {n: i for i, n in enumerate(cfg.datasets.category_names)}
+
+    if args.eval_only:
+        # Reference two-command workflow: evaluate saved predictions only
+        # (eval_ovmono3d_geo.py:98-134).
+        import pickle
+
+        for name in cfg.datasets.test_novel or cfg.datasets.test:
+            json_path = (Path(cfg.datasets.data_root) / "Omni3D"
+                         / f"{name}.json")
+            simple_register(name, json_path, fs, cat_map)
+            records = get_dataset(name)
+            path = Path(args.output_dir) / f"geo_predictions_{name}.pkl"
+            with open(path, "rb") as fh:
+                preds_all = pickle.load(fh)
+            logger.info("evaluating %s (%d images)", path, len(preds_all))
+            evaluate_geo_predictions(
+                records, preds_all, list(cfg.datasets.category_names)
+            )
+        return
 
     # Raw SAM image encoder (windowed + rel-pos ViT, 256-ch neck) — the
     # segment_anything semantics, no SFP harness (that is only for SAM as a
