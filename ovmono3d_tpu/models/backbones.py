@@ -156,7 +156,21 @@ _CNN_NAMES = (
 
 def build_backbone(cfg: BackboneConfig) -> nn.Module:
     if cfg.name in VIT_PRESETS:
+        if cfg.remat and (VIT_PRESETS[cfg.name].get("window_size")
+                          or VIT_PRESETS[cfg.name].get("use_rel_pos")):
+            import logging
+
+            logging.getLogger("ovmono3d").warning(
+                "backbone.remat only wraps plain (non-windowed, non-rel-pos)"
+                " ViT blocks; '%s' keeps its windowed/rel-pos blocks "
+                "un-rematerialized", cfg.name)
         return ViTSFPBackbone(cfg=cfg)
     if cfg.name in _CNN_NAMES:
+        if cfg.remat:
+            import logging
+
+            logging.getLogger("ovmono3d").warning(
+                "backbone.remat is not implemented for CNN trunks; '%s' "
+                "runs without rematerialization", cfg.name)
         return CNNFPNBackbone(cfg=cfg)
     raise ValueError(f"unknown backbone '{cfg.name}'")

@@ -117,21 +117,20 @@ class OVMono3DLift:
                 "valid": np.zeros((self.max_detections,), bool),
             }
         tensor, scale = self._prep_gdino_image(image)
-        # Text length runs at the smallest power-of-two bucket that fits
-        # the caption (one jit specialization per bucket), mirroring the
+        # Text runs at the smallest power-of-two bucket >= the caption
+        # length (one jit specialization per bucket), mirroring the
         # reference's actual-caption-length execution (roi_heads_gdino.py:
-        # 176-181). Measured: the text axis is cheap on TPU (T=32 -> 256
-        # costs only ~1 ms of the 119 ms forward), so this is semantics,
-        # not a big perf lever.
-        from ovmono3d_tpu.models.gdino.tokenizer import phrase_token_spans
-
-        ids, _ = phrase_token_spans(self.tokenizer, categories,
-                                    self.gdino.max_text_len)
+        # 176-181). One tokenization: build at full max_text_len, read the
+        # true length off text_mask, slice the model inputs to the bucket.
+        # (Measured: T=32 -> 256 costs only ~1 ms of the 119 ms forward —
+        # semantics more than perf.)
+        full = self.gdino.max_text_len
+        text = build_text_inputs(self.tokenizer, categories, max_len=full)
+        n_tok = int(text["text_mask"][0].sum())
         T = 32
-        while T < len(ids) and T < self.gdino.max_text_len:
+        while T < n_tok and T < full:
             T *= 2
-        T = min(T, self.gdino.max_text_len)
-        text = build_text_inputs(self.tokenizer, categories, max_len=T)
+        T = min(T, full)
         out = self._jitted("gdino", self.gdino.apply)(
             self.gdino_params,
             jnp.asarray(tensor),
@@ -140,19 +139,16 @@ class OVMono3DLift:
             jnp.asarray(text["text_self_mask"][:, :T, :T]),
             jnp.asarray(text["position_ids"][:, :T]),
         )
-        # pred_logits are padded to max_text_len by the model; pad the
-        # bucket-length span matrix to match (padded columns are zero, so
-        # phrase sums are unchanged).
-        span = text["span_matrix"][:, :T]
-        pad = self.gdino.max_text_len - span.shape[1]
-        if pad > 0:
-            span = np.pad(span, ((0, 0), (0, pad)))
+        # pred_logits are padded to max_text_len by the model; the span
+        # matrix is already full-length (token positions beyond T are
+        # masked to -1e9 logits -> sigmoid ~ 0, and their span entries are
+        # zero anyway).
         # pred_boxes are normalized to the PADDED square; rescale with the
         # padded size then divide by the resize scale to original pixels.
         boxes, scores, classes, valid = postprocess_grounding(
             out["pred_logits"][0],
             out["pred_boxes"][0],
-            jnp.asarray(span),
+            jnp.asarray(text["span_matrix"]),
             jnp.asarray(text["span_valid"]),
             jnp.asarray(
                 [self.gdino_size, self.gdino_size], jnp.float32

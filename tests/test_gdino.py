@@ -138,6 +138,57 @@ def test_deformable_matmul_path_matches_gather_path():
         np.testing.assert_allclose(got, want, atol=5e-7, err_msg=f"{h}x{w}")
 
 
+def test_deformable_bf16_matmul_path_matches_gather():
+    """The bf16 production path (value dtype bf16 -> bf16-weight one-pass
+    matmul for levels <= _MATMUL_MAX_SIZE_BF16) must agree with the bf16
+    window gather to value-quantization noise, and the core must route
+    50^2-sized levels through it (the f32 threshold would send them to the
+    gather)."""
+    from ovmono3d_tpu.models.gdino.deformable import (
+        _MATMUL_MAX_SIZE,
+        _MATMUL_MAX_SIZE_BF16,
+        _bilinear_hw,
+        _bilinear_matmul,
+    )
+
+    # The production threshold covers the 50^2 level; the exact-f32 one
+    # does not (probe-tuned constants — a typo here silently changes paths).
+    assert _MATMUL_MAX_SIZE_BF16 >= 2500 > _MATMUL_MAX_SIZE
+
+    rng = np.random.RandomState(1)
+    for (h, w) in ((50, 50), (25, 25), (13, 13)):
+        v32 = jnp.asarray(rng.rand(1, 2, h, w, 8), jnp.float32)
+        v16 = v32.astype(jnp.bfloat16)
+        x = jnp.asarray(rng.rand(1, 2, 300, 4) * (w * 1.2) - 0.1 * w,
+                        jnp.float32)
+        y = jnp.asarray(rng.rand(1, 2, 300, 4) * (h * 1.2) - 0.1 * h,
+                        jnp.float32)
+        got = np.asarray(jax.jit(_bilinear_matmul)(v16, x, y), np.float64)
+        ref16 = np.asarray(jax.jit(_bilinear_hw)(v16, x, y), np.float64)
+        ref32 = np.asarray(jax.jit(_bilinear_hw)(v32, x, y), np.float64)
+        scale = np.abs(ref32).max() + 1e-9
+        # vs the bf16 gather: only the wy bf16 rounding differs (~2^-8 of
+        # the interpolation weight).
+        assert np.abs(got - ref16).max() / scale < 6e-3, (h, w)
+        # vs the exact f32 reference: bounded by bf16 value quantization.
+        assert np.abs(got - ref32).max() / scale < 2e-2, (h, w)
+
+    # End-to-end: a bf16 value tensor routes its 50^2 level through the
+    # matmul path inside the core and still matches the f32 core closely.
+    sh = [(50, 50)]
+    val32 = jnp.asarray(rng.rand(1, 2500, 2, 8), jnp.float32)
+    loc = jnp.asarray(rng.rand(1, 64, 2, 1, 4, 2), jnp.float32)
+    wgt = jax.nn.softmax(
+        jnp.asarray(rng.rand(1, 64, 2, 1, 4), jnp.float32), axis=-1
+    )
+    out32 = np.asarray(deformable_attention_core(val32, sh, loc, wgt))
+    out16 = np.asarray(
+        deformable_attention_core(val32.astype(jnp.bfloat16), sh, loc, wgt)
+    )
+    scale = np.abs(out32).max() + 1e-9
+    assert np.abs(out32 - out16).max() / scale < 2e-2
+
+
 def test_reference_points():
     refs = make_reference_points([(2, 2), (1, 1)])
     assert refs.shape == (5, 2, 2)

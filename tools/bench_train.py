@@ -102,8 +102,10 @@ def main():
         return (time.perf_counter() - t0) / args.iters
 
     best = min(round_time() for _ in range(args.rounds))
-    print(f"train step @896^2 b{B}: {best*1e3:.1f} ms "
-          f"= {B/best:.2f} img/s/chip", flush=True)
+    n_dev = mesh.shape["data"]
+    print(f"train step @896^2 b{B} over {n_dev} device(s): "
+          f"{best*1e3:.1f} ms = {B/best:.2f} img/s total, "
+          f"{B/best/n_dev:.2f} img/s/chip", flush=True)
 
 
 if __name__ == "__main__":

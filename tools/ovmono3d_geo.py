@@ -51,7 +51,12 @@ def parse_args():
                          "previously written geo_predictions_*.pkl (the "
                          "reference's separate eval_ovmono3d_geo.py step)")
     ap.add_argument("opts", nargs="*", default=[])
-    return ap.parse_args()
+    args = ap.parse_args()
+    if args.eval_only and args.synthetic:
+        ap.error("--eval-only evaluates previously written "
+                 "geo_predictions_*.pkl; it cannot be combined with "
+                 "--synthetic (which runs the self-check pipeline)")
+    return args
 
 
 def evaluate_geo_predictions(records, preds_all, class_names):

@@ -93,16 +93,22 @@ def main():
         x = jnp.asarray(rng.rand(B, H, Q, P) * w - 0.5, jnp.float32)
         y = jnp.asarray(rng.rand(B, H, Q, P) * h - 0.5, jnp.float32)
 
-        # numeric error vs f32 window-gather reference
-        ref = np.asarray(_bilinear_hw(v32, x, y), np.float64)
+        # numeric error vs f32 window-gather reference. Arrays go in as jit
+        # ARGUMENTS (closures would inline them as HLO literals and trip
+        # the axon remote-compile upload cap — bench_util.py docstring).
+        ref = np.asarray(jax.jit(_bilinear_hw)(v32, x, y), np.float64)
         scale = np.abs(ref).mean() + 1e-9
         for name, fn in [
-            ("bf16 gather", lambda: _bilinear_hw(v16, x, y)),
-            ("bf16 mm 1p", lambda: _matmul_bf16(v16, x, y, passes=1)),
-            ("bf16 mm 2p", lambda: _matmul_bf16(v16, x, y, passes=2)),
-            ("f32 mm HIGHEST", lambda: _bilinear_matmul(v32, x, y)),
+            ("bf16 gather", jax.jit(_bilinear_hw)),
+            ("bf16 mm 1p", jax.jit(lambda vv, xx, yy: _matmul_bf16(
+                vv, xx, yy, passes=1))),
+            ("bf16 mm 2p", jax.jit(lambda vv, xx, yy: _matmul_bf16(
+                vv, xx, yy, passes=2))),
+            ("f32 mm HIGHEST", jax.jit(
+                lambda vv, xx, yy: _bilinear_matmul(
+                    vv.astype(jnp.float32), xx, yy))),
         ]:
-            got = np.asarray(jax.jit(fn)(), np.float64)
+            got = np.asarray(fn(v16, x, y), np.float64)
             err = np.abs(got - ref).max() / scale
             print(f"  L{h}x{w} {name:16s} max-err/|v| = {err:.2e}")
 
