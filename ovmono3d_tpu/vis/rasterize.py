@@ -27,6 +27,43 @@ CUBOID_FACES = np.array(
 )
 
 
+def _tri_tile(p, pz, height, width):
+    """Rasterize ONE triangle onto its bbox tile.
+
+    p: [3, 2] pixel coords; pz: [3] camera depth. Returns
+    (y0, y1, x0, x1, zi, inside) with zi/inside shaped [y1-y0, x1-x0], or
+    None if the triangle is skipped (behind camera / degenerate / off
+    screen). Consumers update only the tile region — a full-frame buffer
+    per triangle made scene renders O(F*H*W).
+    """
+    if (pz <= 0).any():                      # behind camera: skip triangle
+        return None
+    x0 = max(int(np.floor(p[:, 0].min())), 0)
+    x1 = min(int(np.ceil(p[:, 0].max())) + 1, width)
+    y0 = max(int(np.floor(p[:, 1].min())), 0)
+    y1 = min(int(np.ceil(p[:, 1].max())) + 1, height)
+    if x0 >= x1 or y0 >= y1:
+        return None
+    xs, ys = np.meshgrid(
+        np.arange(x0, x1) + 0.5, np.arange(y0, y1) + 0.5
+    )
+    # Barycentric coordinates in screen space.
+    d = (
+        (p[1, 1] - p[2, 1]) * (p[0, 0] - p[2, 0])
+        + (p[2, 0] - p[1, 0]) * (p[0, 1] - p[2, 1])
+    )
+    if abs(d) < 1e-12:
+        return None
+    w0 = ((p[1, 1] - p[2, 1]) * (xs - p[2, 0])
+          + (p[2, 0] - p[1, 0]) * (ys - p[2, 1])) / d
+    w1 = ((p[2, 1] - p[0, 1]) * (xs - p[2, 0])
+          + (p[0, 0] - p[2, 0]) * (ys - p[2, 1])) / d
+    w2 = 1.0 - w0 - w1
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+    zi = w0 * pz[0] + w1 * pz[1] + w2 * pz[2]
+    return y0, y1, x0, x1, zi, inside
+
+
 def _raster_triangles(verts2d, z, faces, height, width):
     """Rasterize triangles into one z-buffer.
 
@@ -35,37 +72,13 @@ def _raster_triangles(verts2d, z, faces, height, width):
     """
     zbuf = np.full((height, width), np.inf, np.float64)
     for f in faces:
-        p = verts2d[f]                       # [3, 2]
-        pz = z[f]                            # [3]
-        if (pz <= 0).any():                  # behind camera: skip triangle
+        tile = _tri_tile(verts2d[f], z[f], height, width)
+        if tile is None:
             continue
-        x0 = max(int(np.floor(p[:, 0].min())), 0)
-        x1 = min(int(np.ceil(p[:, 0].max())) + 1, width)
-        y0 = max(int(np.floor(p[:, 1].min())), 0)
-        y1 = min(int(np.ceil(p[:, 1].max())) + 1, height)
-        if x0 >= x1 or y0 >= y1:
-            continue
-        xs, ys = np.meshgrid(
-            np.arange(x0, x1) + 0.5, np.arange(y0, y1) + 0.5
-        )
-        # Barycentric coordinates in screen space.
-        d = (
-            (p[1, 1] - p[2, 1]) * (p[0, 0] - p[2, 0])
-            + (p[2, 0] - p[1, 0]) * (p[0, 1] - p[2, 1])
-        )
-        if abs(d) < 1e-12:
-            continue
-        w0 = ((p[1, 1] - p[2, 1]) * (xs - p[2, 0])
-              + (p[2, 0] - p[1, 0]) * (ys - p[2, 1])) / d
-        w1 = ((p[2, 1] - p[0, 1]) * (xs - p[2, 0])
-              + (p[0, 0] - p[2, 0]) * (ys - p[2, 1])) / d
-        w2 = 1.0 - w0 - w1
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        zi = w0 * pz[0] + w1 * pz[1] + w2 * pz[2]
-        tile = zbuf[y0:y1, x0:x1]
-        upd = inside & (zi < tile)
-        tile[upd] = zi[upd]
-        zbuf[y0:y1, x0:x1] = tile
+        y0, y1, x0, x1, zi, inside = tile
+        sub = zbuf[y0:y1, x0:x1]
+        upd = inside & (zi < sub)
+        sub[upd] = zi[upd]
     return zbuf
 
 
@@ -174,11 +187,15 @@ def render_mesh_view(
             if ln < 1e-12:
                 continue
             intensity = 0.35 + 0.65 * abs(float(nrm @ light) / ln)
-            tri_z = _raster_triangles(p2, z, f[None], height, width)
-            upd = tri_z < zbuf
-            zbuf[upd] = tri_z[upd]
-            shade[upd] = colors[i % len(colors)] * intensity
-            covered |= upd
+            tile = _tri_tile(p2[f], z[f], height, width)
+            if tile is None:
+                continue
+            y0, y1, x0, x1, zi, inside = tile
+            sub = zbuf[y0:y1, x0:x1]
+            upd = inside & (zi < sub)
+            sub[upd] = zi[upd]
+            shade[y0:y1, x0:x1][upd] = colors[i % len(colors)] * intensity
+            covered[y0:y1, x0:x1] |= upd
     out = image.astype(np.float64).copy()
     out[covered] = (
         alpha * shade[covered] + (1 - alpha) * out[covered]

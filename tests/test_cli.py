@@ -48,6 +48,27 @@ def test_train_cli_priors_cluster_decode_and_intrain_eval(
         train_net.main()
     assert any("in-train eval @ iter 2" in r.getMessage()
                for r in caplog.records), "periodic eval did not run"
+    # Priors persist next to the checkpoints so evaluation of this config
+    # can rebuild the cluster-z decode (tools/eval_net.py --priors).
+    assert (tmp_path / "priors.npz").exists()
+
+
+def test_eval_cli_synthetic_cluster_bins(monkeypatch, capsys, tmp_path):
+    """eval_net --synthetic with dims_priors/cluster_bins self-computes
+    priors (previously build_model(priors=None) hit the 'cluster_bins
+    needs priors' assertion)."""
+    from tools import eval_net
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval_net.py", "--synthetic", "--batch-size", "8",
+        *TINY,
+        "model.cube.dims_priors_enabled=true",
+        "model.cube.cluster_bins=4",
+        f"output_dir={tmp_path}",
+    ])
+    eval_net.main()
+    out = capsys.readouterr().out
+    assert "overall (all test datasets merged)" in out
 
 
 def test_train_cli_resume(monkeypatch, tmp_path, caplog):

@@ -9,17 +9,13 @@ import ovmono3d_tpu.ops.attention as A
 from ovmono3d_tpu.models.vit import VisionTransformer
 
 
-def bench(fn, feed, probe, iters=15, rounds=4, label=""):
-    out = fn(feed); float(np.asarray(probe(out)))
-    def rt():
-        t0 = time.perf_counter(); x = feed
-        for _ in range(iters):
-            out = fn(x); x = feed + probe(out) * 1e-9
-        float(np.asarray(probe(out)))
-        return (time.perf_counter() - t0) / iters
-    best = min(rt() for _ in range(rounds))
-    print(f"{label}: {best*1e3:.2f} ms", flush=True)
-    return best
+def bench(fn, feed, probe, iters=15, rounds=4, label="", args=()):
+    """In-graph chained protocol (tools/bench_util.py): the old eager
+    host-chained variant paid per-iteration dispatch + readback noise."""
+    from tools.bench_util import bench_loop
+
+    return bench_loop(fn, feed, probe, iters=iters, rounds=rounds,
+                      label=label, args=args)
 
 
 def stock(q, k, v):
@@ -54,4 +50,5 @@ vp = jax.jit(vit.init)(jax.random.PRNGKey(0), image)
 probe = lambda o: o["last_feat"][0, 0, 0, 0]
 A._attention_autoselect = stock
 jf = jax.jit(lambda p, x: vit.apply(p, x))
-bench(lambda x: jf(vp, x), image, probe, label="trunk stock+segids")
+bench(lambda x, p: jf(p, x), image, probe, label="trunk stock+segids",
+      args=(vp,))

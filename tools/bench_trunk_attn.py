@@ -10,17 +10,13 @@ import ovmono3d_tpu.ops.attention as A
 from ovmono3d_tpu.models.vit import VisionTransformer
 
 
-def bench(fn, feed, probe, iters=15, rounds=4, label=""):
-    out = fn(feed); float(np.asarray(probe(out)))
-    def rt():
-        t0 = time.perf_counter(); x = feed
-        for _ in range(iters):
-            out = fn(x); x = feed + probe(out) * 1e-9
-        float(np.asarray(probe(out)))
-        return (time.perf_counter() - t0) / iters
-    best = min(rt() for _ in range(rounds))
-    print(f"{label}: {best*1e3:.2f} ms", flush=True)
-    return best
+def bench(fn, feed, probe, iters=15, rounds=4, label="", args=()):
+    """In-graph chained protocol (tools/bench_util.py): the old eager
+    host-chained variant paid per-iteration dispatch + readback noise."""
+    from tools.bench_util import bench_loop
+
+    return bench_loop(fn, feed, probe, iters=iters, rounds=rounds,
+                      label=label, args=args)
 
 
 rng = np.random.RandomState(0)
@@ -31,10 +27,12 @@ japply = jax.jit(vit.apply)
 probe = lambda o: o["last_feat"][0, 0, 0, 0]
 
 orig = A._attention_autoselect
-bench(lambda x: japply(vp, x), image, probe, label="trunk flash(auto)")
+bench(lambda x, p: japply(p, x), image, probe,
+      label="trunk flash(auto)", args=(vp,))
 
 # no attention at all (v passthrough)
 A._attention_autoselect = lambda q, k, v: v
 japply3 = jax.jit(lambda p, x: (vit.apply(p, x), 0)[0])
-bench(lambda x: japply3(vp, x), image, probe, label="trunk NO attn   ")
+bench(lambda x, p: japply3(p, x), image, probe,
+      label="trunk NO attn   ", args=(vp,))
 A._attention_autoselect = orig

@@ -42,6 +42,11 @@ def parse_args():
                     help="write pred-vs-GT 3x2 panel JPEGs here")
     ap.add_argument("--vis-period", type=int, default=50,
                     help="panel every Nth eval image (reference vis.py:105)")
+    ap.add_argument("--priors", default=None,
+                    help="priors.npz written by train_net (dims/z_scales/"
+                         "z_stats); required by dims_priors_enabled / "
+                         "cluster_bins configs. Defaults to priors.npz "
+                         "next to --checkpoint when present.")
     ap.add_argument("--category-meta", default=None,
                     help="category-meta JSON (configs/category_meta*.json) "
                          "providing the model's class names/ID map, as the "
@@ -99,7 +104,8 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
             }
             gt = _record_gt(rec)
             helper.add_image(dataset_name, gt, pred, eval_prox=eval_prox)
-            if vis_dir is not None and (n_done + bi) % vis_period == 0:
+            if (vis_dir is not None and vis_period > 0
+                    and (n_done + bi) % vis_period == 0):
                 # Pred-vs-GT 3x2 panel every Nth eval image (reference
                 # visualize_from_instances, vis.py:76-296).
                 from ovmono3d_tpu.utils.util import imwrite_rgb
@@ -233,7 +239,31 @@ def main():
             str(i) for i in range(cfg.model.num_classes)
         ]
 
-    model = build_model(cfg.model)
+    # Priors for dims_priors_enabled / cluster_bins decodes: they are baked
+    # into the model (reference injects them as parameters,
+    # roi_heads.py:117-143); train_net persists them as priors.npz next to
+    # the checkpoint.
+    priors = None
+    priors_path = args.priors
+    if priors_path is None and args.checkpoint:
+        cand = Path(args.checkpoint).parent / "priors.npz"
+        priors_path = str(cand) if cand.exists() else None
+    if priors_path:
+        loaded_npz = np.load(priors_path)
+        priors = {k: loaded_npz[k] for k in loaded_npz.files}
+        logger.info("loaded priors from %s", priors_path)
+    elif args.synthetic and (cfg.model.cube.dims_priors_enabled
+                             or cfg.model.cube.cluster_bins > 0):
+        from ovmono3d_tpu.utils.priors import compute_priors
+        from tools.train_net import synthetic_records
+
+        priors = compute_priors(
+            synthetic_records(256, cfg.model.num_classes),
+            cfg.model.num_classes, cfg.model.cube.cluster_bins,
+        )
+        logger.info("computed priors from synthetic records")
+
+    model = build_model(cfg.model, priors=priors)
     S = cfg.model.backbone.square_pad
     params = jax.jit(model.init)(
         jax.random.PRNGKey(cfg.seed),

@@ -238,13 +238,20 @@ def main():
     # segment_anything semantics, no SFP harness (that is only for SAM as a
     # detection backbone).
     S_SAM, S_DEPTH = 1024, 768
+    # Per-arch trunk dims AND global-attention block indices (the official
+    # segment_anything build_sam.py encoder_global_attn_indexes — every
+    # 1/4-depth block; vit_b's (2, 5, 8, 11) from the preset would be wrong
+    # for the larger trunks and their checkpoints could not load).
     arch = {
-        "vit_b": dict(embed_dim=768, depth=12, num_heads=12),
-        "vit_l": dict(embed_dim=1024, depth=24, num_heads=16),
-        "vit_h": dict(embed_dim=1280, depth=32, num_heads=16),
+        "vit_b": dict(embed_dim=768, depth=12, num_heads=12,
+                      global_blocks=(2, 5, 8, 11)),
+        "vit_l": dict(embed_dim=1024, depth=24, num_heads=16,
+                      global_blocks=(5, 11, 17, 23)),
+        "vit_h": dict(embed_dim=1280, depth=32, num_heads=16,
+                      global_blocks=(7, 15, 23, 31)),
     }[args.sam_arch]
     sam_encoder = VisionTransformer(
-        use_depth_fusion=False, **arch, **VIT_PRESETS["sam"]
+        use_depth_fusion=False, **{**VIT_PRESETS["sam"], **arch}
     )
     segmenter = SamSegmenter()
     depth_model = DepthPro()

@@ -99,6 +99,12 @@ def main():
     if args.eval_only:
         # Delegate to the evaluation CLI (reference train_net.py:403-452
         # dispatches --eval-only to do_test with the same config/opts).
+        if args.trunk_ckpt:
+            raise SystemExit(
+                "--trunk-ckpt is a training-time ImageNet init and is not "
+                "forwarded by --eval-only; evaluate a trained checkpoint "
+                "via --checkpoint or released weights via eval_net "
+                "--rcnn-ckpt instead")
         from tools import eval_net
 
         argv = ["eval_net.py"]
@@ -108,6 +114,8 @@ def main():
             argv += ["--synthetic"]
         if args.checkpoint:
             argv += ["--checkpoint", args.checkpoint]
+        if args.batch_size:
+            argv += ["--batch-size", str(args.batch_size)]
         argv += list(args.opts)
         sys.argv = argv
         return eval_net.main()
@@ -161,6 +169,12 @@ def main():
     priors = compute_priors(records, cfg.model.num_classes,
                             cfg.model.cube.cluster_bins)
     logger.info("priors computed: mean dims %s", priors["dims"][:, 0].mean(0))
+    # Persist next to the checkpoints: priors are baked into the model (not
+    # orbax state), so evaluation of dims_priors/cluster_bins configs needs
+    # them back (tools/eval_net.py --priors).
+    out_dir = Path(cfg.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    np.savez(out_dir / "priors.npz", **priors)
 
     # --- model / optimizer / mesh ---
     # Priors are injected into the model (reference roi_heads.py:117-143):
@@ -246,7 +260,25 @@ def main():
             eval_records = synthetic_records(16, cfg.model.num_classes,
                                              seed=99)
         else:
-            eval_records = records[: min(len(records), 64)]
+            # Prefer a real held-out set (reference do_test runs the TEST
+            # datasets, train_net.py:329-339); fall back to a COPY of the
+            # first training records (smoke metric only — copied so the
+            # oracle2d injection below can't mutate the training stream).
+            import copy
+
+            eval_records = []
+            for name in (cfg.datasets.test or [])[:1]:
+                json_path = (Path(cfg.datasets.data_root) / "Omni3D"
+                             / f"{name}.json")
+                if json_path.exists():
+                    simple_register(name, json_path, fs, cat_map)
+                    eval_records = get_dataset(name)[:64]
+            if not eval_records:
+                logger.warning(
+                    "test.eval_period is set but no test dataset is "
+                    "available; in-train eval uses 64 TRAINING records "
+                    "(optimistic smoke metric)")
+                eval_records = copy.deepcopy(records[: min(len(records), 64)])
         for rec in eval_records:
             rec["oracle2d"] = [
                 {"bbox2d": a["bbox2d"], "category_id": a["category_id"],
