@@ -82,14 +82,38 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
             oracle_valid=batch["oracle_valid"],
         )
 
+    # Separate data / pure-compute timers + periodic ETA, the reference's
+    # inference_on_dataset instrumentation (omni3d_evaluation.py:637-715).
+    import time
+
+    logger = logging.getLogger("ovmono3d.eval")
+    t_data = t_compute = 0.0
+    t_start = t_mark = time.perf_counter()
+    n_total = len(records)
+
     n_done = 0
     dumped = []
-    for chunk, batch in build_test_iterator(
-        cfg, records, batch_size, image_loader
-    ):
+    it = iter(build_test_iterator(cfg, records, batch_size, image_loader))
+    while True:
+        t0 = time.perf_counter()
+        nxt = next(it, None)
+        t_data += time.perf_counter() - t0
+        if nxt is None:
+            break
+        chunk, batch = nxt
+        t0 = time.perf_counter()
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         det = run(params, batch)
         det = jax.device_get(det)
+        t_compute += time.perf_counter() - t0
+        if time.perf_counter() - t_mark > 10.0 and n_done:
+            per = (time.perf_counter() - t_start) / n_done
+            logger.info(
+                "%s: %d/%d images, %.3f s/img (eta %.0f s)",
+                dataset_name, n_done, n_total, per,
+                per * (n_total - n_done),
+            )
+            t_mark = time.perf_counter()
         for bi, rec in enumerate(chunk):
             valid = det.valid[bi]
             pred = {
@@ -150,6 +174,14 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
                     ],
                 })
         n_done += len(chunk)
+    if n_done:
+        logger.info(
+            "%s: total inference %.1f s (%.3f s/img); pure compute %.1f s "
+            "(%.3f s/img); data %.1f s",
+            dataset_name, time.perf_counter() - t_start,
+            (time.perf_counter() - t_start) / n_done,
+            t_compute, t_compute / n_done, t_data,
+        )
     if dump_path is not None:
         import json
 
