@@ -127,7 +127,10 @@ def build_test_iterator(
     """
     from ovmono3d_tpu.data import native as native_mod
 
-    native_ok = use_native and native_mod.native_available()
+    # The native path only wins when OpenMP has cores to parallelize
+    # across images; at 1-2 cores cv2's SIMD per-image resize is faster
+    # (native.native_worthwhile docstring).
+    native_ok = use_native and native_mod.native_worthwhile()
     S = cfg.model.backbone.square_pad
     for start in range(0, len(records), batch_size):
         chunk = records[start : start + batch_size]
