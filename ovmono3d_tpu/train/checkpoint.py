@@ -33,5 +33,23 @@ class SingleCheckpointer:
             return None
         return self._ckpt.restore(path, item=template)
 
+    def load_subtree(self, key: str, template: Any,
+                     name: str = "model_recent") -> Any | None:
+        """Restore one top-level entry (e.g. 'params') of a saved
+        TrainState — evaluation loads a TRAINING checkpoint without
+        reconstructing its optimizer state (orbax restores strictly
+        against the full structure otherwise)."""
+        path = self._path(name)
+        if not path.exists():
+            return None
+        raw = self._ckpt.restore(path)     # nested dicts, full tree
+        if key not in raw:
+            return None
+        sub = raw[key]
+        # Re-shape onto the template's pytree structure (dataclass/dict).
+        leaves = jax.tree.leaves(sub)
+        treedef = jax.tree.structure(template)
+        return jax.tree.unflatten(treedef, leaves)
+
     def has(self, name: str = "model_recent") -> bool:
         return self._path(name).exists()

@@ -53,6 +53,40 @@ def test_train_cli_priors_cluster_decode_and_intrain_eval(
     assert (tmp_path / "priors.npz").exists()
 
 
+def test_train_then_eval_checkpoint_with_priors(monkeypatch, capsys,
+                                                tmp_path):
+    """Full round-trip: train a cluster-bins config (writes model_recent +
+    priors.npz), then evaluate the checkpoint — eval_net must auto-discover
+    priors.npz next to it to rebuild the cluster-z decode."""
+    from tools import eval_net, train_net
+
+    cluster = [
+        "model.cube.dims_priors_enabled=true",
+        "model.cube.cluster_bins=4",
+    ]
+    monkeypatch.setattr(sys, "argv", [
+        "train_net.py", "--synthetic", "--max-iter", "2",
+        "--batch-size", "8",
+        *TINY, *cluster,
+        "test.eval_period=0",
+        "solver.checkpoint_period=2",
+        f"output_dir={tmp_path}",
+    ])
+    train_net.main()
+    assert (tmp_path / "model_recent").exists()
+    assert (tmp_path / "priors.npz").exists()
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval_net.py", "--synthetic", "--batch-size", "8",
+        "--checkpoint", str(tmp_path / "model_recent"),
+        *TINY, *cluster,
+        f"output_dir={tmp_path}",
+    ])
+    eval_net.main()
+    out = capsys.readouterr().out
+    assert "overall (all test datasets merged)" in out
+
+
 def test_eval_cli_synthetic_cluster_bins(monkeypatch, capsys, tmp_path):
     """eval_net --synthetic with dims_priors/cluster_bins self-computes
     priors (previously build_model(priors=None) hit the 'cluster_bins

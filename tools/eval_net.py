@@ -308,11 +308,18 @@ def main():
         from ovmono3d_tpu.train.checkpoint import SingleCheckpointer
 
         ckpt = SingleCheckpointer(Path(args.checkpoint).parent)
-        loaded = ckpt.load({"params": params},
-                           name=Path(args.checkpoint).name)
+        # Training checkpoints hold the full TrainState; pull the params
+        # subtree only (resume_or_load model-weights semantics,
+        # reference train_net.py:151-168).
+        loaded = ckpt.load_subtree("params", params,
+                                   name=Path(args.checkpoint).name)
         if loaded is not None:
-            params = loaded["params"]
+            params = loaded
             logger.info("loaded checkpoint %s", args.checkpoint)
+        else:
+            raise SystemExit(
+                f"--checkpoint {args.checkpoint}: no loadable 'params' "
+                "entry found")
     if args.rcnn_ckpt:
         from ovmono3d_tpu.utils.load import load_rcnn_params
 
