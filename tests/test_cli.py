@@ -219,3 +219,52 @@ def test_eval_cli_multi_dataset_merge(monkeypatch, capsys, tmp_path):
     assert "synthetic_a" in out and "synthetic_b" in out
     # Oracle GT boxes must give AP2D=100 on the merged table.
     assert "AP2D            | 100.00" in out
+
+
+def test_eval_predictions_offline(monkeypatch, capsys, tmp_path):
+    """tools/eval_predictions.py (reference eval.py:1839 offline flow):
+    a GT-equal prediction file on a tiny Omni3D JSON scores perfect AP."""
+    import json
+
+    import numpy as np
+
+    data = {
+        "categories": [{"id": 1, "name": "chair"}],
+        "images": [
+            {"id": 10, "width": 640, "height": 480,
+             "K": [[500, 0, 320], [0, 500, 240], [0, 0, 1]],
+             "file_path": "img10.jpg"},
+        ],
+        "annotations": [
+            {"image_id": 10, "category_id": 1,
+             "bbox2D_trunc": [100, 100, 50, 80],
+             "center_cam": [0.1, 0.2, 3.0], "dimensions": [0.5, 0.9, 0.5],
+             "R_cam": np.eye(3).tolist(), "truncation": 0.1,
+             "visibility": 0.9, "valid3D": True},
+        ],
+    }
+    ds = tmp_path / "ds.json"
+    ds.write_text(json.dumps(data))
+    preds = [{
+        "image_id": 10,
+        "instances": [{
+            "category_id": 0, "score": 0.9,
+            "bbox": [100, 100, 50, 80],
+            "center_cam": [0.1, 0.2, 3.0],
+            "dimensions": [0.5, 0.9, 0.5],
+            "pose": np.eye(3).tolist(),
+        }],
+    }]
+    pf = tmp_path / "preds.json"
+    pf.write_text(json.dumps(preds))
+
+    from tools import eval_predictions
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval_predictions.py", "--predictions", str(pf),
+        "--dataset-json", str(ds), "--categories", "chair",
+    ])
+    eval_predictions.main()
+    out = capsys.readouterr().out
+    assert "offline predictions" in out
+    assert "100.0" in out or "100.00" in out  # perfect AP somewhere
