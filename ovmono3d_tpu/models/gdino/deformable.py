@@ -119,7 +119,11 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
     wy = wy.reshape(B, H, Q * P, h)
     wx = wx.reshape(B, H, Q * P, w)
     if bf16:
+        # Both weight factors ride bf16 (value tables are already bf16-
+        # quantized, so the ~2^-8 weight rounding adds nothing measurable;
+        # wx in f32 kept an 85 MB scan operand per 50^2 level).
         wy = wy.astype(jnp.bfloat16)
+        wx = wx.astype(jnp.bfloat16)
 
     nt = Q * P
     pad = (-nt) % chunk
