@@ -47,6 +47,10 @@ def deformable_attention_core(
     vh = value.transpose(0, 2, 1, 3)                      # [B, H, S, D]
     loc = sampling_locations.transpose(0, 2, 1, 3, 4, 5)  # [B, H, Q, L, P, 2]
     wgt = attention_weights.transpose(0, 2, 1, 3, 4)      # [B, H, Q, L, P]
+    if bf16:
+        # Keep the L/P reduction in bf16 end-to-end (16 taps; the rounding
+        # is below the bf16 value tables' own quantization).
+        wgt = wgt.astype(jnp.bfloat16)
 
     out = jnp.zeros((B, H, Q, D), value.dtype)
     for li, (h, w) in enumerate(spatial_shapes):
@@ -140,11 +144,15 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
             precision=(None if bf16 else jax.lax.Precision.HIGHEST),
             preferred_element_type=jnp.float32,
         ).reshape(B, H, chunk, w, D)
-        return carry, jnp.sum(rows * wxc[..., None], axis=3)
+        out = jnp.sum(rows * wxc[..., None], axis=3)
+        # bf16 path: the stacked scan output is the largest carry (f32
+        # doubles its HBM traffic); one more bf16 rounding sits below the
+        # value tables' quantization noise.
+        return carry, out.astype(jnp.bfloat16) if bf16 else out
 
     _, outs = jax.lax.scan(one_chunk, 0, (wy, wx))   # [nc, B, H, c, D]
     outs = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, nc * chunk, D)
-    # f32 accumulator either way (the gather path also yields f32 products).
+    # f32 products in the f32 path (the gather path also yields f32).
     return outs[:, :, :nt].reshape(B, H, Q, P, D)
 
 
@@ -212,11 +220,21 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     wx1 = jnp.where(xa1 == x0e, 1 - lx, 0.0) + jnp.where(
         xa1 == x0e + 1, lx, 0.0
     )
+    # bf16 values: keep the weighted combine in bf16 too (f32 corner
+    # weights promote the whole [B,H,Q,P,D] chain to f32 — pure extra HBM
+    # traffic; the corner-weight products are computed in f32 first, so
+    # only one rounding is added, below value-quantization noise).
+    if v.dtype == jnp.bfloat16:
+        def cw(a):
+            return a.astype(jnp.bfloat16)
+    else:
+        def cw(a):
+            return a
     return (
-        win[..., 0, 0, :] * (wy0 * wx0)
-        + win[..., 0, 1, :] * (wy0 * wx1)
-        + win[..., 1, 0, :] * (wy1 * wx0)
-        + win[..., 1, 1, :] * (wy1 * wx1)
+        win[..., 0, 0, :] * cw(wy0 * wx0)
+        + win[..., 0, 1, :] * cw(wy0 * wx1)
+        + win[..., 1, 0, :] * cw(wy1 * wx0)
+        + win[..., 1, 1, :] * cw(wy1 * wx1)
     )
 
 

@@ -167,9 +167,10 @@ def test_deformable_bf16_matmul_path_matches_gather():
         ref16 = np.asarray(jax.jit(_bilinear_hw)(v16, x, y), np.float64)
         ref32 = np.asarray(jax.jit(_bilinear_hw)(v32, x, y), np.float64)
         scale = np.abs(ref32).max() + 1e-9
-        # vs the bf16 gather: only the wy bf16 rounding differs (~2^-8 of
-        # the interpolation weight).
-        assert np.abs(got - ref16).max() / scale < 6e-3, (h, w)
+        # vs the bf16 gather: each path applies its own independent bf16
+        # weight/accumulator roundings (~2^-8 each), so they agree to a
+        # couple of ulps of bf16, not exactly.
+        assert np.abs(got - ref16).max() / scale < 1.5e-2, (h, w)
         # vs the exact f32 reference: bounded by bf16 value quantization.
         assert np.abs(got - ref32).max() / scale < 2e-2, (h, w)
 
