@@ -30,8 +30,14 @@ def deformable_attention_core(
     spatial_shapes: list[tuple[int, int]],
     sampling_locations: jax.Array,    # [B, Q, H, L, P, 2] in [0, 1]
     attention_weights: jax.Array,     # [B, Q, H, L, P]
+    levels: tuple[int, ...] | None = None,
 ) -> jax.Array:
-    """Returns [B, Q, H*D]."""
+    """Returns [B, Q, H*D].
+
+    `levels` (ablation/bench only): restrict sampling to the given level
+    indices — skipped levels contribute zero, and XLA dead-code-eliminates
+    their gathers, exposing each level's in-situ cost.
+    """
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
 
@@ -53,17 +59,24 @@ def deformable_attention_core(
         wgt = wgt.astype(jnp.bfloat16)
 
     out = jnp.zeros((B, H, Q, D), value.dtype)
+    mm = []  # (v, x, y, w) per matmul-eligible level — merged into ONE scan
     for li, (h, w) in enumerate(spatial_shapes):
+        if levels is not None and li not in levels:
+            continue
         v = jax.lax.dynamic_slice_in_dim(vh, offsets[li], sizes[li], axis=2)
         v = v.reshape(B, H, h, w, D)
         # grid_sample align_corners=False: x_pix = x_norm * W - 0.5.
         x = loc[:, :, :, li, :, 0] * w - 0.5              # [B, H, Q, P]
         y = loc[:, :, :, li, :, 1] * h - 0.5
         if h * w <= max_mm:
-            sampled = _bilinear_matmul(v, x, y)           # [B, H, Q, P, D]
+            mm.append((v, x, y, wgt[:, :, :, li, :]))
         else:
             sampled = _bilinear_hw(v, x, y)
-        out = out + jnp.sum(sampled * wgt[:, :, :, li, :, None], axis=3)
+            out = out + jnp.sum(
+                sampled * wgt[:, :, :, li, :, None], axis=3
+            )
+    if mm:
+        out = out + _bilinear_matmul_multi(mm)
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 
 
@@ -154,6 +167,83 @@ def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
     outs = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, nc * chunk, D)
     # f32 products in the f32 path (the gather path also yields f32).
     return outs[:, :, :nt].reshape(B, H, Q, P, D)
+
+
+def _bilinear_matmul_multi(mm, chunk: int = 2048) -> jax.Array:
+    """Sample ALL matmul-eligible levels in ONE block-diagonal scan.
+
+    mm: list of (v [B,H,h,w,D], x [B,H,Q,P], y [B,H,Q,P], aw [B,H,Q,P])
+    per level. Returns the attention-weighted, P-reduced contribution of
+    these levels: [B, H, Q, D].
+
+    Why merged: one scan over the queries serves every matmul level (one
+    set of scan-stacking layout copies instead of one per level), and
+    folding each level's attention weight into its column one-hot makes the
+    per-level [B,H,Q,P,D] weighted-sum passes collapse into the shared
+    column combine (the three matmul-sampled encoder levels cost
+    30.4 ms/forward as separate scans, tools/bench_enc_parts.py). The dots
+    stay PER LEVEL inside the scan body: a single block-diagonal dot was
+    tried and benched 2.5x SLOWER end-to-end — its [B,H,chunk,N_total] f32
+    row tensor has three slice-consumers, which defeats XLA's
+    matmul-consumer fusion and spills the rows to HBM every chunk.
+    """
+    B, H, _, _, D = mm[0][0].shape
+    Q, P = mm[0][1].shape[2], mm[0][1].shape[3]
+    bf16 = mm[0][0].dtype == jnp.bfloat16
+    wdt = jnp.bfloat16 if bf16 else jnp.float32
+
+    ws = [v.shape[3] for v, *_ in mm]
+    vts = [v.reshape(B, H, v.shape[2], v.shape[3] * D) for v, *_ in mm]
+
+    wys, wxs = [], []
+    for v, x, y, aw in mm:
+        h, w = v.shape[2], v.shape[3]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        iy = jnp.arange(h)
+        ix = jnp.arange(w)
+        wy = (jnp.where(iy == y0i[..., None], (1 - ly)[..., None], 0.0)
+              + jnp.where(iy == y0i[..., None] + 1, ly[..., None], 0.0))
+        wx = (jnp.where(ix == x0i[..., None], (1 - lx)[..., None], 0.0)
+              + jnp.where(ix == x0i[..., None] + 1, lx[..., None], 0.0))
+        # Fold the attention weight into the column one-hot — the per-level
+        # weighted P-sum then collapses into the column combine.
+        wx = wx * aw[..., None]
+        wys.append(wy.reshape(B, H, Q * P, h).astype(wdt))
+        wxs.append(wx.reshape(B, H, Q * P, w).astype(wdt))
+
+    nt = Q * P
+    pad = (-nt) % chunk
+    nc = (nt + pad) // chunk
+
+    def stack(a):  # [B, H, QP, n] -> [nc, B, H, chunk, n]
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return a.reshape(B, H, nc, chunk, -1).transpose(2, 0, 1, 3, 4)
+
+    wys = tuple(stack(a) for a in wys)
+    wxs = tuple(stack(a) for a in wxs)
+
+    def one_chunk(carry, wsc):
+        wycs, wxcs = wsc  # per-level [B,H,c,h_l] / [B,H,c,w_l]
+        acc = jnp.zeros((B, H, chunk, D), jnp.float32)
+        for vt, w_l, y_l, x_l in zip(vts, ws, wycs, wxcs):
+            rows = jax.lax.dot_general(
+                y_l, vt, (((3,), (2,)), ((0, 1), (0, 1))),
+                precision=(None if bf16 else jax.lax.Precision.HIGHEST),
+                preferred_element_type=jnp.float32,
+            ).reshape(B, H, chunk, w_l, D)
+            acc = acc + jnp.sum(
+                rows * x_l[..., None].astype(jnp.float32), axis=3
+            )
+        return carry, acc.astype(wdt) if bf16 else acc
+
+    _, outs = jax.lax.scan(one_chunk, 0, (wys, wxs))
+    outs = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, nc * chunk, D)
+    return outs[:, :, :nt].reshape(B, H, Q, P, D).sum(axis=3)
 
 
 def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:

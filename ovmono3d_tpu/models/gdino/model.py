@@ -56,6 +56,10 @@ class GroundingDINO(nn.Module):
     # Heavy enhancer/decoder matmuls run bf16 (f32 layernorms/heads).
     compute_dtype: Dtype = jnp.bfloat16
     dtype: Dtype = jnp.float32
+    # Ablation/bench only: skip named encoder sub-blocks ("fusion",
+    # "text", "image") and/or restrict deformable sampling levels.
+    debug_skip: tuple = ()
+    sample_levels: tuple | None = None
 
     def setup(self):
         self.backbone = SwinTransformer(
@@ -100,6 +104,7 @@ class GroundingDINO(nn.Module):
             DeformableLayer(
                 self.hidden_dim, self.nheads, self.enc_points,
                 self.num_levels, self.ffn_dim, dtype=self.compute_dtype,
+                sample_levels=self.sample_levels,
                 name=f"img_enc{i}",
             )
             for i in range(self.enc_layers)
@@ -175,9 +180,12 @@ class GroundingDINO(nn.Module):
         # --- feature enhancer ---
         img, text = src, txt
         for i in range(self.enc_layers):
-            img, text = self.fusion_layers[i](img, text, text_mask)
-            text = self.text_layers[i](text, text_mask)
-            img = self.image_layers[i](img, pos, refs, shapes)
+            if "fusion" not in self.debug_skip:
+                img, text = self.fusion_layers[i](img, text, text_mask)
+            if "text" not in self.debug_skip:
+                text = self.text_layers[i](text, text_mask)
+            if "image" not in self.debug_skip:
+                img = self.image_layers[i](img, pos, refs, shapes)
 
         memory = img
         # --- two-stage query selection ---

@@ -129,7 +129,11 @@ class SwinBlock(nn.Module):
 
         shortcut = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
-        h = h.reshape(B, H, W, C)
+        # Cast to the compute dtype BEFORE the pad/roll/window-partition
+        # transposes: they are pure layout traffic and the attention body
+        # consumes bf16 anyway — casting after (the old placement) moved
+        # the whole stage-0 [B, 200, 200, C] tensor through HBM in f32.
+        h = h.astype(self.dtype).reshape(B, H, W, C)
 
         # pad to window multiples (static)
         hp = -(-H // win) * win
@@ -149,7 +153,7 @@ class SwinBlock(nn.Module):
         h = WindowAttention(
             self.dim, self.num_heads, self.window, win, self.dtype,
             name="attn",
-        )(h.astype(self.dtype), mask)
+        )(h, mask)
         # reverse
         h = h.reshape(B, hp // win, wp // win, win, win, C)
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, hp, wp, C)

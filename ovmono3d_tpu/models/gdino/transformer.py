@@ -186,6 +186,9 @@ class DeformableLayer(nn.Module):
     levels: int = 4
     ffn: int = 2048
     dtype: Dtype = jnp.float32
+    # Ablation/bench only: restrict deformable sampling to these level
+    # indices (None = all). Skipped levels' gathers are DCE'd by XLA.
+    sample_levels: tuple[int, ...] | None = None
 
     @nn.compact
     def __call__(self, x, pos, ref_points, spatial_shapes):
@@ -217,7 +220,8 @@ class DeformableLayer(nn.Module):
             None, None, None, :, None, :
         ]
         sampled = deformable_attention_core(
-            value, list(spatial_shapes), loc, attw
+            value, list(spatial_shapes), loc, attw,
+            levels=self.sample_levels,
         )
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(
             sampled

@@ -274,3 +274,18 @@ def test_gdino_end_to_end_tiny():
     assert boxes.shape == (10, 4)
     assert np.all(np.asarray(classes)[np.asarray(valid)] < 2)
     assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+def test_deformable_levels_restriction():
+    """The `levels` ablation knob: restricting to a subset must equal the
+    full core with the skipped levels' attention weights zeroed."""
+    rng = np.random.RandomState(3)
+    shapes = [(4, 4), (2, 2)]
+    value = jnp.asarray(rng.rand(1, 20, 2, 4), jnp.float32)
+    loc = jnp.asarray(rng.rand(1, 6, 2, 2, 3, 2), jnp.float32)
+    w = jnp.asarray(rng.rand(1, 6, 2, 2, 3), jnp.float32)
+    only0 = deformable_attention_core(value, shapes, loc, w, levels=(0,))
+    w_zeroed = w.at[:, :, :, 1, :].set(0.0)
+    want = deformable_attention_core(value, shapes, loc, w_zeroed)
+    np.testing.assert_allclose(np.asarray(only0), np.asarray(want),
+                               atol=1e-6)
