@@ -56,10 +56,12 @@ class GroundingDINO(nn.Module):
     # Heavy enhancer/decoder matmuls run bf16 (f32 layernorms/heads).
     compute_dtype: Dtype = jnp.bfloat16
     dtype: Dtype = jnp.float32
-    # Ablation/bench only: skip named encoder sub-blocks ("fusion",
-    # "text", "image") and/or restrict deformable sampling levels.
+    # Ablation/bench only: skip named sub-blocks (encoder: "fusion",
+    # "text", "image"; decoder: "dec:self", "dec:text_cross", "dec:deform")
+    # and/or restrict encoder/decoder deformable sampling levels.
     debug_skip: tuple = ()
     sample_levels: tuple | None = None
+    dec_sample_levels: tuple | None = None
 
     def setup(self):
         self.backbone = SwinTransformer(
@@ -124,6 +126,10 @@ class GroundingDINO(nn.Module):
             DecoderLayer(
                 self.hidden_dim, self.nheads, self.dec_points,
                 self.num_levels, self.ffn_dim, dtype=self.compute_dtype,
+                debug_skip=tuple(
+                    s[4:] for s in self.debug_skip if s.startswith("dec:")
+                ),
+                sample_levels=self.dec_sample_levels,
                 name=f"dec{i}",
             )
             for i in range(self.dec_layers)

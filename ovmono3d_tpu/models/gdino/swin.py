@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ovmono3d_tpu.ops.attention import window_attention
+
 Dtype = Any
 
 
@@ -72,17 +74,15 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask=None):
-        """x: [num_windows*B, w*w, C]; mask: [num_windows, w*w, w*w] or None."""
+    def __call__(self, x, ids=None):
+        """x: [num_windows*B, w*w, C]; ids: [num_windows, w*w] int32 region
+        ids for the shifted-window mask (equal ids attend, else -1e9), or
+        None."""
         Bw, N, C = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(Bw, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = head_dim**-0.5
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) * scale
 
         table = self.param(
             "rel_pos_bias",
@@ -92,18 +92,8 @@ class WindowAttention(nn.Module):
         )
         idx = _rel_pos_index(self.window, self.eff_window)
         bias = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
-        attn = attn + bias.transpose(2, 0, 1)[None]
-
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(Bw // nw, nw, self.num_heads, N, N)
-            attn = attn + mask[None, :, None]
-            attn = attn.reshape(Bw, self.num_heads, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).reshape(Bw, N, C).astype(self.dtype)
+        out = window_attention(q, k, v, bias.transpose(2, 0, 1), ids)
+        out = out.reshape(Bw, N, C).astype(self.dtype)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -114,6 +104,8 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
+    # Ablation/bench only: skip sub-blocks ("attn", "mlp").
+    debug_skip: tuple = ()
 
     @nn.compact
     def __call__(self, x, hw):
@@ -126,6 +118,15 @@ class SwinBlock(nn.Module):
         if min(H, W) <= win:
             win = min(H, W)
             shift = 0
+
+        if "attn" in self.debug_skip:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             name="norm2")(x)
+            h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                         name="fc1")(h.astype(self.dtype))
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+            return x + h
 
         shortcut = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
@@ -142,18 +143,15 @@ class SwinBlock(nn.Module):
         if shift > 0:
             h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
             ids = jnp.asarray(_shift_region_ids(hp, wp, win, shift))
-            mask = jnp.where(
-                ids[:, None, :] == ids[:, :, None], 0.0, -1e9
-            ).astype(jnp.float32)
         else:
-            mask = None
+            ids = None
         # window partition
         h = h.reshape(B, hp // win, win, wp // win, win, C)
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, C)
         h = WindowAttention(
             self.dim, self.num_heads, self.window, win, self.dtype,
             name="attn",
-        )(h, mask)
+        )(h, ids)
         # reverse
         h = h.reshape(B, hp // win, wp // win, win, win, C)
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, hp, wp, C)
@@ -162,6 +160,8 @@ class SwinBlock(nn.Module):
         h = h[:, :H, :W].reshape(B, H * W, C)
         x = shortcut + h
 
+        if "mlp" in self.debug_skip:
+            return x
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="fc1")(h.astype(self.dtype))
@@ -203,6 +203,8 @@ class SwinTransformer(nn.Module):
     window: int = 12
     out_indices: Sequence[int] = (1, 2, 3)
     dtype: Dtype = jnp.bfloat16
+    # Ablation/bench only: forwarded to every block ("attn", "mlp").
+    debug_skip: tuple = ()
 
     @nn.compact
     def __call__(self, images: jax.Array) -> dict[str, jax.Array]:
@@ -226,6 +228,7 @@ class SwinTransformer(nn.Module):
                     self.window,
                     shift=0 if bi % 2 == 0 else self.window // 2,
                     dtype=self.dtype,
+                    debug_skip=self.debug_skip,
                     name=f"stage{si}_block{bi}",
                 )(x, hw)
             if si in self.out_indices:

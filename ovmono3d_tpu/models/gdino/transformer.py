@@ -259,6 +259,10 @@ class DecoderLayer(nn.Module):
     levels: int = 4
     ffn: int = 2048
     dtype: Dtype = jnp.float32
+    # Ablation/bench only: skip named sub-blocks ("self", "text_cross",
+    # "deform") and/or restrict deformable sampling levels.
+    debug_skip: tuple = ()
+    sample_levels: tuple | None = None
 
     @nn.compact
     def __call__(self, tgt, query_pos, memory, memory_pos, txt, txt_mask,
@@ -266,15 +270,23 @@ class DecoderLayer(nn.Module):
         """tgt: [B, Q, C]; ref_points: [B, Q, 4] (cxcywh, sigmoid space)."""
         B, Q, C = tgt.shape
         # self attention
-        q = tgt + query_pos
-        h = MHA(self.dim, self.heads, self.dtype, name="self_attn")(q, q, tgt)
-        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tgt + h)
+        if "self" not in self.debug_skip:
+            q = tgt + query_pos
+            h = MHA(self.dim, self.heads, self.dtype,
+                    name="self_attn")(q, q, tgt)
+            tgt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tgt + h)
         # text cross attention
-        bias = jnp.where(txt_mask, 0.0, -1e9)[:, None, None, :]
-        h = MHA(self.dim, self.heads, self.dtype, name="text_cross")(
-            tgt + query_pos, txt, txt, bias
-        )
-        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm_text")(tgt + h)
+        if "text_cross" not in self.debug_skip:
+            bias = jnp.where(txt_mask, 0.0, -1e9)[:, None, None, :]
+            h = MHA(self.dim, self.heads, self.dtype, name="text_cross")(
+                tgt + query_pos, txt, txt, bias
+            )
+            tgt = nn.LayerNorm(dtype=jnp.float32, name="norm_text")(tgt + h)
+        if "deform" in self.debug_skip:
+            h = nn.Dense(self.ffn, dtype=self.dtype, name="ffn1")(tgt)
+            h = nn.relu(h)
+            h = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(h)
+            return nn.LayerNorm(dtype=jnp.float32, name="norm3")(tgt + h)
         # deformable cross attention to image memory
         value = nn.Dense(self.dim, dtype=self.dtype, name="value_proj")(
             memory
@@ -300,7 +312,8 @@ class DecoderLayer(nn.Module):
         size = ref_points[:, :, None, None, None, 2:]
         loc = center + off / self.points * size * 0.5
         sampled = deformable_attention_core(
-            value, list(spatial_shapes), loc, attw
+            value, list(spatial_shapes), loc, attw,
+            levels=self.sample_levels,
         )
         h = nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(sampled)
         tgt = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tgt + h)

@@ -20,6 +20,7 @@ Layout: [B, N, H, D].
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -191,3 +192,165 @@ _attention_autoselect.defvjp(_attn_fwd, _attn_bwd)
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Best-available fused attention; [B, N, H, D] in and out."""
     return _attention_autoselect(q, k, v)
+
+
+# ---------------- fused window attention (Swin trunk) ----------------
+#
+# Swin's windowed MHA (models/gdino/swin.py; reference swin_B_384_22k via
+# groundingdino, SURVEY.md §2.3) has tiny windows (N = 144 tokens) but many
+# of them: the XLA path materializes [num_windows, H, N, N] f32 logits in
+# HBM between the two matmuls (~53 MB per stage-2 block). The fused kernel
+# keeps the logits, relative-position bias and shifted-window mask of one
+# (head, window) program entirely in VMEM; the shift mask is expanded
+# in-kernel from per-token region ids, so its DMA is [N] ints instead of
+# [N, N] floats.
+
+
+def window_attention_xla(
+    q: jax.Array,            # [BW, N, H, D]  (BW = batch * num_windows)
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,         # [H, N, N] f32 relative-position bias
+    ids: jax.Array | None = None,   # [nw, N] int32 region ids (shift mask)
+) -> jax.Array:
+    """Reference windowed attention: softmax(q k^T / sqrt(D) + bias + mask) v.
+
+    Region ids expand to the additive mask (equal ids -> 0, else -1e9),
+    matching the original shifted-window semantics.
+    """
+    BW, N, H, D = q.shape
+    scale = 1.0 / (D**0.5)
+    attn = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = attn + bias[None]
+    if ids is not None:
+        nw = ids.shape[0]
+        m = jnp.where(
+            ids[:, :, None] == ids[:, None, :], 0.0, -1e9
+        ).astype(jnp.float32)
+        attn = attn.reshape(BW // nw, nw, H, N, N) + m[None, :, None]
+        attn = attn.reshape(BW, H, N, N)
+    p = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _window_kernel(q_ref, k_ref, v_ref, b_ref, ids_ref, o_ref, *,
+                   scale: float):
+    """One (head, G-window group) program: logits in VMEM, masked softmax, PV.
+
+    Refs are head-major [BW, H, N, D] blocks of (G, 1, N, D) — Mosaic
+    requires the trailing two block dims to fill the array dims. The G
+    windows run as one batched dot_general so each program is big enough
+    to amortize its launch overhead (1-window programs measured
+    launch-bound: 24.9 ms vs 18.3 ms for plain XLA at Swin-B shapes)."""
+    q = q_ref[:, 0]                             # [G, N, D]
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                   # [G, N, N] f32
+    s = s + b_ref[:]                            # [1, N, N] broadcast
+    ids = ids_ref[:, :, 0]                      # [G, N]
+    s = s + jnp.where(ids[:, :, None] == ids[:, None, :], 0.0, -1e9)
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - mx)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / l).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:, 0] = o.astype(o_ref.dtype)
+
+
+def _group_size(BW: int, N: int) -> int:
+    """Largest divisor of BW keeping the f32 logits block under ~4 MB."""
+    cap = max(1, (4 << 20) // (N * N * 4))
+    g = 1
+    for d in range(1, min(BW, cap) + 1):
+        if BW % d == 0:
+            g = d
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def window_attention_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    ids: jax.Array,         # [BW, N] int32 region ids
+    interpret: bool = False,
+) -> jax.Array:
+    BW, N, H, D = q.shape
+    ids = ids[:, :, None]   # [BW, N, 1] — trailing block dims = array dims
+    scale = 1.0 / (D**0.5)
+    G = _group_size(BW, N)
+
+    def to_hm(x):   # [BW, N, H, D] -> [BW, H, N, D]
+        return x.transpose(0, 2, 1, 3)
+
+    # Head-major grid, group index innermost: the [N, N] bias block only
+    # re-DMAs when the head index changes (Pallas skips DMAs for unchanged
+    # block indices).
+    grid = (H, BW // G)
+    qspec = pl.BlockSpec(
+        (G, 1, N, D), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    bspec = pl.BlockSpec(
+        (1, N, N), lambda h, b: (h, 0, 0), memory_space=pltpu.VMEM
+    )
+    ispec = pl.BlockSpec(
+        (G, N, 1), lambda h, b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_window_kernel, scale=scale),
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, bspec, ispec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((BW, H, N, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BW * H * N * N * D,
+            bytes_accessed=4 * BW * N * H * D * 2,
+            transcendentals=BW * H * N * N,
+        ),
+        interpret=interpret,
+    )(to_hm(q), to_hm(k), to_hm(v), bias, ids)
+    return out.transpose(0, 2, 1, 3)
+
+
+def window_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    ids: jax.Array | None = None,
+) -> jax.Array:
+    """Best-available windowed attention; [BW, N, H, D] in and out.
+
+    Forward-only (the Swin trunk is frozen / inference-only in the
+    reference pipeline, roi_heads_gdino.py:87-91); gradients fall back to
+    the XLA path by construction only if the caller uses
+    `window_attention_xla` directly.
+
+    The fused Pallas kernel is opt-in (OVMONO3D_WINDOW_PALLAS=1): measured
+    on v5e at Swin-B@800 shapes it is launch/layout-bound and LOSES to the
+    XLA path (20.3 ms vs 18.3 ms whole-trunk) — kept for re-evaluation on
+    larger windows/batches where per-program work amortizes.
+    """
+    BW, N, H, D = q.shape
+    if (os.environ.get("OVMONO3D_WINDOW_PALLAS") == "1"
+            and jax.default_backend() == "tpu" and N % 8 == 0 and N >= 64):
+        if ids is None:
+            full = jnp.zeros((BW, N), jnp.int32)
+        else:
+            nw = ids.shape[0]
+            full = jnp.tile(ids, (BW // nw, 1))
+        return window_attention_pallas(q, k, v, bias, full)
+    return window_attention_xla(q, k, v, bias, ids)

@@ -34,3 +34,45 @@ def test_flash_single_kv_block_auto():
     got = flash_attention(q, k, v, block_q=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_window_attention_pallas_matches_xla():
+    """Fused Swin window-attention kernel (interpret mode) vs the XLA
+    reference, with relative-position bias and a shifted-window region
+    mask."""
+    from ovmono3d_tpu.ops.attention import (
+        window_attention_pallas,
+        window_attention_xla,
+    )
+
+    rng = np.random.RandomState(0)
+    BW, N, H, D = 6, 16, 2, 8      # BW = 2 batch x 3 windows
+    nw = 3
+    q = jnp.asarray(rng.randn(BW, N, H, D), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(BW, N, H, D), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(BW, N, H, D), jnp.bfloat16)
+    bias = jnp.asarray(rng.randn(H, N, N) * 0.1, jnp.float32)
+    ids = jnp.asarray(rng.randint(0, 3, (nw, N)), jnp.int32)
+
+    want = np.asarray(
+        jax.jit(window_attention_xla)(q, k, v, bias, ids), np.float32
+    )
+    got = np.asarray(
+        window_attention_pallas(
+            q, k, v, bias, jnp.tile(ids, (BW // nw, 1)), interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+    # no-mask path (ids=None in the dispatcher == all-equal region ids)
+    want = np.asarray(
+        jax.jit(window_attention_xla)(q, k, v, bias, None), np.float32
+    )
+    got = np.asarray(
+        window_attention_pallas(
+            q, k, v, bias, jnp.zeros((BW, N), jnp.int32), interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
