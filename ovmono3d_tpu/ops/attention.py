@@ -241,23 +241,30 @@ def window_attention_xla(
 
 def _window_kernel(q_ref, k_ref, v_ref, b_ref, ids_ref, o_ref, *,
                    scale: float):
-    """One (head, G-window group) program: logits in VMEM, masked softmax, PV.
+    """One G-window-group program, ALL heads: logits stay in VMEM.
 
-    Refs are head-major [BW, H, N, D] blocks of (G, 1, N, D) — Mosaic
-    requires the trailing two block dims to fill the array dims. The G
-    windows run as one batched dot_general so each program is big enough
-    to amortize its launch overhead (1-window programs measured
-    launch-bound: 24.9 ms vs 18.3 ms for plain XLA at Swin-B shapes)."""
-    q = q_ref[:, 0]                             # [G, N, D]
-    k = k_ref[:, 0]
-    v = v_ref[:, 0]
+    Refs are native-layout [BW, N, H, D] blocks of (G, N, H, D) — the
+    trailing two block dims equal the array dims, satisfying the Mosaic
+    tiling rule, and the head-major relayout happens in-VMEM (vector
+    shuffles) instead of as an HBM transpose (a ~2.6 ms tax in the v1
+    head-major-grid kernel). The G windows x H heads run as one batched
+    dot_general so each program amortizes its launch overhead."""
+    G, N, H, D = q_ref.shape
+    # Mosaic only lowers single-batch-dim matmuls: collapse (G, H) after
+    # the in-VMEM head-major relayout (major-dim reshape, free).
+    q = jnp.transpose(q_ref[:], (0, 2, 1, 3)).reshape(G * H, N, D)
+    k = jnp.transpose(k_ref[:], (0, 2, 1, 3)).reshape(G * H, N, D)
+    v = jnp.transpose(v_ref[:], (0, 2, 1, 3)).reshape(G * H, N, D)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale                                   # [G, N, N] f32
-    s = s + b_ref[:]                            # [1, N, N] broadcast
+    ) * scale                                   # [G*H, N, N] f32
+    s = s + jnp.broadcast_to(b_ref[:][None], (G, H, N, N)).reshape(
+        G * H, N, N
+    )
     ids = ids_ref[:, :, 0]                      # [G, N]
-    s = s + jnp.where(ids[:, :, None] == ids[:, None, :], 0.0, -1e9)
+    m = jnp.where(ids[:, :, None] == ids[:, None, :], 0.0, -1e9)
+    s = s + jnp.broadcast_to(m[:, None], (G, H, N, N)).reshape(G * H, N, N)
     mx = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - mx)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -265,13 +272,20 @@ def _window_kernel(q_ref, k_ref, v_ref, b_ref, ids_ref, o_ref, *,
     o = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
-    o_ref[:, 0] = o.astype(o_ref.dtype)
+    )                                           # [G*H, N, D]
+    o = jnp.transpose(o.reshape(G, H, N, D), (0, 2, 1, 3))
+    o_ref[:] = o.astype(o_ref.dtype)
 
 
-def _group_size(BW: int, N: int) -> int:
-    """Largest divisor of BW keeping the f32 logits block under ~4 MB."""
-    cap = max(1, (4 << 20) // (N * N * 4))
+# f32 logits scratch budget per program. The kernel body holds ~4 live
+# logits-sized f32 buffers (s, bias/mask broadcasts, p) plus the relayouted
+# qkv copies, so this must stay well under the 16 MB VMEM scoped limit.
+_LOGITS_VMEM_CAP = 2 << 20
+
+
+def _group_size(BW: int, N: int, H: int) -> int:
+    """Largest divisor of BW keeping the f32 logits block under the cap."""
+    cap = max(1, _LOGITS_VMEM_CAP // (H * N * N * 4))
     g = 1
     for d in range(1, min(BW, cap) + 1):
         if BW % d == 0:
@@ -291,38 +305,31 @@ def window_attention_pallas(
     BW, N, H, D = q.shape
     ids = ids[:, :, None]   # [BW, N, 1] — trailing block dims = array dims
     scale = 1.0 / (D**0.5)
-    G = _group_size(BW, N)
+    G = _group_size(BW, N, H)
 
-    def to_hm(x):   # [BW, N, H, D] -> [BW, H, N, D]
-        return x.transpose(0, 2, 1, 3)
-
-    # Head-major grid, group index innermost: the [N, N] bias block only
-    # re-DMAs when the head index changes (Pallas skips DMAs for unchanged
-    # block indices).
-    grid = (H, BW // G)
+    grid = (BW // G,)
     qspec = pl.BlockSpec(
-        (G, 1, N, D), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM
+        (G, N, H, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
     bspec = pl.BlockSpec(
-        (1, N, N), lambda h, b: (h, 0, 0), memory_space=pltpu.VMEM
+        (H, N, N), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
     )
     ispec = pl.BlockSpec(
-        (G, N, 1), lambda h, b: (b, 0, 0), memory_space=pltpu.VMEM
+        (G, N, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_window_kernel, scale=scale),
         grid=grid,
         in_specs=[qspec, qspec, qspec, bspec, ispec],
         out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((BW, H, N, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BW, N, H, D), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * BW * H * N * N * D,
             bytes_accessed=4 * BW * N * H * D * 2,
             transcendentals=BW * H * N * N,
         ),
         interpret=interpret,
-    )(to_hm(q), to_hm(k), to_hm(v), bias, ids)
-    return out.transpose(0, 2, 1, 3)
+    )(q, k, v, bias, ids)
 
 
 def window_attention(
@@ -340,13 +347,20 @@ def window_attention(
     `window_attention_xla` directly.
 
     The fused Pallas kernel is opt-in (OVMONO3D_WINDOW_PALLAS=1): measured
-    on v5e at Swin-B@800 shapes it is launch/layout-bound and LOSES to the
-    XLA path (20.3 ms vs 18.3 ms whole-trunk) — kept for re-evaluation on
-    larger windows/batches where per-program work amortizes.
+    on v5e at Swin-B@800 shapes it LOSES to the XLA path (best variant
+    20.3 ms vs 18.3 ms whole-trunk). Variants tried: head-major grid with
+    G-window batching (20.3 ms — pays ~2.6 ms of HBM transposes), native
+    layout all-heads-per-program (VMEM-OOMs above a 2 MB logits cap, then
+    launch-bound at G=1). The [N=144, D=32] geometry leaves the MXU 25%
+    utilized on QK^T whatever the schedule, and XLA's batched-matmul HBM
+    round-trip is only ~3.7 ms of the 11.1 ms attention total — kept for
+    re-evaluation on larger windows/batches where per-program work
+    amortizes.
     """
     BW, N, H, D = q.shape
     if (os.environ.get("OVMONO3D_WINDOW_PALLAS") == "1"
-            and jax.default_backend() == "tpu" and N % 8 == 0 and N >= 64):
+            and jax.default_backend() == "tpu" and N % 8 == 0 and N >= 64
+            and H * N * N * 4 <= _LOGITS_VMEM_CAP):
         if ids is None:
             full = jnp.zeros((BW, N), jnp.int32)
         else:
