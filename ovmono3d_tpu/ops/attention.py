@@ -267,18 +267,28 @@ def window_attention_xla(
     v: jax.Array,
     bias: jax.Array,         # [H, N, N] f32 relative-position bias
     ids: jax.Array | None = None,   # [nw, N] int32 region ids (shift mask)
+    clamp_c: float | None = None,
 ) -> jax.Array:
     """Reference windowed attention: softmax(q k^T / sqrt(D) + bias + mask) v.
 
     Region ids expand to the additive mask (equal ids -> 0, else -1e9),
     matching the original shifted-window semantics.
+
+    clamp_c enables the clamped single-pass softmax (same construction and
+    exactness window as _flash_kernel_single: exact while per-row max of
+    scale*qk + bias stays in [C-87, C]): exp2 of log2e-scaled logits offset
+    by -C and clamped to <=0, which removes the row-max reduce — one fewer
+    full HBM pass over the [BW, H, N, N] f32 logits, the dominant traffic
+    of the Swin trunk's many tiny windows.
     """
     BW, N, H, D = q.shape
     scale = 1.0 / (D**0.5)
+    if clamp_c is not None:
+        scale = scale * _LOG2E
     attn = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
     ) * scale
-    attn = attn + bias[None]
+    attn = attn + (bias[None] * _LOG2E if clamp_c is not None else bias[None])
     if ids is not None:
         nw = ids.shape[0]
         m = jnp.where(
@@ -286,6 +296,17 @@ def window_attention_xla(
         ).astype(jnp.float32)
         attn = attn.reshape(BW // nw, nw, H, N, N) + m[None, :, None]
         attn = attn.reshape(BW, H, N, N)
+    if clamp_c is not None:
+        # Unnormalized probs into the PV matmul; normalize the [N, D]
+        # output instead of the [N, N] probs (smaller tensor, one fewer
+        # big pass).
+        p = jnp.exp2(jnp.minimum(attn - clamp_c * _LOG2E, 0.0))
+        l = jnp.sum(p, axis=-1, keepdims=True)       # [BW, H, N, 1]
+        out = jnp.einsum(
+            "bhnm,bmhd->bnhd", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ) / jnp.maximum(jnp.moveaxis(l, 1, 2), 1e-30)
+        return out.astype(q.dtype)
     p = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum(
         "bhnm,bmhd->bnhd", p.astype(v.dtype), v,
@@ -422,4 +443,8 @@ def window_attention(
             nw = ids.shape[0]
             full = jnp.tile(ids, (BW // nw, 1))
         return window_attention_pallas(q, k, v, bias, full)
-    return window_attention_xla(q, k, v, bias, ids)
+    clamp = None
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("OVMONO3D_WINDOW_CLAMP", "1") != "0"):
+        clamp = 50.0
+    return window_attention_xla(q, k, v, bias, ids, clamp_c=clamp)

@@ -85,6 +85,15 @@ def test_window_attention_pallas_matches_xla():
     )
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
+    # clamped single-pass softmax (the TPU default in the dispatcher)
+    got = np.asarray(
+        jax.jit(window_attention_xla, static_argnames=("clamp_c",))(
+            q, k, v, bias, ids, clamp_c=50.0
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
     # no-mask path (ids=None in the dispatcher == all-equal region ids)
     want = np.asarray(
         jax.jit(window_attention_xla)(q, k, v, bias, None), np.float32
