@@ -71,10 +71,7 @@ def deformable_attention_core(
         if h * w <= max_mm:
             mm.append((v, x, y, wgt[:, :, :, li, :]))
         else:
-            sampled = _bilinear_hw(v, x, y)
-            out = out + jnp.sum(
-                sampled * wgt[:, :, :, li, :, None], axis=3
-            )
+            out = out + _bilinear_hw(v, x, y, wgt[:, :, :, li, :])
     if mm:
         out = out + _bilinear_matmul_multi(mm)
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D)
@@ -220,17 +217,17 @@ def _bilinear_matmul_multi(mm, chunk: int = 2048) -> jax.Array:
     pad = (-nt) % chunk
     nc = (nt + pad) // chunk
 
-    def stack(a):  # [B, H, QP, n] -> [nc, B, H, chunk, n]
-        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        return a.reshape(B, H, nc, chunk, -1).transpose(2, 0, 1, 3, 4)
+    wys = tuple(jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                for a in wys)
+    wxs = tuple(jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                for a in wxs)
 
-    wys = tuple(stack(a) for a in wys)
-    wxs = tuple(stack(a) for a in wxs)
-
-    def one_chunk(carry, wsc):
-        wycs, wxcs = wsc  # per-level [B,H,c,h_l] / [B,H,c,w_l]
+    def one_chunk(i, buf):
+        start = i * chunk
         acc = jnp.zeros((B, H, chunk, D), jnp.float32)
-        for vt, w_l, y_l, x_l in zip(vts, ws, wycs, wxcs):
+        for vt, w_l, wy, wx in zip(vts, ws, wys, wxs):
+            y_l = jax.lax.dynamic_slice_in_dim(wy, start, chunk, axis=2)
+            x_l = jax.lax.dynamic_slice_in_dim(wx, start, chunk, axis=2)
             rows = jax.lax.dot_general(
                 y_l, vt, (((3,), (2,)), ((0, 1), (0, 1))),
                 precision=(None if bf16 else jax.lax.Precision.HIGHEST),
@@ -239,16 +236,28 @@ def _bilinear_matmul_multi(mm, chunk: int = 2048) -> jax.Array:
             acc = acc + jnp.sum(
                 rows * x_l[..., None].astype(jnp.float32), axis=3
             )
-        return carry, acc.astype(wdt) if bf16 else acc
+        acc = acc.astype(wdt) if bf16 else acc
+        return jax.lax.dynamic_update_slice(buf, acc, (0, 0, start, 0))
 
-    _, outs = jax.lax.scan(one_chunk, 0, (wys, wxs))
-    outs = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, nc * chunk, D)
+    # fori_loop with a TRACED bound: slicing chunks straight out of the
+    # padded [B, H, nt+pad, n] weights (no scan-stacking layout copies),
+    # and the dynamic trip count stops XLA from peeling the first
+    # iteration — the peeled copy loses the dot+combine fusion and
+    # materializes the f32 [B*H, chunk, w*D] row tensor (profiled
+    # ~1.9 ms/encoder-layer across the three levels).
+    buf0 = jnp.zeros((B, H, nc * chunk, D), wdt if bf16 else jnp.float32)
+    outs = jax.lax.fori_loop(0, jnp.int32(nc), one_chunk, buf0)
     return outs[:, :, :nt].reshape(B, H, Q, P, D).sum(axis=3)
 
 
-def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array,
+                 wgt: jax.Array | None = None) -> jax.Array:
     """Bilinear sample v: [B, H, h, w, D] at per-head points
     x/y: [B, H, Q, P] -> [B, H, Q, P, D], zero outside (head-major).
+    With `wgt` [B, H, Q, P], returns the attention-weighted P-reduction
+    [B, H, Q, D] instead: the weights fold into the corner weights so the
+    corner combine and the P-sum become ONE fusion — the separate
+    [B, H, Q, P, D] weighted-sum pass profiled 1.34 ms/enc-layer.
 
     Each point's full 2x2xD bilinear support is fetched as ONE lax.gather
     slice (start clipped to the grid). Measured on v5e: the TPU gather cost
@@ -265,7 +274,10 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """
     B, H, h, w, D = v.shape
     if h < 2 or w < 2:  # degenerate grid: 2x2 windows don't exist
-        return _bilinear_hw_corners(v, x, y)
+        s = _bilinear_hw_corners(v, x, y)
+        if wgt is None:
+            return s
+        return jnp.sum(s * wgt[..., None], axis=3)
     Q, P = x.shape[2], x.shape[3]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -320,6 +332,17 @@ def _bilinear_hw(v: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     else:
         def cw(a):
             return a
+    if wgt is not None:
+        # Fold the attention weight into the (f32) corner weights, then
+        # reduce corners AND points in one expression — one fusion.
+        wq = wgt[..., None]
+        s = (
+            win[..., 0, 0, :] * cw(wy0 * wx0 * wq)
+            + win[..., 0, 1, :] * cw(wy0 * wx1 * wq)
+            + win[..., 1, 0, :] * cw(wy1 * wx0 * wq)
+            + win[..., 1, 1, :] * cw(wy1 * wx1 * wq)
+        )
+        return jnp.sum(s, axis=3)
     return (
         win[..., 0, 0, :] * cw(wy0 * wx0)
         + win[..., 0, 1, :] * cw(wy0 * wx1)
