@@ -268,3 +268,28 @@ def test_eval_predictions_offline(monkeypatch, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "offline predictions" in out
     assert "100.0" in out or "100.00" in out  # perfect AP somewhere
+
+
+def test_eval_cli_data_parallel_matches_single(monkeypatch, capsys,
+                                               tmp_path):
+    """--data-parallel (batch sharded over the 8-device data mesh) produces
+    the same evaluation tables as the single-device run — per-image
+    inference is embarrassingly parallel, so sharding the batch axis must
+    not change any number (reference multi-GPU InferenceSampler eval,
+    omni3d_evaluation.py:633-723)."""
+    from tools import eval_net
+
+    base = [
+        "eval_net.py", "--synthetic", "--batch-size", "8",
+        *TINY,
+        f"output_dir={tmp_path}",
+    ]
+    monkeypatch.setattr(sys, "argv", base)
+    eval_net.main()
+    single = capsys.readouterr().out
+
+    monkeypatch.setattr(sys, "argv", [*base, "--data-parallel"])
+    eval_net.main()
+    dp = capsys.readouterr().out
+    assert "overall (all test datasets merged)" in dp
+    assert dp == single

@@ -8,6 +8,7 @@ CLAUDE.md: chained dependency + forced host read, best-of-N.
 """
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -22,16 +23,23 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/ovmono3d_jax_cache")
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="batch > 1 gives the serving-throughput number "
+                    "(the reference evals GDINO at b1)")
+    args = ap.parse_args()
+
     from ovmono3d_tpu.models.gdino.model import GroundingDINO
 
     S = 800
+    B = args.batch_size
     model = GroundingDINO()
     img = jnp.asarray(
-        np.random.RandomState(0).rand(1, S, S, 3), jnp.float32
+        np.random.RandomState(0).rand(B, S, S, 3), jnp.float32
     )
     T = 64
-    ids = jnp.ones((1, T), jnp.int32)
-    mask = jnp.ones((1, T), bool)
+    ids = jnp.ones((B, T), jnp.int32)
+    mask = jnp.ones((B, T), bool)
 
     from tools.bench_util import bench_loop
 
@@ -44,11 +52,11 @@ def main():
         img,
         lambda out: out["pred_logits"][0, 0, 0],
         iters=10,
-        label=f"GDINO SwinB @{S}^2 b1",
+        label=f"GDINO SwinB @{S}^2 b{B}",
         args=(params,),
     )
-    print(f"GDINO SwinB @{S}^2 b1: {dt*1e3:.1f} ms/img = "
-          f"{1/dt:.2f} img/s/chip")
+    print(f"GDINO SwinB @{S}^2 b{B}: {dt*1e3:.1f} ms/step = "
+          f"{B/dt:.2f} img/s/chip")
 
 
 if __name__ == "__main__":

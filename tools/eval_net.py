@@ -35,6 +35,11 @@ def parse_args():
                          "format) — converted + loaded")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard eval batches over all devices (the "
+                         "reference's multi-GPU InferenceSampler eval, "
+                         "omni3d_evaluation.py:633-723; TPU-native: "
+                         "batch-dim NamedSharding over a data mesh)")
     ap.add_argument("--dump-predictions", default=None,
                     help="write per-image predictions JSON (the reference's "
                          "instances_predictions.pth equivalent)")
@@ -58,10 +63,15 @@ def parse_args():
 
 def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
                      helper, dataset_name, dump_path=None, vis_dir=None,
-                     vis_period=50):
+                     vis_period=50, mesh=None):
     """Oracle-path inference over a record list, accumulated into the SHARED
     multi-dataset `helper` (reference do_test accumulates every test dataset
-    into one Omni3DEvaluationHelper, omni3d_evaluation.py:427-620)."""
+    into one Omni3DEvaluationHelper, omni3d_evaluation.py:427-620).
+
+    With `mesh`, each batch's leading axis is sharded over the mesh's data
+    axis (params replicated by the caller) — per-image inference is
+    embarrassingly parallel, so XLA SPMDs the step over chips with no
+    collectives (the reference's rank-sharded eval, SURVEY.md §2.2)."""
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +112,16 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
             break
         chunk, batch = nxt
         t0 = time.perf_counter()
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            from ovmono3d_tpu.parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(mesh)
+            batch = {
+                k: jax.device_put(jnp.asarray(v), sharding)
+                for k, v in batch.items()
+            }
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
         det = run(params, batch)
         det = jax.device_get(det)
         t_compute += time.perf_counter() - t0
@@ -325,6 +344,19 @@ def main():
 
         params = load_rcnn_params(params, args.rcnn_ckpt, cfg.model)
 
+    mesh = None
+    if args.data_parallel:
+        from ovmono3d_tpu.parallel.mesh import make_mesh, replicated
+
+        mesh = make_mesh(n_model=1)
+        n_data = mesh.shape["data"]
+        if args.batch_size % n_data:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by the "
+                f"{n_data}-device data mesh")
+        params = jax.device_put(params, replicated(mesh))
+        logger.info("data-parallel eval over %d devices", n_data)
+
     novel_categories: set[str] = set()
     if args.synthetic:
         from tools.train_net import synthetic_records
@@ -409,7 +441,7 @@ def main():
             helper, name,
             dump_path=(f"{args.dump_predictions}_{name}.json"
                        if args.dump_predictions else None),
-            vis_dir=args.vis_dir, vis_period=args.vis_period,
+            vis_dir=args.vis_dir, vis_period=args.vis_period, mesh=mesh,
         )
 
     summary = helper.summarize_all()
