@@ -36,6 +36,25 @@ GDINO_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 GDINO_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def _init_gdino(tokenizer: "BertTokenizer", rng: jax.Array,
+                gdino_kwargs: dict | None, gdino_size: int):
+    """Init a GroundingDINO + params at the detector input size."""
+    gdino = GroundingDINO(**(gdino_kwargs or {}))
+    text = build_text_inputs(tokenizer, ["thing"],
+                             max_len=gdino.max_text_len)
+    gdino_params = jax.jit(gdino.init)(
+        rng,
+        jnp.zeros((1, gdino_size, gdino_size, 3)),
+        jnp.asarray(text["input_ids"][:, : gdino.max_text_len]),
+        jnp.asarray(text["text_mask"][:, : gdino.max_text_len]),
+        jnp.asarray(
+            text["text_self_mask"][:, : gdino.max_text_len,
+                                   : gdino.max_text_len]
+        ),
+    )
+    return gdino, gdino_params
+
+
 @dataclasses.dataclass
 class OVMono3DLift:
     """Bundles the two models + params for end-to-end inference."""
@@ -74,20 +93,24 @@ class OVMono3DLift:
             jnp.full((1, 2), S, jnp.int32),
             jnp.ones((1,)),
         )
-        gdino = GroundingDINO(**(gdino_kwargs or {}))
-        text = build_text_inputs(tokenizer, ["thing"],
-                                 max_len=gdino.max_text_len)
-        gdino_params = jax.jit(gdino.init)(
-            k2,
-            jnp.zeros((1, gdino_size, gdino_size, 3)),
-            jnp.asarray(text["input_ids"][:, : gdino.max_text_len]),
-            jnp.asarray(text["text_mask"][:, : gdino.max_text_len]),
-            jnp.asarray(
-                text["text_self_mask"][:, : gdino.max_text_len,
-                                       : gdino.max_text_len]
-            ),
-        )
+        gdino, gdino_params = _init_gdino(tokenizer, k2, gdino_kwargs,
+                                          gdino_size)
         return cls(cfg, rcnn, rcnn_params, gdino, gdino_params, tokenizer,
+                   gdino_size=gdino_size)
+
+    @classmethod
+    def build_2d_only(cls, tokenizer: BertTokenizer,
+                      rng: jax.Array | None = None,
+                      gdino_kwargs: dict | None = None,
+                      gdino_size: int = 800):
+        """Detector-only construction (no cube model): serves `detect_2d`
+        for tools that just need open-vocab 2D boxes, e.g. generating the
+        oracle-2D detection JSONs the eval protocol consumes (the
+        reference's precomputed ORACLE2D_FILES, config.py:41-76)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        gdino, gdino_params = _init_gdino(tokenizer, rng, gdino_kwargs,
+                                          gdino_size)
+        return cls(None, None, None, gdino, gdino_params, tokenizer,
                    gdino_size=gdino_size)
 
     # -- stages ---------------------------------------------------------------

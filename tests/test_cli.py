@@ -270,6 +270,59 @@ def test_eval_predictions_offline(monkeypatch, capsys, tmp_path):
     assert "100.0" in out or "100.00" in out  # perfect AP somewhere
 
 
+def test_generate_oracle2d_cli(monkeypatch, tmp_path):
+    """generate_oracle2d --synthetic writes per-dataset detection JSONs in
+    the exact schema `merge_oracle2d` consumes (the reference's precomputed
+    ORACLE2D_FILES artifacts, config.py:41-76). GDINO is shrunk via a
+    wrapped build_2d_only so the test is CPU-sized."""
+    import json
+
+    from ovmono3d_tpu.data.datasets import merge_oracle2d
+    from ovmono3d_tpu.models.ovmono3d import OVMono3DLift
+
+    tiny_gdino = dict(
+        hidden_dim=32, nheads=2, enc_layers=1, dec_layers=1, num_queries=16,
+        enc_points=2, dec_points=2, max_text_len=32, ffn_dim=64,
+        swin_embed_dim=8, swin_depths=(1, 1, 1, 1), swin_heads=(1, 2, 4, 8),
+        swin_window=4, bert_layers=1,
+    )
+    real_build = OVMono3DLift.build_2d_only.__func__
+
+    def tiny_build(cls, tok, **kw):
+        kw["gdino_kwargs"] = tiny_gdino
+        kw["gdino_size"] = 64
+        return real_build(cls, tok, **kw)
+
+    monkeypatch.setattr(OVMono3DLift, "build_2d_only",
+                        classmethod(tiny_build))
+
+    from tools import generate_oracle2d
+
+    out_dir = tmp_path / "oracle2d"
+    monkeypatch.setattr(sys, "argv", [
+        "generate_oracle2d.py", "--synthetic",
+        "--output-dir", str(out_dir), "--topk", "8",
+        *TINY,
+    ])
+    generate_oracle2d.main()
+
+    paths = sorted(out_dir.glob("*.json"))
+    assert [p.name for p in paths] == [
+        "synthetic_a_base.json", "synthetic_b_base.json"
+    ], paths
+    dets = json.load(open(paths[0]))
+    for d in dets:
+        assert set(d) == {"image_id", "bbox2d", "category_id", "score"}
+        assert 0 <= d["category_id"] < 9
+        assert len(d["bbox2d"]) == 4
+    # The generated file round-trips through the eval-side oracle merge.
+    from tools.train_net import synthetic_records
+
+    recs = merge_oracle2d(synthetic_records(4, 9, seed=7), paths[0])
+    assert all("oracle2d" in r for r in recs)
+    assert sum(len(r["oracle2d"]) for r in recs) == len(dets)
+
+
 def test_eval_cli_data_parallel_matches_single(monkeypatch, capsys,
                                                tmp_path):
     """--data-parallel (batch sharded over the 8-device data mesh) produces
