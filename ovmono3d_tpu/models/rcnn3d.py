@@ -63,41 +63,49 @@ def rpn_proposals_single(
     min_box_size: float,
 ):
     """detectron2 find_top_rpn_proposals semantics, fixed-shape:
-    per-level top-k -> decode -> clip -> per-level NMS (level-offset batched
-    NMS) -> global top-k by score."""
-    sel_boxes, sel_scores, sel_levels = [], [], []
+    per-level top-k -> decode -> clip -> per-level NMS -> global top-k by
+    score.
+
+    NMS runs INDEPENDENTLY per level: the reference's level-offset
+    batched_nms means boxes from different levels never suppress each
+    other, so K separate k^2 problems are bit-identical to one (K*k)^2
+    problem at a third of the IoU-matrix/fixpoint cost (the joint matrix
+    profiled ~25 ms of the b8 train step)."""
+    from ovmono3d_tpu.ops.nms import nms_mask_parallel
+
+    h, w = im_hw[0], im_hw[1]
+    sel_boxes, sel_scores, sel_keep = [], [], []
     start = 0
-    for li, size in enumerate(level_sizes):
+    for size in level_sizes:
         k = min(pre_nms_topk, size)
         lg = jax.lax.dynamic_slice_in_dim(logits, start, size)
         ld = jax.lax.dynamic_slice_in_dim(deltas, start, size)
         la = jax.lax.dynamic_slice_in_dim(anchors, start, size)
         s, idx = jax.lax.top_k(lg, k)
-        sel_boxes.append(box_ops.apply_deltas(ld[idx], la[idx]))
+        b = box_ops.apply_deltas(ld[idx], la[idx])
+        b = jnp.stack(
+            [
+                jnp.clip(b[:, 0], 0, w),
+                jnp.clip(b[:, 1], 0, h),
+                jnp.clip(b[:, 2], 0, w),
+                jnp.clip(b[:, 3], 0, h),
+            ],
+            axis=-1,
+        )
+        v = (
+            (b[:, 2] - b[:, 0] > min_box_size)
+            & (b[:, 3] - b[:, 1] > min_box_size)
+            & jnp.all(jnp.isfinite(b), axis=-1)
+            & jnp.isfinite(s)
+        )
+        sel_boxes.append(b)
         sel_scores.append(s)
-        sel_levels.append(jnp.full((k,), li, jnp.int32))
+        sel_keep.append(nms_mask_parallel(b, s, nms_thresh, v))
         start += size
     boxes = jnp.concatenate(sel_boxes)
     scores = jnp.concatenate(sel_scores)
-    levels = jnp.concatenate(sel_levels)
+    keep = jnp.concatenate(sel_keep)
 
-    h, w = im_hw[0], im_hw[1]
-    boxes = jnp.stack(
-        [
-            jnp.clip(boxes[:, 0], 0, w),
-            jnp.clip(boxes[:, 1], 0, h),
-            jnp.clip(boxes[:, 2], 0, w),
-            jnp.clip(boxes[:, 3], 0, h),
-        ],
-        axis=-1,
-    )
-    valid = (
-        (boxes[:, 2] - boxes[:, 0] > min_box_size)
-        & (boxes[:, 3] - boxes[:, 1] > min_box_size)
-        & jnp.all(jnp.isfinite(boxes), axis=-1)
-        & jnp.isfinite(scores)
-    )
-    keep = batched_nms_mask(boxes, scores, levels, nms_thresh, valid)
     neg_inf = jnp.finfo(scores.dtype).min
     masked = jnp.where(keep, scores, neg_inf)
     top_scores, idx = jax.lax.top_k(masked, post_nms_topk)

@@ -127,3 +127,30 @@ def test_parallel_nms_respects_valid():
     valid = jnp.array([False, True, True])
     keep = np.asarray(nms_mask_parallel(boxes, scores, 0.5, valid))
     np.testing.assert_array_equal(keep, [False, True, True])
+
+
+def test_per_group_nms_equals_joint_batched():
+    """Running NMS independently per group is bit-identical to the joint
+    class-offset batched NMS — the RPN's per-level NMS relies on this
+    (detectron2 find_top_rpn_proposals batched_nms over level ids)."""
+    from ovmono3d_tpu.ops.nms import batched_nms_mask, nms_mask_parallel
+
+    rng = np.random.RandomState(3)
+    n, g = 120, 3
+    xy = rng.rand(n, 2).astype(np.float32) * 80
+    wh = rng.rand(n, 2).astype(np.float32) * 30 + 2
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], axis=1))
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    groups = jnp.asarray(np.sort(rng.randint(0, g, n)))
+
+    joint = np.asarray(
+        batched_nms_mask(boxes, scores, groups, 0.4)
+    )
+    per_group = np.zeros(n, bool)
+    for gi in range(g):
+        sel = np.asarray(groups) == gi
+        keep = np.asarray(
+            nms_mask_parallel(boxes[sel], scores[sel], 0.4)
+        )
+        per_group[sel] = keep
+    np.testing.assert_array_equal(per_group, joint)
