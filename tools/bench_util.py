@@ -11,6 +11,26 @@ IMPORTANT: model parameters (and any other large arrays) MUST be passed via
 `args`, not closed over in `fn` — jit inlines closed-over arrays as HLO
 literals, and a literal-laden program overflows the axon relay's
 remote-compile upload limit (HTTP 413) on any compile-cache miss.
+
+TWO MEASUREMENT PITFALLS (discovered round 2 — both produced bogus probe
+numbers before being understood):
+
+1. DEAD CODE ELIMINATION. The only consumer of fn's output is `probe`; if
+   probe slices (e.g. `o[0,0,0]`) and fn is an elementwise/gather/reshape
+   pipeline, XLA narrows the whole computation to the sliced element and
+   you time nothing (a [32776,768] add "ran" at 1430 GB/s). Slicing probes
+   are ONLY safe when the probed element depends on the full input through
+   a dot/conv/custom-call (XLA does not narrow those) — true for model
+   outputs (scores/pred_logits), false for kernel micro-probes. For
+   elementwise/gather probes use `lambda o: jnp.sum(o)` (costs one extra
+   BW pass; measure it separately and subtract if it matters).
+
+2. FIXED PER-ROUND DISPATCH COST. One loop dispatch + scalar read through
+   the axon tunnel costs ~5-30 ms regardless of compute. At iters=10 this
+   silently adds up to ~3 ms/iter to sub-ms ops (the flash-attention
+   single-call "2.4 ms" was really 0.58 ms — trace-confirmed). Use
+   iters >= 100 for sub-ms ops; comparisons under an identical protocol
+   mostly cancel it.
 """
 from __future__ import annotations
 

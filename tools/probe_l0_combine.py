@@ -138,8 +138,8 @@ def main():
         err = np.abs(out - ref).max()
         dt = bench_loop(
             lambda xx, vv, yy, ww: fn(vv, xx, yy, ww),
-            x, lambda o: o[0, 0, 0, 0].astype(jnp.float32),
-            iters=20, label=name, args=(v, y, wgt),
+            x, lambda o: jnp.sum(o.astype(jnp.float32)),
+            iters=50, label=name, args=(v, y, wgt),
         )
         print(f"{name:<22} {dt*1e3:7.3f} ms   max|err| vs v0: {err:.2e}")
 
