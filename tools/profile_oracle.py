@@ -81,7 +81,8 @@ def main():
     cfg = _flagship_config(square_pad=896)
     model = build_model(cfg.model)
 
-    B, S, N = 1, 896, 64
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    S, N = 896, 64
     key = jax.random.PRNGKey(0)
     image = jax.random.uniform(key, (B, S, S, 3), jnp.float32) * 255.0
     K = jnp.broadcast_to(
@@ -106,7 +107,13 @@ def main():
     float(np.asarray(out.scores[0, 0]))  # warm
 
     ITERS = 5
-    with jax.profiler.trace(logdir, create_perfetto_trace=True):
+    # Host/python tracer off (see profile_train.py: python frames flood
+    # the 1M-event perfetto cap and device tracks get truncated).
+    opts = jax.profiler.ProfileOptions()
+    opts.host_tracer_level = 0
+    opts.python_tracer_level = 0
+    with jax.profiler.trace(logdir, create_perfetto_trace=True,
+                            profiler_options=opts):
         for _ in range(ITERS):
             out = fn(params, image)
         float(np.asarray(out.scores[0, 0]))
