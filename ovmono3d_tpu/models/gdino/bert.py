@@ -106,13 +106,16 @@ class BertEncoder(nn.Module):
 
 
 def build_subsentence_masks(
-    input_ids, special_ids=(101, 102, 1012, 0)
+    input_ids, special_ids=(101, 102, 1012, 1029)
 ):
     """GroundingDINO's generate_masks_with_special_tokens_and_transfer_map
-    (host-side numpy): tokens between special tokens ('.', [CLS], [SEP],
-    [PAD]) attend only within their own phrase; special tokens attend only
-    to themselves; each phrase span is a dense block and position_ids
-    restart per span (matching the public GroundingDINO implementation).
+    (host-side numpy): tokens between special tokens ([CLS], [SEP], '.',
+    '?') attend only within their own phrase; every token always attends to
+    itself; each phrase span is a dense block whose position_ids restart at
+    0 (matching the public implementation bit-for-bit: special tokens at
+    column 0 or the last column reset to self-only, every other special
+    token closes the block [prev+1, col]; PAD is NOT a delimiter — padding
+    rows keep only the identity diagonal).
 
     Returns (attn_mask [B, N, N] bool, position_ids [B, N] int32).
     """
@@ -122,16 +125,16 @@ def build_subsentence_masks(
     B, N = ids.shape
     special = np.isin(ids, np.asarray(special_ids))
     attn = np.zeros((B, N, N), bool)
+    attn[:, np.arange(N), np.arange(N)] = True
     pos = np.zeros((B, N), np.int64)
     for b in range(B):
-        idx = np.where(special[b])[0]
         prev = 0
-        for i in idx:
-            if i == 0:
-                attn[b, 0, 0] = True
+        for col in np.where(special[b])[0]:
+            if col == 0 or col == N - 1:
+                attn[b, col, col] = True
+                pos[b, col] = 0
             else:
-                attn[b, prev + 1 : i + 1, prev + 1 : i + 1] = True
-                pos[b, prev + 1 : i + 1] = np.arange(0, i - prev)
-            prev = i
-        attn[b, np.arange(N), np.arange(N)] = True
+                attn[b, prev + 1 : col + 1, prev + 1 : col + 1] = True
+                pos[b, prev + 1 : col + 1] = np.arange(0, col - prev)
+            prev = col
     return attn, pos.astype(np.int32)

@@ -53,6 +53,11 @@ class GroundingDINO(nn.Module):
     swin_heads: tuple = (4, 8, 16, 32)
     swin_window: int = 12
     bert_layers: int = 12
+    bert_hidden: int = 768
+    bert_heads: int = 12
+    bert_intermediate: int = 3072
+    bert_vocab: int = 30522
+    bert_max_position: int = 512
     # Heavy enhancer/decoder matmuls run bf16 (f32 layernorms/heads).
     compute_dtype: Dtype = jnp.bfloat16
     dtype: Dtype = jnp.float32
@@ -69,9 +74,15 @@ class GroundingDINO(nn.Module):
             depths=self.swin_depths,
             num_heads=self.swin_heads,
             window=self.swin_window,
+            dtype=self.compute_dtype,
             name="backbone",
         )
-        self.bert = BertEncoder(layers=self.bert_layers, name="bert")
+        self.bert = BertEncoder(
+            layers=self.bert_layers, hidden=self.bert_hidden,
+            heads=self.bert_heads, intermediate=self.bert_intermediate,
+            vocab_size=self.bert_vocab,
+            max_position=self.bert_max_position, name="bert",
+        )
         self.feat_map = nn.Dense(self.hidden_dim, name="feat_map")
         # input projections: 3 swin stages + 1 extra stride-2 conv
         self.input_proj = [
@@ -79,14 +90,16 @@ class GroundingDINO(nn.Module):
             for i in range(3)
         ]
         self.input_proj_norms = [
-            nn.GroupNorm(num_groups=32, name=f"input_proj_norm{i}")
+            nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                         name=f"input_proj_norm{i}")
             for i in range(3)
         ]
         self.extra_proj = nn.Conv(
             self.hidden_dim, (3, 3), strides=(2, 2), padding=1,
             name="extra_proj",
         )
-        self.extra_norm = nn.GroupNorm(num_groups=32, name="extra_norm")
+        self.extra_norm = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                       name="extra_norm")
 
         self.level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0),
@@ -112,7 +125,7 @@ class GroundingDINO(nn.Module):
             for i in range(self.enc_layers)
         ]
         self.enc_output = nn.Dense(self.hidden_dim, name="enc_output")
-        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+        self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")
         self.enc_bbox_head = BoxMLP(self.hidden_dim, name="enc_bbox_head")
         self.tgt_embed = self.param(
             "tgt_embed", nn.initializers.normal(1.0),
@@ -134,7 +147,7 @@ class GroundingDINO(nn.Module):
             )
             for i in range(self.dec_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         self.bbox_head = BoxMLP(self.hidden_dim, name="bbox_head")
 
     def encode_text(self, input_ids, text_mask, self_attn_mask=None,
@@ -184,27 +197,29 @@ class GroundingDINO(nn.Module):
         refs = make_reference_points(shapes)
 
         # --- feature enhancer ---
+        # Text enhancer q/k get sine embeddings of the per-span position
+        # ids, and its self-attention uses the sub-sentence block mask
+        # (transformer.py TransformerEncoder: pos_text via
+        # get_sine_pos_embed(position_ids), mask=text_self_attention_masks).
+        pos_src = (
+            text_position_ids if text_position_ids is not None
+            else jnp.arange(T)[None]
+        )
+        text_pos = coordinate_sine_embedding(
+            pos_src[..., None].astype(jnp.float32), 2 * self.hidden_dim
+        )
+        enh_mask = text_self_mask if text_self_mask is not None else text_mask
         img, text = src, txt
         for i in range(self.enc_layers):
             if "fusion" not in self.debug_skip:
                 img, text = self.fusion_layers[i](img, text, text_mask)
             if "text" not in self.debug_skip:
-                text = self.text_layers[i](text, text_mask)
+                text = self.text_layers[i](text, enh_mask, text_pos)
             if "image" not in self.debug_skip:
                 img = self.image_layers[i](img, pos, refs, shapes)
 
         memory = img
         # --- two-stage query selection ---
-        out_mem = self.enc_output_norm(self.enc_output(memory))
-        txt_masked = jnp.where(text_mask[..., None], text, 0.0)
-        enc_logits = jnp.einsum(
-            "bsc,btc->bst", out_mem, txt_masked,
-            preferred_element_type=jnp.float32,
-        )
-        enc_logits = jnp.where(
-            text_mask[:, None, :], enc_logits, -1e9
-        )
-        enc_scores = jnp.max(enc_logits, axis=-1)  # [B, S]
         # proposals from per-token reference points + enc bbox deltas
         base = refs[:, 0, :]  # [S, 2]
         wh = jnp.concatenate(
@@ -214,8 +229,27 @@ class GroundingDINO(nn.Module):
             ]
         )
         prop = jnp.concatenate([base, wh], axis=-1)  # [S, 4] sigmoid space
+        # gen_encoder_output_proposals: proposals with any coordinate
+        # outside (0.01, 0.99) are invalid — their memory is zeroed before
+        # the enc_output projection and their box logits forced to +inf
+        # (sigmoid -> 1).
+        prop_valid = jnp.all((prop > 0.01) & (prop < 0.99), axis=-1)  # [S]
+        mem_masked = jnp.where(prop_valid[None, :, None], memory, 0.0)
+        out_mem = self.enc_output_norm(self.enc_output(mem_masked))
+        txt_masked = jnp.where(text_mask[..., None], text, 0.0)
+        enc_logits = jnp.einsum(
+            "bsc,btc->bst", out_mem, txt_masked,
+            preferred_element_type=jnp.float32,
+        )
+        enc_logits = jnp.where(
+            text_mask[:, None, :], enc_logits, -1e9
+        )
+        enc_scores = jnp.max(enc_logits, axis=-1)  # [B, S]
         delta = self.enc_bbox_head(out_mem)
-        prop_logits = inverse_sigmoid(jnp.broadcast_to(prop, (B,) + prop.shape))
+        prop_logits = jnp.where(
+            prop_valid[:, None], inverse_sigmoid(prop), jnp.inf
+        )
+        prop_logits = jnp.broadcast_to(prop_logits, (B,) + prop.shape)
         boxes_all = jax.nn.sigmoid(prop_logits + delta)
 
         k = self.num_queries
@@ -229,18 +263,35 @@ class GroundingDINO(nn.Module):
 
         # --- decoder ---
         ref = jax.lax.stop_gradient(ref_boxes)
+        ref_in = ref
         for i, layer in enumerate(self.decoder_layers):
             # Each of the 4 box coords gets hidden/2 sine features -> the
-            # ref_point_head MLP consumes 2*hidden (DINO get_sine_pos_embed).
-            q_sine = coordinate_sine_embedding(ref, self.hidden_dim)
+            # ref_point_head MLP consumes 2*hidden (DINO get_sine_pos_embed,
+            # exchange_xy: [pos(cy), pos(cx), pos(w), pos(h)]).
+            q_sine = coordinate_sine_embedding(
+                ref, self.hidden_dim, exchange_xy=True
+            )
             query_pos = self.ref_point_head(q_sine)
             tgt = layer(
                 tgt, query_pos, memory, pos, text, text_mask, ref, shapes
             )
-            delta = self.bbox_head(self.decoder_norm(tgt))
-            ref = jax.nn.sigmoid(inverse_sigmoid(ref) + delta)
+            # In-loop refinement consumes the RAW layer output; decoder_norm
+            # is applied only to the emitted intermediates (TransformerDecoder
+            # forward: delta_unsig = bbox_embed(output);
+            # intermediate.append(norm(output))).
+            ref_in = ref
+            delta = self.bbox_head(tgt)
+            ref = jax.lax.stop_gradient(
+                jax.nn.sigmoid(inverse_sigmoid(ref) + delta)
+            )
 
         hs = self.decoder_norm(tgt)
+        # Final boxes are recomputed from the NORMED last hidden state plus
+        # the reference that ENTERED the last layer (GroundingDINO.forward:
+        # zip(reference[:-1], bbox_embed, hs) over normed intermediates).
+        out_boxes = jax.nn.sigmoid(
+            self.bbox_head(hs) + inverse_sigmoid(ref_in)
+        )
         logits = jnp.einsum(
             "bqc,btc->bqt", hs, jnp.where(text_mask[..., None], text, 0.0),
             preferred_element_type=jnp.float32,
@@ -254,4 +305,4 @@ class GroundingDINO(nn.Module):
             )
         elif pad < 0:
             logits = logits[..., : self.max_text_len]
-        return {"pred_logits": logits, "pred_boxes": ref}
+        return {"pred_logits": logits, "pred_boxes": out_boxes}

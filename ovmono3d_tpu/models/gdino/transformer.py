@@ -39,11 +39,13 @@ def sine_position_embedding(
     constant during compilation on the server side."""
     outs = []
     for h, w in spatial_shapes:
-        ys = jnp.arange(h, dtype=jnp.float32) + 0.5
-        xs = jnp.arange(w, dtype=jnp.float32) + 0.5
-        # normalized * 2pi (as in DETR sine embedding with normalize=True)
-        ys = ys / h * 2 * jnp.pi
-        xs = xs / w * 2 * jnp.pi
+        # DETR PositionEmbeddingSine with normalize=True over a full-valid
+        # mask: per-axis cumsum gives (i + 1), normalized by the last value
+        # (+1e-6), times 2*pi.
+        ys = jnp.arange(h, dtype=jnp.float32) + 1.0
+        xs = jnp.arange(w, dtype=jnp.float32) + 1.0
+        ys = ys / (h + 1e-6) * 2 * jnp.pi
+        xs = xs / (w + 1e-6) * 2 * jnp.pi
         half = dim // 2
         dim_t = temperature ** (
             2 * (jnp.arange(half, dtype=jnp.float32) // 2) / half
@@ -68,18 +70,28 @@ def sine_position_embedding(
 
 
 def coordinate_sine_embedding(coords: jax.Array, dim: int = 256,
-                              temperature: float = 10000.0) -> jax.Array:
-    """DINO get_sine_pos_embed of box coords: [..., 4] -> [..., 2*dim]
-    (128 dims per coordinate, sin/cos interleaved)."""
+                              temperature: float = 10000.0,
+                              exchange_xy: bool = False) -> jax.Array:
+    """DINO get_sine_pos_embed of box coords: [..., n] -> [..., n*dim/2]
+    (dim/2 features per coordinate, sin/cos interleaved).
+
+    `exchange_xy=True` swaps the first two coordinates' feature blocks to
+    [pos(y), pos(x), ...] — the original get_sine_pos_embed default, used
+    for the decoder query position head (GroundingDINO utils.py
+    get_sine_pos_embed exchange_xy=True)."""
     half = dim // 2
     dim_t = temperature ** (
         2 * (jnp.arange(half, dtype=jnp.float32) // 2) / half
     )
-    x = coords[..., None] * 2 * jnp.pi / dim_t  # [..., 4, half]
+    x = coords[..., None] * 2 * jnp.pi / dim_t  # [..., n, half]
     emb = jnp.stack(
         [jnp.sin(x[..., 0::2]), jnp.cos(x[..., 1::2])], axis=-1
-    ).reshape(*coords.shape[:-1], coords.shape[-1] * half)
-    return emb
+    ).reshape(*coords.shape[:-1], coords.shape[-1], half)
+    if exchange_xy and coords.shape[-1] >= 2:
+        emb = jnp.concatenate(
+            [emb[..., 1:2, :], emb[..., 0:1, :], emb[..., 2:, :]], axis=-2
+        )
+    return emb.reshape(*coords.shape[:-1], coords.shape[-1] * half)
 
 
 def inverse_sigmoid(x, eps=1e-3):
@@ -130,8 +142,8 @@ class BiAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, img, txt, txt_mask):
         """img: [B, S, C]; txt: [B, T, C]; txt_mask: [B, T] bool."""
-        vi = nn.LayerNorm(dtype=jnp.float32, name="ln_v")(img)
-        li = nn.LayerNorm(dtype=jnp.float32, name="ln_l")(txt)
+        vi = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_v")(img)
+        li = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_l")(txt)
         hd = self.fusion_dim // self.heads
         B, S, _ = vi.shape
         T = li.shape[1]
@@ -167,14 +179,17 @@ class BiAttentionBlock(nn.Module):
             dl.astype(self.dtype)
         )
         gamma_v = self.param(
-            "gamma_v", nn.initializers.constant(1 / 6), (self.dim,),
+            "gamma_v", nn.initializers.constant(1e-4), (self.dim,),
             jnp.float32,
         )
         gamma_l = self.param(
-            "gamma_l", nn.initializers.constant(1 / 6), (self.dim,),
+            "gamma_l", nn.initializers.constant(1e-4), (self.dim,),
             jnp.float32,
         )
-        return img + dv * gamma_v, txt + dl * gamma_l
+        # The residual adds onto the LAYER-NORMED stream, not the raw input
+        # (fuse_modules.py BiAttentionBlock: v = layer_norm_v(v);
+        # v = v + drop_path(gamma_v * delta_v)).
+        return vi + dv * gamma_v, li + dl * gamma_l
 
 
 class DeformableLayer(nn.Module):
@@ -226,11 +241,11 @@ class DeformableLayer(nn.Module):
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(
             sampled
         )
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = nn.Dense(self.ffn, dtype=self.dtype, name="ffn1")(x)
         h = nn.relu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(h)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x + h)
 
 
 class TextEnhancerLayer(nn.Module):
@@ -240,16 +255,25 @@ class TextEnhancerLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, txt, txt_mask):
-        bias = jnp.where(txt_mask, 0.0, -1e9)[:, None, None, :]
+    def __call__(self, txt, txt_mask, pos=None):
+        """txt: [B, T, C]; txt_mask: [B, T] padding mask OR [B, T, T]
+        sub-sentence pairwise mask (the original feeds the per-phrase block
+        mask, transformer.py TransformerEncoder text_layers); pos: [B, T, C]
+        sine embeddings of the per-span position ids, added to q/k only
+        (TransformerEncoderLayer with_pos_embed)."""
+        if txt_mask.ndim == 3:
+            bias = jnp.where(txt_mask, 0.0, -1e9)[:, None]
+        else:
+            bias = jnp.where(txt_mask, 0.0, -1e9)[:, None, None, :]
+        q = txt if pos is None else txt + pos
         h = MHA(self.dim, self.heads, self.dtype, name="self_attn")(
-            txt, txt, txt, bias
+            q, q, txt, bias
         )
-        txt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(txt + h)
+        txt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(txt + h)
         h = nn.Dense(self.ffn, dtype=self.dtype, name="ffn1")(txt)
         h = nn.relu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(h)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(txt + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(txt + h)
 
 
 class DecoderLayer(nn.Module):
@@ -274,19 +298,19 @@ class DecoderLayer(nn.Module):
             q = tgt + query_pos
             h = MHA(self.dim, self.heads, self.dtype,
                     name="self_attn")(q, q, tgt)
-            tgt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tgt + h)
+            tgt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tgt + h)
         # text cross attention
         if "text_cross" not in self.debug_skip:
             bias = jnp.where(txt_mask, 0.0, -1e9)[:, None, None, :]
             h = MHA(self.dim, self.heads, self.dtype, name="text_cross")(
                 tgt + query_pos, txt, txt, bias
             )
-            tgt = nn.LayerNorm(dtype=jnp.float32, name="norm_text")(tgt + h)
+            tgt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_text")(tgt + h)
         if "deform" in self.debug_skip:
             h = nn.Dense(self.ffn, dtype=self.dtype, name="ffn1")(tgt)
             h = nn.relu(h)
             h = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(h)
-            return nn.LayerNorm(dtype=jnp.float32, name="norm3")(tgt + h)
+            return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(tgt + h)
         # deformable cross attention to image memory
         value = nn.Dense(self.dim, dtype=self.dtype, name="value_proj")(
             memory
@@ -316,11 +340,11 @@ class DecoderLayer(nn.Module):
             levels=self.sample_levels,
         )
         h = nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(sampled)
-        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tgt + h)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tgt + h)
         h = nn.Dense(self.ffn, dtype=self.dtype, name="ffn1")(tgt)
         h = nn.relu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(h)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm3")(tgt + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(tgt + h)
 
 
 class BoxMLP(nn.Module):

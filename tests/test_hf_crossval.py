@@ -1,0 +1,362 @@
+"""Cross-validation against the official HuggingFace implementations.
+
+The released GroundingDINO/SAM/Depth-Pro checkpoints are not available in
+this environment, but `transformers` ships the official reference
+ARCHITECTURES (converted from and numerically verified against the original
+repos). Instantiating them tiny with random weights, exporting the state
+dict, mapping it to the original-repo key format, running our converters,
+and comparing forward outputs validates our numerics end-to-end — the same
+evidence checkpoint-parity would give, minus the released weights
+themselves.
+
+Reference targets:
+- transformers GroundingDinoForObjectDetection (the HF port of
+  groundingdino.models.GroundingDINO, the model the reference loads at
+  roi_heads_gdino.py:87-91).
+- transformers BertModel (the text trunk, roi_heads_gdino.py caption path).
+- The pure-torch MultiScaleDeformableAttention fallback (the semantics of
+  the CUDA op in SURVEY.md §2.3).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _seed_all(seed=0):
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale deformable attention core
+# ---------------------------------------------------------------------------
+
+
+def test_msda_core_matches_hf_torch():
+    """deformable_attention_core vs the official pure-torch fallback
+    (modeling_grounding_dino.MultiScaleDeformableAttention.forward)."""
+    from transformers.models.grounding_dino.modeling_grounding_dino import (
+        MultiScaleDeformableAttention,
+    )
+
+    from ovmono3d_tpu.models.gdino.deformable import deformable_attention_core
+
+    _seed_all(0)
+    B, H, D, Q, P = 2, 4, 8, 30, 4
+    shapes = [(8, 8), (4, 4), (2, 2), (1, 1)]
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    rng = np.random.RandomState(0)
+    value = rng.randn(B, S, H, D).astype(np.float32)
+    # locations straddling borders exercise the zero-padding path
+    loc = rng.uniform(-0.1, 1.1, (B, Q, H, L, P, 2)).astype(np.float32)
+    attw = rng.rand(B, Q, H, L, P).astype(np.float32)
+    attw /= attw.reshape(B, Q, H, -1).sum(-1)[..., None, None]
+
+    mod = MultiScaleDeformableAttention()
+    tshapes = torch.tensor(shapes, dtype=torch.long)
+    start = torch.cat(
+        (tshapes.new_zeros((1,)), tshapes.prod(1).cumsum(0)[:-1])
+    )
+    with torch.no_grad():
+        want = mod(
+            torch.from_numpy(value), tshapes, shapes, start,
+            torch.from_numpy(loc), torch.from_numpy(attw), 64,
+        ).numpy()
+
+    got = np.asarray(
+        deformable_attention_core(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attw)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# BERT text trunk
+# ---------------------------------------------------------------------------
+
+
+def test_bert_matches_hf_transformers():
+    """BertEncoder vs the official BertModel under the GroundingDINO calling
+    convention (3-D sub-sentence mask + per-span position ids)."""
+    from transformers import BertConfig, BertModel
+
+    from ovmono3d_tpu.models.gdino.bert import (
+        BertEncoder,
+        build_subsentence_masks,
+    )
+    from ovmono3d_tpu.utils.checkpoint_convert import merge_into_params
+    from ovmono3d_tpu.utils.gdino_convert import convert_bert
+
+    _seed_all(1)
+    cfg = BertConfig(
+        vocab_size=1100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    hf = BertModel(cfg, add_pooling_layer=False).eval()
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    ids = np.array([[101, 11, 12, 1012, 13, 1012, 102, 0]], np.int64)
+    mask3d, pos_ids = build_subsentence_masks(ids)
+
+    with torch.no_grad():
+        want = hf(
+            torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask3d),
+            position_ids=torch.from_numpy(pos_ids.astype(np.int64)),
+        ).last_hidden_state.numpy()
+
+    model = BertEncoder(vocab_size=1100, hidden=32, layers=2, heads=4,
+                        intermediate=64, max_position=64)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(mask3d),
+        jnp.asarray(pos_ids),
+    )
+    params = merge_into_params(params, convert_bert(state, 2, ""),
+                               ("params",))
+    got = np.asarray(
+        model.apply(params, jnp.asarray(ids), jnp.asarray(mask3d),
+                    jnp.asarray(pos_ids))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full GroundingDINO
+# ---------------------------------------------------------------------------
+
+
+def _hf_to_original_keys(sd: dict, depths, enc_layers, dec_layers) -> dict:
+    """Rename a HF GroundingDinoForObjectDetection state dict to the original
+    groundingdino_swinb key format consumed by utils/gdino_convert.py
+    (inverse of HF's conversion script: fuses Swin and nn.MultiheadAttention
+    q/k/v back into qkv / in_proj tensors)."""
+    out = {}
+
+    def fuse(dst, src, w="in_proj_weight", b="in_proj_bias"):
+        """HF separate query/key/value linears -> fused qkv/in_proj."""
+        out[dst + w] = np.concatenate(
+            [sd[src + "query.weight"], sd[src + "key.weight"],
+             sd[src + "value.weight"]], 0)
+        out[dst + b] = np.concatenate(
+            [sd[src + "query.bias"], sd[src + "key.bias"],
+             sd[src + "value.bias"]], 0)
+
+    def copy(dst, src, wb=(".weight", ".bias")):
+        for s in wb:
+            out[dst + s] = sd[src + s]
+
+    # --- Swin trunk ---
+    sw_hf = "model.backbone.conv_encoder.model."
+    sw = "backbone.0."
+    copy(sw + "patch_embed.proj", sw_hf + "embeddings.patch_embeddings.projection")
+    copy(sw + "patch_embed.norm", sw_hf + "embeddings.norm")
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            hb = f"{sw_hf}encoder.layers.{si}.blocks.{bi}."
+            ob = f"{sw}layers.{si}.blocks.{bi}."
+            copy(ob + "norm1", hb + "layernorm_before")
+            fuse(ob + "attn.qkv.", hb + "attention.self.",
+                 w="weight", b="bias")
+            out[ob + "attn.relative_position_bias_table"] = sd[
+                hb + "attention.self.relative_position_bias_table"]
+            copy(ob + "attn.proj", hb + "attention.output.dense")
+            copy(ob + "norm2", hb + "layernorm_after")
+            copy(ob + "mlp.fc1", hb + "intermediate.dense")
+            copy(ob + "mlp.fc2", hb + "output.dense")
+        if si < len(depths) - 1:
+            hd = f"{sw_hf}encoder.layers.{si}.downsample."
+            out[f"{sw}layers.{si}.downsample.reduction.weight"] = sd[
+                hd + "reduction.weight"]
+            copy(f"{sw}layers.{si}.downsample.norm", hd + "norm")
+    for oi, stage in ((1, "stage2"), (2, "stage3"), (3, "stage4")):
+        copy(f"{sw}norm{oi}", sw_hf + f"hidden_states_norms.{stage}")
+
+    # --- text trunk + projections ---
+    for k in list(sd):
+        if k.startswith("model.text_backbone."):
+            out["bert." + k[len("model.text_backbone."):]] = sd[k]
+    copy("feat_map", "model.text_projection")
+    out["transformer.level_embed"] = sd["model.level_embed"]
+    out["transformer.tgt_embed.weight"] = sd[
+        "model.query_position_embeddings.weight"]
+    copy("transformer.enc_output", "model.enc_output")
+    copy("transformer.enc_output_norm", "model.enc_output_norm")
+    for j in range(3):
+        copy(f"transformer.enc_out_bbox_embed.layers.{j}",
+             f"model.encoder_output_bbox_embed.layers.{j}")
+    for i in range(4):
+        copy(f"input_proj.{i}.0", f"model.input_proj_vision.{i}.0")
+        copy(f"input_proj.{i}.1", f"model.input_proj_vision.{i}.1")
+
+    # --- encoder layers ---
+    for i in range(enc_layers):
+        he = f"model.encoder.layers.{i}."
+        te = f"transformer.encoder.text_layers.{i}."
+        fuse(te + "self_attn.", he + "text_enhancer_layer.self_attn.")
+        copy(te + "self_attn.out_proj",
+             he + "text_enhancer_layer.self_attn.out_proj")
+        copy(te + "linear1", he + "text_enhancer_layer.fc1")
+        copy(te + "linear2", he + "text_enhancer_layer.fc2")
+        copy(te + "norm1", he + "text_enhancer_layer.layer_norm_before")
+        copy(te + "norm2", he + "text_enhancer_layer.layer_norm_after")
+        fe = f"transformer.encoder.fusion_layers.{i}."
+        copy(fe + "layer_norm_v", he + "fusion_layer.layer_norm_vision")
+        copy(fe + "layer_norm_l", he + "fusion_layer.layer_norm_text")
+        for o, h in (("v_proj", "vision_proj"), ("l_proj", "text_proj"),
+                     ("values_v_proj", "values_vision_proj"),
+                     ("values_l_proj", "values_text_proj"),
+                     ("out_v_proj", "out_vision_proj"),
+                     ("out_l_proj", "out_text_proj")):
+            copy(fe + "attn." + o, he + "fusion_layer.attn." + h)
+        out[fe + "gamma_v"] = sd[he + "fusion_layer.vision_param"]
+        out[fe + "gamma_l"] = sd[he + "fusion_layer.text_param"]
+        de = f"transformer.encoder.layers.{i}."
+        for o in ("sampling_offsets", "attention_weights", "value_proj",
+                  "output_proj"):
+            copy(de + "self_attn." + o,
+                 he + "deformable_layer.self_attn." + o)
+        copy(de + "norm1", he + "deformable_layer.self_attn_layer_norm")
+        copy(de + "linear1", he + "deformable_layer.fc1")
+        copy(de + "linear2", he + "deformable_layer.fc2")
+        copy(de + "norm2", he + "deformable_layer.final_layer_norm")
+
+    # --- decoder layers ---
+    copy("transformer.decoder.norm", "model.decoder.layer_norm")
+    for j in range(2):
+        copy(f"transformer.decoder.ref_point_head.layers.{j}",
+             f"model.decoder.reference_points_head.layers.{j}")
+    for i in range(dec_layers):
+        hd = f"model.decoder.layers.{i}."
+        od = f"transformer.decoder.layers.{i}."
+        fuse(od + "self_attn.", hd + "self_attn.")
+        copy(od + "self_attn.out_proj", hd + "self_attn.out_proj")
+        copy(od + "norm2", hd + "self_attn_layer_norm")
+        fuse(od + "ca_text.", hd + "encoder_attn_text.")
+        copy(od + "ca_text.out_proj", hd + "encoder_attn_text.out_proj")
+        copy(od + "catext_norm", hd + "encoder_attn_text_layer_norm")
+        for o in ("sampling_offsets", "attention_weights", "value_proj",
+                  "output_proj"):
+            copy(od + "cross_attn." + o, hd + "encoder_attn." + o)
+        copy(od + "norm1", hd + "encoder_attn_layer_norm")
+        copy(od + "linear1", hd + "fc1")
+        copy(od + "linear2", hd + "fc2")
+        copy(od + "norm3", hd + "final_layer_norm")
+    for j in range(3):
+        copy(f"bbox_embed.0.layers.{j}", f"bbox_embed.0.layers.{j}")
+    return out
+
+
+def test_groundingdino_matches_hf_transformers():
+    """Full-model forward parity: tiny GroundingDinoForObjectDetection vs
+    our GroundingDINO at identical (random) weights, random image, real
+    caption token pattern."""
+    from transformers import (
+        BertConfig,
+        GroundingDinoConfig,
+        GroundingDinoForObjectDetection,
+        SwinConfig,
+    )
+
+    from ovmono3d_tpu.models.gdino.bert import build_subsentence_masks
+    from ovmono3d_tpu.models.gdino.model import GroundingDINO
+    from ovmono3d_tpu.utils.checkpoint_convert import merge_into_params
+    from ovmono3d_tpu.utils.gdino_convert import convert_groundingdino
+
+    _seed_all(2)
+    depths = (2, 2, 2, 2)
+    # window 2: every stage resolution (32/16/8/4 at 128^2) is a window
+    # multiple >= the window, so neither implementation hits its
+    # small-input window-shrink special case and shifted windows are
+    # exercised at every stage.
+    swin = SwinConfig(
+        image_size=128, patch_size=4, embed_dim=16, depths=list(depths),
+        num_heads=[1, 2, 4, 8], window_size=2,
+        out_features=["stage2", "stage3", "stage4"], hidden_act="gelu",
+        drop_path_rate=0.0,
+    )
+    bert = BertConfig(
+        vocab_size=1100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    cfg = GroundingDinoConfig(
+        backbone_config=swin, text_config=bert, d_model=32,
+        encoder_layers=2, decoder_layers=2, num_queries=20,
+        encoder_attention_heads=8, decoder_attention_heads=8,
+        encoder_ffn_dim=2048, decoder_ffn_dim=2048, num_feature_levels=4,
+        encoder_n_points=4, decoder_n_points=4, max_text_len=64,
+        dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+        text_enhancer_dropout=0.0, fusion_dropout=0.0, fusion_droppath=0.0,
+        positional_embedding_temperature=20,
+    )
+    hf = GroundingDinoForObjectDetection(cfg).eval()
+    # HF zero-initializes the bbox-delta output layers (DETR convention);
+    # perturb every parameter so the refinement/delta paths carry signal.
+    with torch.no_grad():
+        for p in hf.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+
+    rng = np.random.RandomState(3)
+    image = rng.rand(1, 128, 128, 3).astype(np.float32)
+    # "[CLS] tok tok . tok . [SEP] pad..." — the caption pattern the
+    # reference builds (roi_heads_gdino.py:176-181)
+    ids = np.zeros((1, 12), np.int64)
+    ids[0, :7] = [101, 11, 12, 1012, 13, 1012, 102]
+    pad_mask = (ids != 0).astype(np.int64)
+
+    with torch.no_grad():
+        want = hf(
+            pixel_values=torch.from_numpy(
+                image.transpose(0, 3, 1, 2)).contiguous(),
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(pad_mask),
+        )
+    want_logits = want.logits.numpy()          # [1, 20, 64]
+    want_boxes = want.pred_boxes.numpy()       # [1, 20, 4]
+
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    orig = _hf_to_original_keys(state, depths, 2, 2)
+    converted = convert_groundingdino(orig)
+
+    model = GroundingDINO(
+        hidden_dim=32, nheads=8, enc_layers=2, dec_layers=2,
+        num_queries=20, enc_points=4, dec_points=4, max_text_len=64,
+        ffn_dim=2048, swin_embed_dim=16, swin_depths=depths,
+        swin_heads=(1, 2, 4, 8), swin_window=2, bert_layers=2,
+        bert_hidden=32, bert_heads=4, bert_intermediate=64, bert_vocab=1100,
+        bert_max_position=64, compute_dtype=jnp.float32,
+    )
+    mask3d, pos_ids = build_subsentence_masks(ids)
+    args = (
+        jnp.asarray(image), jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(pad_mask.astype(bool)), jnp.asarray(mask3d),
+        jnp.asarray(pos_ids),
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+    params = merge_into_params(params, converted["params"]
+                           if "params" in converted else converted,
+                           ("params",))
+    got = jax.jit(model.apply)(params, *args)
+    got_logits = np.asarray(got["pred_logits"])
+    got_boxes = np.asarray(got["pred_boxes"])
+
+    # Only valid text columns carry information (both implementations fill
+    # masked columns with -inf/-1e9).
+    valid_t = pad_mask[0].astype(bool)
+    np.testing.assert_allclose(
+        got_boxes, want_boxes, atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        got_logits[:, :, :12][:, :, valid_t],
+        want_logits[:, :, :12][:, :, valid_t],
+        atol=5e-4, rtol=1e-3,
+    )
