@@ -155,6 +155,7 @@ class MaskDecoder(nn.Module):
     heads: int = 8
     depth: int = 2
     num_masks: int = 3
+    mlp_dim: int = 2048
 
     @nn.compact
     def __call__(self, image_feat, image_pe, prompt_tokens):
@@ -183,7 +184,7 @@ class MaskDecoder(nn.Module):
         t, img = tokens, image
         for i in range(self.depth):
             t, img = TwoWayBlock(
-                self.dim, self.heads, skip_first_pe=(i == 0),
+                self.dim, self.heads, self.mlp_dim, skip_first_pe=(i == 0),
                 name=f"block{i}",
             )(t, img, tokens, pe)
         # final token->image attention
@@ -237,10 +238,13 @@ class SamSegmenter(nn.Module):
     """
 
     embed_dim: int = 256
+    decoder_mlp_dim: int = 2048
 
     def setup(self):
         self.prompt = PromptEncoder(self.embed_dim, name="prompt_encoder")
-        self.decoder = MaskDecoder(self.embed_dim, name="mask_decoder")
+        self.decoder = MaskDecoder(self.embed_dim,
+                                   mlp_dim=self.decoder_mlp_dim,
+                                   name="mask_decoder")
 
     def __call__(self, image_embed: jax.Array, boxes: jax.Array,
                  image_size: float):

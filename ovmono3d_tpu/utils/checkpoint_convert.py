@@ -34,7 +34,13 @@ def _conv(w):  # torch Conv2d OIHW -> Flax HWIO
 
 
 def _deconv(w):  # torch ConvTranspose2d IOHW -> Flax HWIO
-    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 0, 1)))
+    # Flax ConvTranspose (lax.conv_transpose, transpose_kernel=False) applies
+    # the kernel spatially MIRRORED relative to torch's ConvTranspose2d; the
+    # [::-1, ::-1] flip makes the two bit-identical (verified vs torch in
+    # tests/test_hf_crossval.py::test_sam_segmenter_matches_hf_transformers).
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1]
+    )
 
 
 def convert_dinov2_vit(

@@ -360,3 +360,130 @@ def test_groundingdino_matches_hf_transformers():
         want_logits[:, :, :12][:, :, valid_t],
         atol=5e-4, rtol=1e-3,
     )
+
+
+# ---------------------------------------------------------------------------
+# SAM prompt encoder + mask decoder
+# ---------------------------------------------------------------------------
+
+
+def _hf_sam_to_original_keys(sd: dict) -> dict:
+    """Rename a HF SamModel state dict (prompt_encoder + mask_decoder) to the
+    original segment-anything key format consumed by utils/sam_convert.py."""
+    ren = {
+        "prompt_encoder.shared_embedding.positional_embedding":
+            "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix",
+        "mask_decoder.upscale_conv1.weight":
+            "mask_decoder.output_upscaling.0.weight",
+        "mask_decoder.upscale_conv1.bias":
+            "mask_decoder.output_upscaling.0.bias",
+        "mask_decoder.upscale_layer_norm.weight":
+            "mask_decoder.output_upscaling.1.weight",
+        "mask_decoder.upscale_layer_norm.bias":
+            "mask_decoder.output_upscaling.1.bias",
+        "mask_decoder.upscale_conv2.weight":
+            "mask_decoder.output_upscaling.3.weight",
+        "mask_decoder.upscale_conv2.bias":
+            "mask_decoder.output_upscaling.3.bias",
+        "mask_decoder.transformer.layer_norm_final_attn.weight":
+            "mask_decoder.transformer.norm_final_attn.weight",
+        "mask_decoder.transformer.layer_norm_final_attn.bias":
+            "mask_decoder.transformer.norm_final_attn.bias",
+    }
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("vision_encoder") or k.startswith(
+                "shared_image_embedding"):
+            continue
+        k2 = ren.get(k, k)
+        k2 = k2.replace("point_embed.", "point_embeddings.")
+        # SamFeedForward proj_in/layers.{i}/proj_out -> layers.{0,1+i,last}
+        for head, n in (("output_hypernetworks_mlps.0.", 3),
+                        ("output_hypernetworks_mlps.1.", 3),
+                        ("output_hypernetworks_mlps.2.", 3),
+                        ("output_hypernetworks_mlps.3.", 3),
+                        ("iou_prediction_head.", 3)):
+            full = "mask_decoder." + head
+            if k2.startswith(full):
+                rest = k2[len(full):]
+                if rest.startswith("proj_in."):
+                    k2 = full + "layers.0." + rest[len("proj_in."):]
+                elif rest.startswith("proj_out."):
+                    k2 = full + f"layers.{n - 1}." + rest[len("proj_out."):]
+                elif rest.startswith("layers."):
+                    j = int(rest.split(".")[1])
+                    k2 = (full + f"layers.{j + 1}." +
+                          rest.split(".", 2)[2])
+        k2 = k2.replace(".layer_norm", ".norm")
+        out[k2] = v.numpy()
+    return out
+
+
+def test_sam_segmenter_matches_hf_transformers():
+    """SamSegmenter (prompt encoder + two-way mask decoder) vs the official
+    transformers SamModel over precomputed image embeddings and a box
+    prompt (the GEO path: run_seg_anything, ovmono3d_geo.py:213-217)."""
+    from transformers import SamConfig, SamModel
+    from transformers.models.sam.configuration_sam import (
+        SamMaskDecoderConfig,
+        SamPromptEncoderConfig,
+        SamVisionConfig,
+    )
+
+    from ovmono3d_tpu.models.sam import SamSegmenter
+    from ovmono3d_tpu.utils.checkpoint_convert import merge_into_params
+    from ovmono3d_tpu.utils.sam_convert import convert_sam_segmenter
+
+    _seed_all(4)
+    v = SamVisionConfig(hidden_size=48, output_channels=32,
+                        num_hidden_layers=1, num_attention_heads=4,
+                        image_size=64, patch_size=8, num_pos_feats=16)
+    p = SamPromptEncoderConfig(hidden_size=32, image_embedding_size=8,
+                               image_size=128, mask_input_channels=8)
+    d = SamMaskDecoderConfig(hidden_size=32, num_hidden_layers=2,
+                             num_attention_heads=8, mlp_dim=64,
+                             iou_head_hidden_dim=32)
+    hf = SamModel(SamConfig(vision_config=v, prompt_encoder_config=p,
+                            mask_decoder_config=d)).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+        # The original SAM uses ONE PositionEmbeddingRandom for both the
+        # sparse prompts and the image-wide dense PE; HF splits it into two
+        # separately-initialized copies of the same checkpoint tensor — tie
+        # them back together.
+        hf.shared_image_embedding.positional_embedding.copy_(
+            hf.prompt_encoder.shared_embedding.positional_embedding
+        )
+
+    rng = np.random.RandomState(5)
+    embed = rng.randn(2, 32, 8, 8).astype(np.float32)  # [B, C, H, W]
+    boxes = np.array([[[10.0, 20.0, 90.0, 110.0]],
+                      [[5.0, 3.0, 40.0, 80.0]]], np.float32)
+
+    with torch.no_grad():
+        got_hf = hf(
+            image_embeddings=torch.from_numpy(embed),
+            input_boxes=torch.from_numpy(boxes),
+            multimask_output=True,
+        )
+    want_masks = got_hf.pred_masks.numpy()[:, 0]   # [B, 3, 32, 32]
+    want_iou = got_hf.iou_scores.numpy()[:, 0]     # [B, 3]
+
+    model = SamSegmenter(embed_dim=32, decoder_mlp_dim=64)
+    args = (
+        jnp.asarray(embed.transpose(0, 2, 3, 1)),   # NHWC
+        jnp.asarray(boxes[:, 0]),                   # [B, 4]
+        128.0,
+    )
+    params = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0), *args
+    )
+    state = {k: v_ for k, v_ in hf.state_dict().items()}
+    converted = convert_sam_segmenter(_hf_sam_to_original_keys(state))
+    params = merge_into_params(params, converted, ("params",))
+    masks, iou = model.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(masks), want_masks,
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(iou), want_iou,
+                               atol=5e-4, rtol=1e-3)
