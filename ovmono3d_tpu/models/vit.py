@@ -198,15 +198,37 @@ class Block(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_rel_pos: bool = False
     rel_pos_size: int = 0
+    # SAM-style windowed attention: partition the (normed) token grid into
+    # window x window tiles around the attention only. Padding happens
+    # AFTER norm1 with zeros — the original's ordering (segment_anything
+    # image_encoder Block.forward: x = norm1(x); window_partition pads) —
+    # so padded keys contribute exactly b_v, not LN(0)-driven values.
+    window: int = 0
 
     @nn.compact
     def __call__(self, x, grid_hw: tuple[int, int] | None = None):
+        B, N, C = x.shape
         h = LayerNormBf16Out(dtype=self.dtype, name="norm1")(x)
-        h = Attention(
+        attn = Attention(
             self.dim, self.num_heads, self.dtype,
             use_rel_pos=self.use_rel_pos, rel_pos_size=self.rel_pos_size,
             name="attn",
-        )(h, grid_hw)
+        )
+        if self.window > 0:
+            H, W = grid_hw
+            win = self.window
+            hp = -(-H // win) * win
+            wp = -(-W // win) * win
+            g = h.reshape(B, H, W, C)
+            g = jnp.pad(g, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
+            g = g.reshape(B, hp // win, win, wp // win, win, C)
+            g = g.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, C)
+            g = attn(g, (win, win) if self.use_rel_pos else None)
+            g = g.reshape(B, hp // win, wp // win, win, win, C)
+            g = g.transpose(0, 1, 3, 2, 4, 5).reshape(B, hp, wp, C)
+            h = g[:, :H, :W].reshape(B, N, C)
+        else:
+            h = attn(h, grid_hw)
         if self.layerscale:
             h = LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
         x = x + h
@@ -377,31 +399,19 @@ class VisionTransformer(nn.Module):
         return out
 
     def _windowed_block(self, x, i, B, h, w, n_prefix):
-        """SAM-style windowed attention: pad the grid to window multiples,
-        run the block per window, unpad (prefix tokens bypass windowing)."""
+        """SAM-style windowed attention block (prefix tokens bypass
+        windowing; the window partition happens inside Block, after its
+        norm1, matching the original ordering)."""
         win = self.window_size
         prefix = x[:, :n_prefix]
-        grid = x[:, n_prefix:].reshape(B, h, w, self.embed_dim)
-        hp = -(-h // win) * win
-        wp = -(-w // win) * win
-        grid = jnp.pad(grid, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-        grid = grid.reshape(B, hp // win, win, wp // win, win,
-                            self.embed_dim)
-        grid = grid.transpose(0, 1, 3, 2, 4, 5).reshape(
-            -1, win * win, self.embed_dim
-        )
+        grid = x[:, n_prefix:]
         grid = Block(
             self.embed_dim, self.num_heads, self.mlp_ratio,
             self.layerscale, self.dtype,
             use_rel_pos=self.use_rel_pos, rel_pos_size=win,
+            window=win,
             name=f"block{i}",
-        )(grid, (win, win) if self.use_rel_pos else None)
-        grid = grid.reshape(B, hp // win, wp // win, win, win,
-                            self.embed_dim)
-        grid = grid.transpose(0, 1, 3, 2, 4, 5).reshape(
-            B, hp, wp, self.embed_dim
-        )
-        grid = grid[:, :h, :w].reshape(B, h * w, self.embed_dim)
+        )(grid, (h, w))
         return jnp.concatenate([prefix, grid], axis=1) if n_prefix else grid
 
     def _fuse_depth(self, x, prompt_depth, B, h, w, n_prefix=1):

@@ -487,3 +487,163 @@ def test_sam_segmenter_matches_hf_transformers():
                                atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(iou), want_iou,
                                atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 trunk (the flagship backbone)
+# ---------------------------------------------------------------------------
+
+
+def test_dinov2_matches_hf_transformers():
+    """VisionTransformer (dinov2 preset) vs the official Dinov2Model at the
+    pretrain grid (pre-final-norm hidden state, which is what the
+    reference's backbone consumes — dino.py:70-120 runs blocks directly)."""
+    from transformers import Dinov2Config, Dinov2Model
+
+    from ovmono3d_tpu.models.vit import VisionTransformer
+    from ovmono3d_tpu.utils.checkpoint_convert import (
+        convert_dinov2_vit,
+        merge_into_params,
+    )
+
+    _seed_all(6)
+    cfg = Dinov2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        image_size=56, patch_size=14, layerscale_value=1.0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0,
+    )
+    hf = Dinov2Model(cfg).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+
+    rng = np.random.RandomState(7)
+    image = rng.rand(2, 56, 56, 3).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous(),
+                 output_hidden_states=True)
+    want = out.hidden_states[-1].numpy()  # pre-final-layernorm
+
+    sd = hf.state_dict()
+
+    def fuse_qkv(p):
+        return {
+            "weight": np.concatenate([
+                sd[p + "query.weight"], sd[p + "key.weight"],
+                sd[p + "value.weight"]], 0),
+            "bias": np.concatenate([
+                sd[p + "query.bias"], sd[p + "key.bias"],
+                sd[p + "value.bias"]], 0),
+        }
+
+    hub = {
+        "cls_token": sd["embeddings.cls_token"].numpy(),
+        "pos_embed": sd["embeddings.position_embeddings"].numpy(),
+        "patch_embed.proj.weight":
+            sd["embeddings.patch_embeddings.projection.weight"].numpy(),
+        "patch_embed.proj.bias":
+            sd["embeddings.patch_embeddings.projection.bias"].numpy(),
+    }
+    for i in range(2):
+        h = f"encoder.layer.{i}."
+        o = f"blocks.{i}."
+        qkv = fuse_qkv(h + "attention.attention.")
+        hub[o + "attn.qkv.weight"] = qkv["weight"].numpy() \
+            if hasattr(qkv["weight"], "numpy") else qkv["weight"]
+        hub[o + "attn.qkv.bias"] = qkv["bias"]
+        for src, dst in (
+            ("norm1.weight", "norm1.weight"), ("norm1.bias", "norm1.bias"),
+            ("attention.output.dense.weight", "attn.proj.weight"),
+            ("attention.output.dense.bias", "attn.proj.bias"),
+            ("layer_scale1.lambda1", "ls1.gamma"),
+            ("layer_scale2.lambda1", "ls2.gamma"),
+            ("norm2.weight", "norm2.weight"), ("norm2.bias", "norm2.bias"),
+            ("mlp.fc1.weight", "mlp.fc1.weight"),
+            ("mlp.fc1.bias", "mlp.fc1.bias"),
+            ("mlp.fc2.weight", "mlp.fc2.weight"),
+            ("mlp.fc2.bias", "mlp.fc2.bias"),
+        ):
+            hub[o + dst] = sd[h + src].numpy()
+
+    model = VisionTransformer(
+        patch_size=14, embed_dim=32, depth=2, num_heads=4, pretrain_grid=4,
+        layerscale=True, use_depth_fusion=False, dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    params = merge_into_params(
+        params, convert_dinov2_vit(hub, depth=2), ("params",)
+    )
+    got = model.apply(params, jnp.asarray(image))
+    np.testing.assert_allclose(
+        np.asarray(got["last_feat"]).reshape(2, 16, 32), want[:, 1:],
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["cls"]), want[:, 0], atol=2e-5, rtol=1e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAM image encoder (windowed ViT + decomposed rel-pos attention + neck)
+# ---------------------------------------------------------------------------
+
+
+def test_sam_encoder_matches_hf_transformers():
+    """VisionTransformer (sam preset) vs the official SamVisionEncoder,
+    with a window size that does NOT divide the grid so the pad-after-norm
+    ordering in the windowed blocks is exercised."""
+    from transformers.models.sam.configuration_sam import SamVisionConfig
+    from transformers.models.sam.modeling_sam import SamVisionEncoder
+
+    from ovmono3d_tpu.models.vit import VisionTransformer
+    from ovmono3d_tpu.utils.checkpoint_convert import merge_into_params
+    from ovmono3d_tpu.utils.sam_convert import convert_sam_encoder
+
+    _seed_all(8)
+    cfg = SamVisionConfig(
+        hidden_size=32, output_channels=16, num_hidden_layers=3,
+        num_attention_heads=4, image_size=64, patch_size=8, window_size=3,
+        global_attn_indexes=[1], mlp_dim=64,
+    )
+    hf = SamVisionEncoder(cfg).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+
+    rng = np.random.RandomState(9)
+    image = rng.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = hf(
+            torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous()
+        ).last_hidden_state.numpy()  # [B, 16, 8, 8]
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    orig = {}
+    for k, v in sd.items():
+        k2 = ("image_encoder." + k
+              .replace("patch_embed.projection", "patch_embed.proj")
+              .replace("layers.", "blocks.")
+              .replace("layer_norm1", "norm1")
+              .replace("layer_norm2", "norm2")
+              .replace("neck.conv1", "neck.0")
+              .replace("neck.norm1", "neck.1")
+              .replace("neck.conv2", "neck.2")
+              .replace("neck.norm2", "neck.3"))
+        orig[k2] = v
+
+    model = VisionTransformer(
+        patch_size=8, embed_dim=32, depth=3, num_heads=4, mlp_ratio=2.0,
+        pretrain_grid=8, layerscale=False, use_depth_fusion=False,
+        use_cls_token=False, window_size=3, global_blocks=(1,),
+        use_rel_pos=True, neck_channels=16, dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    params = merge_into_params(
+        params, convert_sam_encoder(orig, depth=3), ("params",)
+    )
+    got = model.apply(params, jnp.asarray(image))
+    np.testing.assert_allclose(
+        np.asarray(got["last_feat"]).transpose(0, 3, 1, 2), want,
+        atol=5e-5, rtol=1e-4,
+    )
