@@ -290,6 +290,10 @@ class VisionTransformer(nn.Module):
     use_rel_pos: bool = False      # SAM decomposed relative-position attn
     neck_channels: int = 0         # SAM neck (1x1 + 3x3 conv to C')
     out_layers: Sequence[int] = ()  # extra block indices to also return
+    final_norm: bool = False       # trailing LayerNorm on the last block's
+                                   # tokens (DINOv2's `norm`; the detection
+                                   # backbone skips it like the reference's
+                                   # DINOBackbone, Depth-Pro consumes it)
     remat: bool = False            # rematerialize blocks in backward
     dtype: Dtype = jnp.bfloat16
 
@@ -376,6 +380,9 @@ class VisionTransformer(nn.Module):
                     B, h, w, self.embed_dim
                 )
 
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name="norm")(x).astype(x.dtype)
         feat = x[:, n_prefix:].reshape(B, h, w, self.embed_dim)
         if self.neck_channels > 0:
             # SAM neck: 1x1 + 3x3 convs with LayerNorm (segment_anything

@@ -44,7 +44,7 @@ def _deconv(w):  # torch ConvTranspose2d IOHW -> Flax HWIO
 
 
 def convert_dinov2_vit(
-    state: dict[str, np.ndarray], depth: int = 12
+    state: dict[str, np.ndarray], depth: int = 12, final_norm: bool = False
 ) -> dict:
     """torch.hub dinov2 ViT state dict -> VisionTransformer param dict.
 
@@ -96,6 +96,13 @@ def convert_dinov2_vit(
             blk["ls1"] = {"gamma": np.asarray(get(p + "ls1.gamma"))}
             blk["ls2"] = {"gamma": np.asarray(get(p + "ls2.gamma"))}
         out[f"block{i}"] = blk
+    if final_norm:
+        # DINOv2's trailing LayerNorm (VisionTransformer final_norm=True;
+        # the detection backbone drops it, Depth-Pro's encoders keep it).
+        out["norm"] = {
+            "scale": np.asarray(get("norm.weight")),
+            "bias": np.asarray(get("norm.bias")),
+        }
     unused = [
         k for k in state
         if not k.startswith(("blocks.", "cls_token", "pos_embed",
@@ -104,6 +111,55 @@ def convert_dinov2_vit(
     ]
     if unused:
         logger.warning("unconverted dinov2 keys: %s", unused)
+    return out
+
+
+def hf_dinov2_to_hub(state: dict, prefix: str = "") -> dict:
+    """Rename a transformers Dinov2Model state dict (separate q/k/v, HF key
+    names) to the torch.hub dinov2 format `convert_dinov2_vit` consumes
+    (fused qkv, `blocks.N.` names). `prefix` strips a leading module path
+    (e.g. 'depth_pro.encoder.patch_encoder.model.')."""
+    s = {k[len(prefix):]: np.asarray(v) for k, v in state.items()
+         if k.startswith(prefix)}
+    out = {
+        "cls_token": s["embeddings.cls_token"],
+        "pos_embed": s["embeddings.position_embeddings"],
+        "patch_embed.proj.weight":
+            s["embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias":
+            s["embeddings.patch_embeddings.projection.bias"],
+    }
+    if "layernorm.weight" in s:
+        out["norm.weight"] = s["layernorm.weight"]
+        out["norm.bias"] = s["layernorm.bias"]
+    i = 0
+    while f"encoder.layer.{i}.norm1.weight" in s:
+        h = f"encoder.layer.{i}."
+        o = f"blocks.{i}."
+        out[o + "attn.qkv.weight"] = np.concatenate([
+            s[h + "attention.attention.query.weight"],
+            s[h + "attention.attention.key.weight"],
+            s[h + "attention.attention.value.weight"],
+        ], 0)
+        out[o + "attn.qkv.bias"] = np.concatenate([
+            s[h + "attention.attention.query.bias"],
+            s[h + "attention.attention.key.bias"],
+            s[h + "attention.attention.value.bias"],
+        ], 0)
+        for src, dst in (
+            ("norm1.weight", "norm1.weight"), ("norm1.bias", "norm1.bias"),
+            ("attention.output.dense.weight", "attn.proj.weight"),
+            ("attention.output.dense.bias", "attn.proj.bias"),
+            ("layer_scale1.lambda1", "ls1.gamma"),
+            ("layer_scale2.lambda1", "ls2.gamma"),
+            ("norm2.weight", "norm2.weight"), ("norm2.bias", "norm2.bias"),
+            ("mlp.fc1.weight", "mlp.fc1.weight"),
+            ("mlp.fc1.bias", "mlp.fc1.bias"),
+            ("mlp.fc2.weight", "mlp.fc2.weight"),
+            ("mlp.fc2.bias", "mlp.fc2.bias"),
+        ):
+            out[o + dst] = s[h + src]
+        i += 1
     return out
 
 

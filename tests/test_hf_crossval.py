@@ -647,3 +647,70 @@ def test_sam_encoder_matches_hf_transformers():
         np.asarray(got["last_feat"]).transpose(0, 3, 1, 2), want,
         atol=5e-5, rtol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth-Pro (multi-scale patchwork encoder + DPT fusion + FOV network)
+# ---------------------------------------------------------------------------
+
+
+def test_depth_pro_matches_hf_transformers():
+    """DepthPro vs the official transformers DepthProForDepthEstimation at
+    matched random weights: 3-scale pyramid (1 + 9 + 25 crops, the real
+    patch layout), patch/image/fov encoders, neck, fusion, both heads."""
+    from transformers import DepthProConfig
+    from transformers.models.depth_pro.modeling_depth_pro import (
+        DepthProForDepthEstimation,
+    )
+
+    from ovmono3d_tpu.models.depth import DepthPro
+    from ovmono3d_tpu.utils.checkpoint_convert import merge_into_params
+    from ovmono3d_tpu.utils.depth_convert import convert_depth_pro
+
+    _seed_all(10)
+    vit = dict(model_type="dinov2", hidden_size=32, num_hidden_layers=2,
+               num_attention_heads=4, image_size=32, patch_size=8,
+               layerscale_value=1.0, hidden_dropout_prob=0.0,
+               attention_probs_dropout_prob=0.0, drop_path_rate=0.0)
+    cfg = DepthProConfig(
+        patch_size=32, patch_model_config=vit, image_model_config=vit,
+        fov_model_config=vit,
+        scaled_images_ratios=[0.25, 0.5, 1.0],
+        scaled_images_overlap_ratios=[0.0, 0.5, 0.25],
+        scaled_images_feature_dims=[16, 16, 8],
+        intermediate_hook_ids=[1], intermediate_feature_dims=[8],
+        fusion_hidden_size=8, merge_padding_value=1,
+        num_fov_head_layers=2, use_fov_model=True,
+    )
+    hf = DepthProForDepthEstimation(cfg, use_fov_model=True).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+
+    rng = np.random.RandomState(11)
+    image = rng.rand(2, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous())
+    want_depth = want.predicted_depth.numpy()     # [B, 128, 128]
+    want_fov = want.field_of_view.numpy()         # [B]
+
+    model = DepthPro(
+        patch_size=8, encoder_size=32, vit_dim=32, vit_depth=2, vit_heads=4,
+        scaled_ratios=(0.25, 0.5, 1.0), overlap_ratios=(0.0, 0.5, 0.25),
+        scaled_dims=(16, 16, 8), hook_ids=(1,), hook_dims=(8,),
+        fusion_dim=8, merge_padding=1, num_fov_layers=2, use_fov=True,
+        dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = merge_into_params(params, convert_depth_pro(state), ("params",))
+    got = jax.jit(model.apply)(params, jnp.asarray(image))
+    # atol covers f32 accumulation noise at the final relu boundary (output
+    # values range to ~50; measured max abs diff ~5e-4).
+    np.testing.assert_allclose(
+        np.asarray(got["canonical_inverse_depth"]), want_depth,
+        atol=1e-3, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["fov_deg"]), want_fov, atol=5e-5, rtol=1e-4
+    )

@@ -37,13 +37,14 @@ def test_sam_prompt_depends_on_box():
 
 def test_depthpro_shapes_and_positivity():
     model = DepthPro(
-        patch_size=16, embed_dim=32, depth=4, num_heads=2, pretrain_grid=4,
-        fusion_dim=16, taps=(0, 1, 2, 3),
+        patch_size=8, encoder_size=32, vit_dim=32, vit_depth=2, vit_heads=4,
+        scaled_dims=(16, 16, 8), hook_ids=(1,), hook_dims=(8,),
+        fusion_dim=8, merge_padding=1, dtype=jnp.float32,
     )
-    img = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128, 3))
     params = jax.jit(model.init)(jax.random.PRNGKey(1), img)
     out = jax.jit(model.apply)(params, img)
-    assert out["canonical_inverse_depth"].shape == (1, 64, 64)
+    assert out["canonical_inverse_depth"].shape == (1, 128, 128)
     assert out["fov_deg"].shape == (1,)
     assert np.all(np.asarray(out["canonical_inverse_depth"]) >= 0)
 
@@ -51,7 +52,11 @@ def test_depthpro_shapes_and_positivity():
 def test_metric_depth_decode():
     inv = jnp.full((1, 4, 4), 0.5)
     d = metric_depth(inv, jnp.array([256.0]), width=256)
-    # depth = W / (f * c_inv) = 256 / (256 * 0.5) = 2.
+    # depth = f / (W * c_inv) = 256 / (256 * 0.5) = 2.
     np.testing.assert_allclose(np.asarray(d), 2.0, rtol=1e-5)
+    # telephoto: f = 2W -> same apparent size means twice the distance
+    # (inverse_depth = c_inv * W / f_px, image_processing_depth_pro.py:376).
+    d = metric_depth(inv, jnp.array([512.0]), width=256)
+    np.testing.assert_allclose(np.asarray(d), 4.0, rtol=1e-5)
     f = fov_to_focal(jnp.array([90.0]), 256)
     np.testing.assert_allclose(float(f[0]), 128.0, rtol=1e-5)

@@ -40,9 +40,10 @@ def parse_args():
                     help="SAM encoder size (reference uses vit_h, "
                          "ovmono3d_geo.py:270)")
     ap.add_argument("--depth-ckpt", default=None,
-                    help=".npz of DepthPro params (flat '/'-joined keys); "
-                         "the official dual-ViT depth_pro.pt is not yet "
-                         "convertible onto this single-trunk DPT")
+                    help="released Depth-Pro weights: a torch state dict in "
+                         "the apple/DepthPro-hf format (.pt/.pth/.bin, "
+                         "converted via utils/depth_convert.py), or a .npz "
+                         "of flat '/'-joined Flax params")
     ap.add_argument("--eval", action="store_true",
                     help="evaluate the written predictions against GT "
                          "(reference tools/eval_ovmono3d_geo.py)")
@@ -237,7 +238,9 @@ def main():
     # Raw SAM image encoder (windowed + rel-pos ViT, 256-ch neck) — the
     # segment_anything semantics, no SFP harness (that is only for SAM as a
     # detection backbone).
-    S_SAM, S_DEPTH = 1024, 768
+    # The Depth-Pro network is a fixed-1536 architecture (the fusion chain
+    # upsamples base*2^6; depth_pro transforms resize every input to 1536).
+    S_SAM, S_DEPTH = 1024, 1536
     # Per-arch trunk dims AND global-attention block indices (the official
     # segment_anything build_sam.py encoder_global_attn_indexes — every
     # 1/4-depth block; vit_b's (2, 5, 8, 11) from the preset would be wrong
@@ -272,9 +275,22 @@ def main():
             sam_params, seg_params, args.sam_ckpt, depth=arch["depth"]
         )
     if args.depth_ckpt:
-        from ovmono3d_tpu.utils.load import load_npz_params
+        if args.depth_ckpt.endswith(".npz"):
+            from ovmono3d_tpu.utils.load import load_npz_params
 
-        depth_params = load_npz_params(depth_params, args.depth_ckpt)
+            depth_params = load_npz_params(depth_params, args.depth_ckpt)
+        else:
+            from ovmono3d_tpu.utils.checkpoint_convert import (
+                merge_into_params,
+            )
+            from ovmono3d_tpu.utils.depth_convert import convert_depth_pro
+            from ovmono3d_tpu.utils.load import load_torch_state
+
+            depth_params = merge_into_params(
+                depth_params,
+                convert_depth_pro(load_torch_state(args.depth_ckpt)),
+                ("params",),
+            )
 
     embed_fn = jax.jit(
         lambda p, img: sam_encoder.apply(p, img)["last_feat"]
