@@ -23,11 +23,17 @@ from ovmono3d_tpu.models.vit import VisionTransformer
 VIT_PRESETS: dict[str, dict[str, Any]] = {
     # dinov2 vitb14 @ 518 pretrain (dino.py).
     "dinov2": dict(patch_size=14, pretrain_grid=37, layerscale=True),
-    # open_clip ViT-B/16 @ 224 (clip.py): pre-LN tower.
+    # open_clip ViT-B/16 'openai' @ 224 (clip.py): pre-LN tower, QuickGELU
+    # MLPs, torch-default LayerNorm eps.
     "clip": dict(patch_size=16, pretrain_grid=14, layerscale=False,
-                 pre_ln=True),
-    # HF ViTMAE base @ 224 (mae.py).
-    "mae": dict(patch_size=16, pretrain_grid=14, layerscale=False),
+                 pre_ln=True, quick_gelu=True, norm_eps=1e-5),
+    # HF ViTMAE base @ 224 (mae.py): fixed 2D sin-cos pos embeddings
+    # rebuilt at the runtime grid (mae.py:61-76), BERT-style LN eps.
+    # `tap_offset`: the reference indexes HF `hidden_states[n_layers-1]`,
+    # which (index 0 being the embeddings) is the output of block n-2 —
+    # an off-by-one kept for checkpoint parity (mae.py:111-113).
+    "mae": dict(patch_size=16, pretrain_grid=14, layerscale=False,
+                pos_sincos=True, norm_eps=1e-12, tap_offset=-2),
     # segment_anything vit_b @ 1024 (sam.py): windowed, no cls token,
     # global attention every 3rd block, 256-ch neck.
     "sam": dict(patch_size=16, pretrain_grid=64, layerscale=False,
@@ -82,6 +88,14 @@ class ViTSFPBackbone(nn.Module):
         else:
             for k, v in cfg_fields.items():
                 preset.setdefault(k, v)
+        # tap_offset < -1 taps an earlier block's output instead of the
+        # last (the reference MAE off-by-one, mae.py:111-113).
+        tap = preset.pop("tap_offset", -1)
+        self.tap_layer = preset["depth"] + tap if tap != -1 else None
+        if self.tap_layer is not None:
+            preset["out_layers"] = tuple(preset.get("out_layers", ())) + (
+                self.tap_layer,
+            )
         self.vit = VisionTransformer(
             use_depth_fusion=self.cfg.use_depth_fusion,
             remat=self.cfg.remat,
@@ -97,7 +111,11 @@ class ViTSFPBackbone(nn.Module):
 
     def __call__(self, images, depth=None):
         trunk = self.vit(images, depth)
-        return self.sfp(trunk["last_feat"])
+        feat = (
+            trunk[f"feat{self.tap_layer}"]
+            if self.tap_layer is not None else trunk["last_feat"]
+        )
+        return self.sfp(feat)
 
 
 class CNNFPNBackbone(nn.Module):

@@ -71,11 +71,17 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: Dtype = jnp.bfloat16
+    # OpenAI CLIP towers use QuickGELU (x * sigmoid(1.702 x)) instead of the
+    # exact erf gelu (open_clip quick_gelu=True for 'openai' checkpoints).
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        if self.quick_gelu:
+            x = x * jax.nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -198,6 +204,8 @@ class Block(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_rel_pos: bool = False
     rel_pos_size: int = 0
+    quick_gelu: bool = False
+    norm_eps: float = 1e-6
     # SAM-style windowed attention: partition the (normed) token grid into
     # window x window tiles around the attention only. Padding happens
     # AFTER norm1 with zeros — the original's ordering (segment_anything
@@ -208,7 +216,8 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, grid_hw: tuple[int, int] | None = None):
         B, N, C = x.shape
-        h = LayerNormBf16Out(dtype=self.dtype, name="norm1")(x)
+        h = LayerNormBf16Out(epsilon=self.norm_eps, dtype=self.dtype,
+                             name="norm1")(x)
         attn = Attention(
             self.dim, self.num_heads, self.dtype,
             use_rel_pos=self.use_rel_pos, rel_pos_size=self.rel_pos_size,
@@ -232,13 +241,34 @@ class Block(nn.Module):
         if self.layerscale:
             h = LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
         x = x + h
-        h = LayerNormBf16Out(dtype=self.dtype, name="norm2")(x)
+        h = LayerNormBf16Out(epsilon=self.norm_eps, dtype=self.dtype,
+                             name="norm2")(x)
         h = Mlp(
-            int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp"
+            int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+            quick_gelu=self.quick_gelu, name="mlp"
         )(h)
         if self.layerscale:
             h = LayerScale(self.dim, dtype=self.dtype, name="ls2")(h)
         return x + h
+
+
+def sincos_pos_embed_2d(dim: int, grid_hw: tuple[int, int]) -> jax.Array:
+    """MAE fixed 2D sin-cos positional embeddings, rebuilt at the runtime
+    grid (transformers vit_mae get_2d_sincos_pos_embed semantics as used by
+    the reference's dynamic rebuild, mae.py:152-179: the FIRST half of the
+    channels encodes the COLUMN index — 'here w goes first'). Returns
+    [h*w, dim], row-major."""
+    h, w = grid_hw
+    quarter = dim // 4
+    omega = 1.0 / 10000 ** (jnp.arange(quarter, dtype=jnp.float32) / quarter)
+
+    def one_d(pos):  # pos [N] -> [N, dim // 2]
+        x = pos[:, None] * omega[None]
+        return jnp.concatenate([jnp.sin(x), jnp.cos(x)], axis=-1)
+
+    cols = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
+    rows = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
+    return jnp.concatenate([one_d(cols), one_d(rows)], axis=-1)
 
 
 def resize_pos_embed(
@@ -285,6 +315,13 @@ class VisionTransformer(nn.Module):
     use_depth_fusion: bool = True
     use_cls_token: bool = True
     pre_ln: bool = False           # CLIP ln_pre
+    quick_gelu: bool = False       # CLIP (openai) QuickGELU MLPs
+    norm_eps: float = 1e-6         # block LayerNorm eps (CLIP 1e-5,
+                                   # HF ViT/MAE 1e-12, dinov2/SAM 1e-6)
+    pos_sincos: bool = False       # MAE fixed 2D sin-cos pos embeddings,
+                                   # rebuilt exactly at the runtime grid
+                                   # (mae.py:61-76 resize_pos_embed; no
+                                   # learned table, cls row is zero)
     window_size: int = 0           # SAM-style windowed attention
     global_blocks: Sequence[int] = ()  # blocks with global attn when windowed
     use_rel_pos: bool = False      # SAM decomposed relative-position attn
@@ -312,12 +349,18 @@ class VisionTransformer(nn.Module):
         )(images)
 
         n_prefix = 1 if self.use_cls_token else 0
-        pos_embed = self.param(
-            "pos_embed",
-            nn.initializers.normal(0.02),
-            (1, n_prefix + self.pretrain_grid**2, self.embed_dim),
-            jnp.float32,
-        )
+        if self.pos_sincos:
+            pe = sincos_pos_embed_2d(self.embed_dim, (h, w))
+            pos_embed = jnp.concatenate(
+                [jnp.zeros((1, n_prefix, self.embed_dim)), pe[None]], axis=1
+            )
+        else:
+            pos_embed = self.param(
+                "pos_embed",
+                nn.initializers.normal(0.02),
+                (1, n_prefix + self.pretrain_grid**2, self.embed_dim),
+                jnp.float32,
+            )
         if self.use_cls_token:
             cls_token = self.param(
                 "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim),
@@ -332,14 +375,20 @@ class VisionTransformer(nn.Module):
                 ],
                 axis=1,
             )
-            x = x + resize_pos_embed(pos_embed, (h, w)).astype(x.dtype)
+            pe_full = (pos_embed if self.pos_sincos
+                       else resize_pos_embed(pos_embed, (h, w)))
+            x = x + pe_full.astype(x.dtype)
         else:
-            pe = resize_pos_embed(
-                jnp.concatenate(
-                    [jnp.zeros((1, 1, self.embed_dim)), pos_embed], axis=1
-                ),
-                (h, w),
-            )[:, 1:]
+            if self.pos_sincos:
+                pe = pos_embed[:, n_prefix:]
+            else:
+                pe = resize_pos_embed(
+                    jnp.concatenate(
+                        [jnp.zeros((1, 1, self.embed_dim)), pos_embed],
+                        axis=1,
+                    ),
+                    (h, w),
+                )[:, 1:]
             x = x + pe.astype(x.dtype)
         if self.pre_ln:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
@@ -371,6 +420,8 @@ class VisionTransformer(nn.Module):
                     self.dtype,
                     use_rel_pos=self.use_rel_pos,
                     rel_pos_size=self.pretrain_grid,
+                    quick_gelu=self.quick_gelu,
+                    norm_eps=self.norm_eps,
                     name=f"block{i}",
                 )(x, (h, w) if self.use_rel_pos else None)
             if i == self.depth - 1 and self.use_depth_fusion:
@@ -416,7 +467,7 @@ class VisionTransformer(nn.Module):
             self.embed_dim, self.num_heads, self.mlp_ratio,
             self.layerscale, self.dtype,
             use_rel_pos=self.use_rel_pos, rel_pos_size=win,
-            window=win,
+            quick_gelu=self.quick_gelu, norm_eps=self.norm_eps, window=win,
             name=f"block{i}",
         )(grid, (h, w))
         return jnp.concatenate([prefix, grid], axis=1) if n_prefix else grid

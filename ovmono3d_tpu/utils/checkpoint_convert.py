@@ -163,6 +163,105 @@ def hf_dinov2_to_hub(state: dict, prefix: str = "") -> dict:
     return out
 
 
+def convert_clip_vit(state: dict, prefix: str = "visual.") -> dict:
+    """open_clip visual tower (the 'openai' ViT checkpoints the reference
+    loads, clip.py:23-28) -> VisionTransformer params (preset 'clip').
+
+    conv1 has no bias in CLIP; the PatchEmbed bias is set to zero."""
+    s = {k[len(prefix):]: np.asarray(v) for k, v in state.items()
+         if k.startswith(prefix)}
+    width = s["class_embedding"].shape[-1]
+    out: dict = {
+        "cls_token": s["class_embedding"].reshape(1, 1, width),
+        "pos_embed": s["positional_embedding"].reshape(1, -1, width),
+        "patch_embed": {
+            "kernel": _conv(s["conv1.weight"]),
+            "bias": np.zeros((width,), np.float32),
+        },
+        "ln_pre": {
+            "scale": s["ln_pre.weight"],
+            "bias": s["ln_pre.bias"],
+        },
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in s:
+        p = f"transformer.resblocks.{i}."
+        out[f"block{i}"] = {
+            "norm1": {"scale": s[p + "ln_1.weight"],
+                      "bias": s[p + "ln_1.bias"]},
+            "attn": {
+                "qkv": {"kernel": _t(s[p + "attn.in_proj_weight"]),
+                        "bias": s[p + "attn.in_proj_bias"]},
+                "proj": {"kernel": _t(s[p + "attn.out_proj.weight"]),
+                         "bias": s[p + "attn.out_proj.bias"]},
+            },
+            "norm2": {"scale": s[p + "ln_2.weight"],
+                      "bias": s[p + "ln_2.bias"]},
+            "mlp": {
+                "fc1": {"kernel": _t(s[p + "mlp.c_fc.weight"]),
+                        "bias": s[p + "mlp.c_fc.bias"]},
+                "fc2": {"kernel": _t(s[p + "mlp.c_proj.weight"]),
+                        "bias": s[p + "mlp.c_proj.bias"]},
+            },
+        }
+        i += 1
+    return out
+
+
+def convert_mae_vit(state: dict, prefix: str = "vit.") -> dict:
+    """HF ViTMAE encoder (facebook/vit-mae-base, the reference's trunk,
+    mae.py:21) -> VisionTransformer params (preset 'mae').
+
+    The fixed sin-cos position table is NOT converted — the model rebuilds
+    it exactly at the runtime grid (pos_sincos=True, mae.py:61-76)."""
+    s = {k[len(prefix):]: np.asarray(v) for k, v in state.items()
+         if k.startswith(prefix)}
+    out: dict = {
+        "cls_token": s["embeddings.cls_token"],
+        "patch_embed": {
+            "kernel": _conv(
+                s["embeddings.patch_embeddings.projection.weight"]
+            ),
+            "bias": s["embeddings.patch_embeddings.projection.bias"],
+        },
+    }
+    i = 0
+    while f"encoder.layer.{i}.layernorm_before.weight" in s:
+        p = f"encoder.layer.{i}."
+        out[f"block{i}"] = {
+            "norm1": {"scale": s[p + "layernorm_before.weight"],
+                      "bias": s[p + "layernorm_before.bias"]},
+            "attn": {
+                "qkv": {
+                    "kernel": _t(np.concatenate([
+                        s[p + "attention.attention.query.weight"],
+                        s[p + "attention.attention.key.weight"],
+                        s[p + "attention.attention.value.weight"],
+                    ], 0)),
+                    "bias": np.concatenate([
+                        s[p + "attention.attention.query.bias"],
+                        s[p + "attention.attention.key.bias"],
+                        s[p + "attention.attention.value.bias"],
+                    ], 0),
+                },
+                "proj": {
+                    "kernel": _t(s[p + "attention.output.dense.weight"]),
+                    "bias": s[p + "attention.output.dense.bias"],
+                },
+            },
+            "norm2": {"scale": s[p + "layernorm_after.weight"],
+                      "bias": s[p + "layernorm_after.bias"]},
+            "mlp": {
+                "fc1": {"kernel": _t(s[p + "intermediate.dense.weight"]),
+                        "bias": s[p + "intermediate.dense.bias"]},
+                "fc2": {"kernel": _t(s[p + "output.dense.weight"]),
+                        "bias": s[p + "output.dense.bias"]},
+            },
+        }
+        i += 1
+    return out
+
+
 def convert_depth_fusion(state: dict[str, np.ndarray], prefix: str) -> dict:
     """The OVMono3D depth-fusion 1x1 conv (dino.py:40-46)."""
     return {

@@ -714,3 +714,160 @@ def test_depth_pro_matches_hf_transformers():
     np.testing.assert_allclose(
         np.asarray(got["fov_deg"]), want_fov, atol=5e-5, rtol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower
+# ---------------------------------------------------------------------------
+
+
+def test_clip_tower_matches_hf_transformers():
+    """VisionTransformer (clip preset: pre-LN, QuickGELU, eps 1e-5) vs the
+    official CLIPVisionModel, pre-post_layernorm hidden state (the
+    reference taps raw block outputs, clip.py:80-92)."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from ovmono3d_tpu.models.vit import VisionTransformer
+    from ovmono3d_tpu.utils.checkpoint_convert import (
+        convert_clip_vit,
+        merge_into_params,
+    )
+
+    _seed_all(12)
+    cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=16,
+        hidden_act="quick_gelu", attention_dropout=0.0,
+    )
+    hf = CLIPVisionModel(cfg).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+
+    rng = np.random.RandomState(13)
+    image = rng.rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous(),
+                 output_hidden_states=True)
+    want = out.hidden_states[-1].numpy()
+
+    # HF CLIPVisionModel names -> open_clip visual tower names
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    oc = {}
+    for k, v in sd.items():
+        k = k.replace("vision_model.", "")
+        k = (k.replace("embeddings.class_embedding", "class_embedding")
+              .replace("embeddings.position_embedding.weight",
+                       "positional_embedding")
+              .replace("embeddings.patch_embedding.weight", "conv1.weight")
+              .replace("pre_layrnorm", "ln_pre")
+              .replace("encoder.layers.", "transformer.resblocks.")
+              .replace("layer_norm1", "ln_1")
+              .replace("layer_norm2", "ln_2")
+              .replace("self_attn.out_proj", "attn.out_proj")
+              .replace("mlp.fc1", "mlp.c_fc")
+              .replace("mlp.fc2", "mlp.c_proj"))
+        oc["visual." + k] = v
+    n_layers = 2
+    for i in range(n_layers):
+        p = f"visual.transformer.resblocks.{i}.self_attn."
+        oc[f"visual.transformer.resblocks.{i}.attn.in_proj_weight"] = (
+            np.concatenate([oc.pop(p + "q_proj.weight"),
+                            oc.pop(p + "k_proj.weight"),
+                            oc.pop(p + "v_proj.weight")], 0))
+        oc[f"visual.transformer.resblocks.{i}.attn.in_proj_bias"] = (
+            np.concatenate([oc.pop(p + "q_proj.bias"),
+                            oc.pop(p + "k_proj.bias"),
+                            oc.pop(p + "v_proj.bias")], 0))
+
+    model = VisionTransformer(
+        patch_size=16, embed_dim=32, depth=2, num_heads=4, pretrain_grid=2,
+        layerscale=False, use_depth_fusion=False, pre_ln=True,
+        quick_gelu=True, norm_eps=1e-5, dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    params = merge_into_params(params, convert_clip_vit(oc), ("params",))
+    got = model.apply(params, jnp.asarray(image))
+    np.testing.assert_allclose(
+        np.asarray(got["last_feat"]).reshape(2, 4, 32), want[:, 1:],
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["cls"]), want[:, 0], atol=2e-5, rtol=1e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAE trunk (sin-cos position rebuild at a non-pretrain grid)
+# ---------------------------------------------------------------------------
+
+
+def test_mae_matches_reference_path():
+    """VisionTransformer (mae preset semantics) vs the reference's exact
+    computation — ViTMAE patch embeddings + dynamically rebuilt 2D sin-cos
+    positions + encoder (mae.py:61-113 embed_forward/resize_pos_embed) —
+    at a rectangular, non-pretrain grid."""
+    from transformers import ViTMAEConfig
+    from transformers.models.vit_mae.modeling_vit_mae import ViTMAEModel
+
+    from ovmono3d_tpu.models.vit import VisionTransformer
+    from ovmono3d_tpu.utils.checkpoint_convert import (
+        convert_mae_vit,
+        merge_into_params,
+    )
+
+    _seed_all(14)
+    cfg = ViTMAEConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    hf = ViTMAEModel(cfg).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+
+    # reference embed_forward at 64x32 (grid 4x2 != pretrain 2x2)
+    from cmath import inf  # noqa: F401  (keep torch import scope tidy)
+    import numpy as _np
+
+    def sincos_1d(dim, pos):
+        omega = 1.0 / 10000 ** (_np.arange(dim // 2, dtype=_np.float64)
+                                / (dim // 2))
+        x = _np.einsum("n,d->nd", pos, omega)
+        return _np.concatenate([_np.sin(x), _np.cos(x)], -1)
+
+    def sincos_2d(dim, h, w):
+        gw, gh = _np.meshgrid(_np.arange(w, dtype=_np.float32),
+                              _np.arange(h, dtype=_np.float32))
+        return _np.concatenate(
+            [sincos_1d(dim // 2, gw.reshape(-1)),
+             sincos_1d(dim // 2, gh.reshape(-1))], -1
+        ).astype(_np.float32)
+
+    rng = np.random.RandomState(15)
+    image = rng.rand(2, 64, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        timg = torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous()
+        hf.embeddings.patch_embeddings.image_size = (64, 32)
+        emb = hf.embeddings.patch_embeddings(timg)
+        pos = torch.from_numpy(sincos_2d(32, 4, 2))
+        emb = emb + pos[None]
+        cls = hf.embeddings.cls_token.expand(2, -1, -1)
+        emb = torch.cat([cls, emb], dim=1)
+        want = hf.encoder(emb).last_hidden_state.numpy()
+
+    model = VisionTransformer(
+        patch_size=16, embed_dim=32, depth=2, num_heads=4, pretrain_grid=2,
+        layerscale=False, use_depth_fusion=False, pos_sincos=True,
+        norm_eps=1e-12, dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = merge_into_params(params, convert_mae_vit(state, ""),
+                               ("params",))
+    got = model.apply(params, jnp.asarray(image))
+    np.testing.assert_allclose(
+        np.asarray(got["last_feat"]).reshape(2, 8, 32), want[:, 1:],
+        atol=2e-5, rtol=1e-4,
+    )
