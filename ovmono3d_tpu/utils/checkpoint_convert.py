@@ -262,6 +262,19 @@ def convert_mae_vit(state: dict, prefix: str = "vit.") -> dict:
     return out
 
 
+def convert_midas_vit(state: dict, prefix: str = "pretrained.model.") -> dict:
+    """MiDaS DPT_Large trunk (timm vit_large_patch16_384 inside the
+    torch.hub checkpoint, midas_final.py:23-24) -> VisionTransformer params
+    (preset 'midas'). timm uses the same fused-qkv key layout as the hub
+    dinov2 checkpoints, minus layerscale."""
+    s = {k[len(prefix):]: v for k, v in state.items()
+         if k.startswith(prefix)}
+    depth = 0
+    while f"blocks.{depth}.norm1.weight" in s:
+        depth += 1
+    return convert_dinov2_vit(s, depth=depth)
+
+
 def convert_depth_fusion(state: dict[str, np.ndarray], prefix: str) -> dict:
     """The OVMono3D depth-fusion 1x1 conv (dino.py:40-46)."""
     return {

@@ -323,13 +323,31 @@ def convert_shufflenet(state: dict[str, np.ndarray]) -> dict:
 
 
 def load_cnn_trunk(variables: dict, path, backbone_name: str) -> dict:
-    """CLI-facing: load a torch CNN-trunk checkpoint and graft it into
-    full-model variables, dispatching on cfg.model.backbone.name."""
+    """CLI-facing: load a torch trunk checkpoint and graft it into
+    full-model variables, dispatching on cfg.model.backbone.name. Covers
+    the CNN families (DLA model-zoo / torchvision layouts) AND the
+    foundation ViT trunks (hub dinov2, open_clip 'openai' towers, HF
+    ViTMAE, MiDaS DPT_Large, segment-anything encoders) — the reference
+    downloads these at backbone build time (dino.py:29, clip.py:23-28,
+    mae.py:21, midas_final.py:23-24, sam.py:27-38)."""
     from ovmono3d_tpu.models.dla import DLA_PRESETS
     from ovmono3d_tpu.utils.load import load_torch_state
 
     state = load_torch_state(path)
     name = "dla34" if backbone_name == "dla" else backbone_name
+    if name in ("dinov2", "clip", "mae", "midas", "sam"):
+        converted = _convert_vit_trunk(state, name)
+        logger.info("converted %s ViT trunk (%d torch keys)", name,
+                    len(state))
+        from ovmono3d_tpu.utils.checkpoint_convert import merge_into_params
+
+        # the depth-fusion conv is ours (dino.py:83-105), not part of any
+        # foundation checkpoint — keep the model's own initialization
+        old_vit = variables["params"]["backbone"]["vit"]
+        if "depth_fusion" in old_vit and "depth_fusion" not in converted:
+            converted["depth_fusion"] = old_vit["depth_fusion"]
+        return merge_into_params(variables, converted,
+                                 ("params", "backbone", "vit"))
     if name in DLA_PRESETS:
         preset = DLA_PRESETS[name]
         converted = convert_dla(state, levels=preset["levels"],
@@ -356,6 +374,45 @@ def load_cnn_trunk(variables: dict, path, backbone_name: str) -> dict:
         raise ValueError(f"no CNN converter for backbone '{backbone_name}'")
     logger.info("converted %s trunk (%d torch keys)", name, len(state))
     return graft_trunk(variables, converted, trunk)
+
+
+def _convert_vit_trunk(state: dict, name: str) -> dict:
+    """Dispatch a foundation-trunk state dict to its ViT converter,
+    tolerating both bare and wrapper-prefixed key layouts."""
+    from ovmono3d_tpu.utils.checkpoint_convert import (
+        convert_clip_vit,
+        convert_dinov2_vit,
+        convert_mae_vit,
+        convert_midas_vit,
+    )
+
+    def has(prefix):
+        return any(k.startswith(prefix) for k in state)
+
+    if name == "dinov2":
+        depth = 0
+        while f"blocks.{depth}.norm1.weight" in state:
+            depth += 1
+        return convert_dinov2_vit(state, depth=depth)
+    if name == "clip":
+        return convert_clip_vit(state,
+                                prefix="visual." if has("visual.") else "")
+    if name == "mae":
+        return convert_mae_vit(state, prefix="vit." if has("vit.") else "")
+    if name == "midas":
+        return convert_midas_vit(
+            state,
+            prefix="pretrained.model." if has("pretrained.model.") else "",
+        )
+    if name == "sam":
+        from ovmono3d_tpu.utils.sam_convert import convert_sam_encoder
+
+        depth = 0
+        pre = "image_encoder." if has("image_encoder.") else ""
+        while f"{pre}blocks.{depth}.norm1.weight" in state:
+            depth += 1
+        return convert_sam_encoder(state, depth=depth, prefix=pre)
+    raise ValueError(f"no ViT converter for '{name}'")
 
 
 def graft_trunk(variables: dict, converted: dict, trunk_name: str) -> dict:

@@ -331,3 +331,57 @@ def test_strict_key_consumption():
     state["layer9.0.conv1.weight"] = np.zeros((1, 1, 1, 1), np.float32)
     with pytest.raises(ValueError, match="unconsumed"):
         convert_resnet(state, depths=(2, 2, 2, 2), bottleneck=False)
+
+
+def test_load_vit_trunk_end_to_end(tmp_path):
+    """hub-dinov2-format .pth -> load_cnn_trunk -> grafted ViT backbone
+    (the foundation-trunk path of --trunk-ckpt; the model's own
+    depth_fusion conv is preserved)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ovmono3d_tpu.models.vit import VisionTransformer
+    from ovmono3d_tpu.utils.cnn_convert import load_cnn_trunk
+
+    rng = np.random.RandomState(0)
+    D, depth, grid, p = 16, 2, 2, 8
+    state = {
+        "cls_token": rng.randn(1, 1, D).astype(np.float32),
+        "pos_embed": rng.randn(1, 1 + grid * grid, D).astype(np.float32),
+        "patch_embed.proj.weight": rng.randn(D, 3, p, p).astype(np.float32),
+        "patch_embed.proj.bias": rng.randn(D).astype(np.float32),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}."
+        for k, shape in (
+            ("norm1.weight", (D,)), ("norm1.bias", (D,)),
+            ("attn.qkv.weight", (3 * D, D)), ("attn.qkv.bias", (3 * D,)),
+            ("attn.proj.weight", (D, D)), ("attn.proj.bias", (D,)),
+            ("ls1.gamma", (D,)), ("ls2.gamma", (D,)),
+            ("norm2.weight", (D,)), ("norm2.bias", (D,)),
+            ("mlp.fc1.weight", (4 * D, D)), ("mlp.fc1.bias", (4 * D,)),
+            ("mlp.fc2.weight", (D, 4 * D)), ("mlp.fc2.bias", (D,)),
+        ):
+            state[b + k] = rng.randn(*shape).astype(np.float32)
+    path = tmp_path / "dinov2.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in state.items()},
+               str(path))
+
+    vit = VisionTransformer(patch_size=p, embed_dim=D, depth=depth,
+                            num_heads=2, pretrain_grid=grid,
+                            use_depth_fusion=True)
+    vparams = jax.jit(vit.init)(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 16, 16, 3)))
+    variables = {"params": {"backbone": {"vit": vparams["params"],
+                                         "sfp": {}}}}
+    old_fusion = np.asarray(
+        vparams["params"]["depth_fusion"]["kernel"])
+    out = load_cnn_trunk(variables, path, "dinov2")
+    got = out["params"]["backbone"]["vit"]["patch_embed"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(got),
+        state["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    # depth_fusion kept from the model's own init
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["backbone"]["vit"]["depth_fusion"]
+                   ["kernel"]), old_fusion)

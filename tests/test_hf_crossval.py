@@ -871,3 +871,90 @@ def test_mae_matches_reference_path():
         np.asarray(got["last_feat"]).reshape(2, 8, 32), want[:, 1:],
         atol=2e-5, rtol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# MiDaS trunk (timm ViT-L/16; plain ViT with learned positions)
+# ---------------------------------------------------------------------------
+
+
+def test_midas_trunk_matches_hf_vit():
+    """VisionTransformer (midas preset semantics) vs the official plain-ViT
+    executor (transformers ViTModel at timm eps 1e-6), through
+    convert_midas_vit on a timm-named state dict (midas_final.py:57-85 runs
+    patch_embed + cls + pos + blocks with no final norm)."""
+    from transformers import ViTConfig, ViTModel
+
+    from ovmono3d_tpu.models.vit import VisionTransformer
+    from ovmono3d_tpu.utils.checkpoint_convert import (
+        convert_midas_vit,
+        merge_into_params,
+    )
+
+    _seed_all(16)
+    cfg = ViTConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=16,
+        layer_norm_eps=1e-6, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    hf = ViTModel(cfg, add_pooling_layer=False).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+
+    rng = np.random.RandomState(17)
+    image = rng.rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous(),
+                 output_hidden_states=True, interpolate_pos_encoding=False)
+    want = out.hidden_states[-1].numpy()  # pre-final-norm (reference taps
+    # raw block outputs, midas_final.py:76-85)
+
+    # HF ViTModel names -> timm/MiDaS names consumed by convert_midas_vit
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    timm = {
+        "pretrained.model.cls_token": sd["embeddings.cls_token"],
+        "pretrained.model.pos_embed": sd["embeddings.position_embeddings"],
+        "pretrained.model.patch_embed.proj.weight":
+            sd["embeddings.patch_embeddings.projection.weight"],
+        "pretrained.model.patch_embed.proj.bias":
+            sd["embeddings.patch_embeddings.projection.bias"],
+    }
+    for i in range(2):
+        h = f"encoder.layer.{i}."
+        o = f"pretrained.model.blocks.{i}."
+        timm[o + "attn.qkv.weight"] = np.concatenate([
+            sd[h + "attention.attention.query.weight"],
+            sd[h + "attention.attention.key.weight"],
+            sd[h + "attention.attention.value.weight"]], 0)
+        timm[o + "attn.qkv.bias"] = np.concatenate([
+            sd[h + "attention.attention.query.bias"],
+            sd[h + "attention.attention.key.bias"],
+            sd[h + "attention.attention.value.bias"]], 0)
+        for src, dst in (
+            ("layernorm_before.weight", "norm1.weight"),
+            ("layernorm_before.bias", "norm1.bias"),
+            ("attention.output.dense.weight", "attn.proj.weight"),
+            ("attention.output.dense.bias", "attn.proj.bias"),
+            ("layernorm_after.weight", "norm2.weight"),
+            ("layernorm_after.bias", "norm2.bias"),
+            ("intermediate.dense.weight", "mlp.fc1.weight"),
+            ("intermediate.dense.bias", "mlp.fc1.bias"),
+            ("output.dense.weight", "mlp.fc2.weight"),
+            ("output.dense.bias", "mlp.fc2.bias"),
+        ):
+            timm[o + dst] = sd[h + src]
+
+    model = VisionTransformer(
+        patch_size=16, embed_dim=32, depth=2, num_heads=4, pretrain_grid=2,
+        layerscale=False, use_depth_fusion=False, norm_eps=1e-6,
+        dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    params = merge_into_params(params, convert_midas_vit(timm), ("params",))
+    got = model.apply(params, jnp.asarray(image))
+    np.testing.assert_allclose(
+        np.asarray(got["last_feat"]).reshape(2, 4, 32), want[:, 1:],
+        atol=2e-5, rtol=1e-4,
+    )

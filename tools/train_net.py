@@ -41,10 +41,13 @@ def parse_args():
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--tensorboard", action="store_true")
     ap.add_argument("--trunk-ckpt", default=None,
-                    help="torch CNN-trunk checkpoint (DLA model-zoo or "
-                         "torchvision resnet/densenet/mnasnet/shufflenet) — "
-                         "converted + grafted, the reference's "
-                         "pretrained=True ImageNet load (dla.py:300-310)")
+                    help="torch trunk checkpoint: CNN (DLA model-zoo / "
+                         "torchvision layouts) or foundation ViT (hub "
+                         "dinov2, open_clip 'openai', HF ViTMAE, MiDaS "
+                         "DPT_Large, segment-anything) — converted + "
+                         "grafted, replacing the reference's at-build "
+                         "downloads (dino.py:29, clip.py:23, mae.py:21, "
+                         "midas_final.py:23, sam.py:27, dla.py:300-310)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of steps 10-15")
     ap.add_argument("opts", nargs="*", default=[])
