@@ -958,3 +958,43 @@ def test_midas_trunk_matches_hf_vit():
         np.asarray(got["last_feat"]).reshape(2, 4, 32), want[:, 1:],
         atol=2e-5, rtol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_matches_hf_bert_tokenizer(tmp_path):
+    """Our self-contained WordPiece tokenizer vs transformers.BertTokenizer
+    built from the same vocab file (the reference tokenizes captions with
+    AutoTokenizer('bert-base-uncased'), roi_heads_gdino.py:196-200)."""
+    from transformers import BertTokenizer as HFTok
+
+    from ovmono3d_tpu.models.gdino.tokenizer import (
+        BertTokenizer,
+        build_caption,
+    )
+
+    vocab = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", ".", ",", "-", "'",
+        "chair", "lap", "##top", "cereal", "box", "couch", "tv", "stand",
+        "fire", "##place", "book", "##s", "caf", "##e", "night", "##stand",
+        "x", "##y", "##z",
+    ]
+    path = tmp_path / "vocab.txt"
+    path.write_text("\n".join(vocab) + "\n")
+    hf = HFTok(str(path), do_lower_case=True)
+    ours = BertTokenizer(str(path))
+
+    captions = [
+        build_caption(["chair", "laptop", "cereal box"]),
+        build_caption(["TV stand", "fireplace", "nightstand"]),
+        "café books , x-yz .",           # accents, punct splits
+        "unknownword . chair.laptop",         # UNK + glued punctuation
+        "  chair   laptop  ",                 # whitespace runs
+    ]
+    for text in captions:
+        want = hf.encode(text)                 # [CLS] ... [SEP]
+        got, n = ours.encode(text, max_len=64)
+        assert got[:n] == want, (text, got[:n], want)
