@@ -96,8 +96,20 @@ class ViTSFPBackbone(nn.Module):
             preset["out_layers"] = tuple(preset.get("out_layers", ())) + (
                 self.tap_layer,
             )
+        # Depth-prompt fusion is a DINO-backbone feature
+        # (MODEL.DINO.USE_DEPTH_FUSION, dino.py:83-105); the other reference
+        # trunks never fuse — and with tap_offset the fusion conv (applied
+        # after the LAST block) would be silently discarded anyway.
+        fuse = self.cfg.use_depth_fusion and self.cfg.name == "dinov2"
+        if self.cfg.use_depth_fusion and not fuse:
+            import logging
+
+            logging.getLogger("ovmono3d").warning(
+                "use_depth_fusion is only supported by the dinov2 backbone "
+                "(reference MODEL.DINO.USE_DEPTH_FUSION); '%s' runs "
+                "without depth fusion", self.cfg.name)
         self.vit = VisionTransformer(
-            use_depth_fusion=self.cfg.use_depth_fusion,
+            use_depth_fusion=fuse,
             remat=self.cfg.remat,
             name="vit",
             **preset,

@@ -243,7 +243,14 @@ class DepthPro(nn.Module):
         B, H = images.shape[0], images.shape[1]
         E = self.encoder_size
         out_size = E // self.patch_size
-        base = H // 2 ** int(math.log2(H / out_size))
+        # With H a power-of-two multiple of out_size (the released model:
+        # 1536 = 24 * 2^6), HF's base = H // 2**int(log2(H/out_size))
+        # reduces to out_size; assert the precondition instead of
+        # replicating the obfuscated identity.
+        assert H % out_size == 0 and (H // out_size) & (H // out_size - 1) \
+            == 0, f"input side {H} must be a power-of-two multiple of " \
+                  f"{out_size}"
+        base = out_size
 
         # --- image pyramid -> overlapping crops, high-res scale first ---
         per_scale = []

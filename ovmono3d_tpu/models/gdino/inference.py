@@ -48,7 +48,8 @@ def build_text_inputs(
     text_mask[0, :n] = True
     self_mask, position_ids = build_subsentence_masks(
         input_ids,
-        special_ids=(tok.cls_id, tok.sep_id, tok.period_id),
+        special_ids=(tok.cls_id, tok.sep_id, tok.period_id,
+                     tok.question_id),
     )
     span_matrix = np.zeros((max_phrases, max_len), np.float32)
     span_valid = np.zeros((max_phrases,), bool)

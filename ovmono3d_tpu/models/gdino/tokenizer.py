@@ -26,6 +26,7 @@ class BertTokenizer:
         self.sep_id = vocab.get("[SEP]", 102)
         self.pad_id = vocab.get("[PAD]", 0)
         self.period_id = vocab.get(".", 1012)
+        self.question_id = vocab.get("?", 1029)
 
     # -- basic tokenization --------------------------------------------------
 

@@ -44,6 +44,11 @@ def parse_args():
                          "the apple/DepthPro-hf format (.pt/.pth/.bin, "
                          "converted via utils/depth_convert.py), or a .npz "
                          "of flat '/'-joined Flax params")
+    ap.add_argument("--depth-bf16", action="store_true",
+                    help="run the Depth-Pro encoders in bf16 (~2x faster; "
+                         "the HF cross-validation covers the f32 default "
+                         "only, so metric depth may drift at bf16 "
+                         "precision)")
     ap.add_argument("--eval", action="store_true",
                     help="evaluate the written predictions against GT "
                          "(reference tools/eval_ovmono3d_geo.py)")
@@ -257,7 +262,11 @@ def main():
         use_depth_fusion=False, **{**VIT_PRESETS["sam"], **arch}
     )
     segmenter = SamSegmenter()
-    depth_model = DepthPro()
+    # f32 is the numerics-validated path (tests/test_hf_crossval.py);
+    # bf16 is an opt-in speed/precision trade.
+    depth_model = DepthPro(
+        dtype=jnp.bfloat16 if args.depth_bf16 else jnp.float32
+    )
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
     sam_params = jax.jit(sam_encoder.init)(
         k0, jnp.zeros((1, S_SAM, S_SAM, 3))
