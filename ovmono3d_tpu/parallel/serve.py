@@ -1,0 +1,116 @@
+"""Multi-chip open-vocabulary serving: GDINO data-parallel over the mesh.
+
+On-chip batching of GroundingDINO is counterproductive (the 800² encoder
+saturates a v5e at batch 1 — b4 benches 647 ms/step vs 4x84 ms; see
+CLAUDE.md perf notes), so the scaling strategy for multi-image serving is
+DATA parallelism: one image per chip, params replicated, batch sharded over
+the mesh's `data` axis. The reference has no inference parallelism at all
+(demo.py runs image-at-a-time on one GPU; SURVEY.md §2.2).
+
+`make_gdino_serving_fn` builds one jitted function whose inputs carry
+explicit NamedShardings — XLA compiles a fully parallel program with no
+cross-chip collectives in the hot path (each image's decode + NMS is
+independent).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ovmono3d_tpu.models.gdino.inference import (
+    BOX_THRESHOLD,
+    NMS_THRESHOLD,
+    build_text_inputs,
+    postprocess_grounding,
+)
+from ovmono3d_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def make_gdino_serving_fn(model, mesh, topk: int = 100):
+    """Returns run(params, images, text, im_hw) -> padded detections.
+
+    images: [N, S, S, 3] with N a multiple of the mesh's data size;
+    text: the dict from build_text_inputs (leading axis 1, tiled inside);
+    im_hw: [N, 2] per-image (h, w) the boxes should be scaled to.
+    Outputs: boxes [N, topk, 4] xyxy, scores/classes/valid [N, topk].
+    """
+    data = batch_sharding(mesh)
+    repl = replicated(mesh)
+
+    @partial(
+        jax.jit,
+        static_argnames=(),
+        in_shardings=(repl, data, (repl, repl, repl, repl, repl, repl),
+                      data),
+        out_shardings=(data, data, data, data),
+    )
+    def run(params, images, text, im_hw):
+        (input_ids, text_mask, self_mask, pos_ids, span_matrix,
+         span_valid) = text
+        B = images.shape[0]
+        out = model.apply(
+            params, images,
+            jnp.broadcast_to(input_ids, (B,) + input_ids.shape[1:]),
+            jnp.broadcast_to(text_mask, (B,) + text_mask.shape[1:]),
+            jnp.broadcast_to(self_mask, (B,) + self_mask.shape[1:]),
+            jnp.broadcast_to(pos_ids, (B,) + pos_ids.shape[1:]),
+        )
+        return jax.vmap(
+            lambda lg, bx, hw: postprocess_grounding(
+                lg, bx, span_matrix, span_valid, hw, topk=topk,
+                box_threshold=BOX_THRESHOLD, nms_threshold=NMS_THRESHOLD,
+            )
+        )(out["pred_logits"], out["pred_boxes"],
+          im_hw.astype(jnp.float32))
+
+    return run
+
+
+def detect_open_vocabulary_batch(
+    model,
+    params,
+    images: np.ndarray,      # [N, S, S, 3] normalized
+    tok,
+    categories: list[str],
+    mesh,
+    topk: int = 100,
+    run=None,
+):
+    """Host-facing batched open-vocab detection over the mesh.
+
+    Pads N to a multiple of the data-axis size, shards, runs the jitted
+    program, unpads. Pass `run` (from make_gdino_serving_fn) to reuse the
+    compiled function across calls."""
+    n_data = mesh.shape["data"]
+    N, S = images.shape[0], images.shape[1]
+    pad = (-N) % n_data
+    if pad:
+        images = np.concatenate(
+            [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+        )
+    text = build_text_inputs(tok, categories, max_len=model.max_text_len)
+    text_args = tuple(
+        jnp.asarray(text[k])
+        for k in ("input_ids", "text_mask", "text_self_mask",
+                  "position_ids", "span_matrix", "span_valid")
+    )
+    im_hw = np.full((N + pad, 2), S, np.float32)
+
+    if run is None:
+        run = make_gdino_serving_fn(model, mesh, topk=topk)
+    data = batch_sharding(mesh)
+    boxes, scores, classes, valid = run(
+        jax.device_put(params, replicated(mesh)),
+        jax.device_put(jnp.asarray(images), data),
+        text_args,
+        jax.device_put(jnp.asarray(im_hw), data),
+    )
+    return {
+        "boxes": np.asarray(boxes)[:N],
+        "scores": np.asarray(scores)[:N],
+        "classes": np.asarray(classes)[:N],
+        "valid": np.asarray(valid)[:N],
+    }
