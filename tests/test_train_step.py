@@ -227,3 +227,28 @@ def test_optimizer_types():
         updates, _ = tx.update(grads, state, params)
         for u in jax.tree.leaves(updates):
             assert np.all(np.isfinite(np.asarray(u))), kind
+
+
+def test_repeated_steps_reduce_loss(setup):
+    """Overfit signal: ~20 sharded steps on one fixed batch must cut the
+    total loss — catches decode/loss sign errors and optimizer plumbing
+    that single-step update tests cannot (reference training sanity:
+    losses fall from the first iterations, train_net.py:199-250)."""
+    cfg, model, params, tx, batch = setup
+    mesh = make_mesh()
+    step_fn = shard_train_step(
+        make_train_step(model, tx, cfg.model.stabilize,
+                        trainable_mask=freeze_backbone_mask(params)),
+        mesh, donate=False,
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(2))
+    sbatch = shard_batch(mesh, batch)
+    losses = []
+    for _ in range(20):
+        state, metrics = step_fn(state, sbatch)
+        losses.append(float(metrics["total_loss"]))
+        assert float(metrics["skipped"]) == 0.0
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    assert np.isfinite(last)
+    assert last < 0.85 * first, (first, last, losses)
