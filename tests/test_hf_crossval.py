@@ -998,3 +998,101 @@ def test_tokenizer_matches_hf_bert_tokenizer(tmp_path):
         want = hf.encode(text)                 # [CLS] ... [SEP]
         got, n = ours.encode(text, max_len=64)
         assert got[:n] == want, (text, got[:n], want)
+
+
+# ---------------------------------------------------------------------------
+# Swin trunk with PADDED windows (the real SwinB@800 case: 200 -> 204)
+# ---------------------------------------------------------------------------
+
+
+def test_swin_padded_windows_match_hf():
+    """SwinTransformer vs the official SwinBackbone at a window that does
+    NOT divide the stage grids (pads on every stage, shifted masks over
+    padded regions) — the geometry the released SwinB@800 runs."""
+    from transformers import SwinConfig
+    from transformers.models.swin.modeling_swin import SwinBackbone
+
+    from ovmono3d_tpu.models.gdino.swin import SwinTransformer
+    from ovmono3d_tpu.utils.checkpoint_convert import merge_into_params
+    from ovmono3d_tpu.utils.gdino_convert import convert_swin
+
+    _seed_all(18)
+    depths = (2, 2, 2, 2)
+    cfg = SwinConfig(
+        image_size=128, patch_size=4, embed_dim=16, depths=list(depths),
+        num_heads=[1, 2, 4, 8], window_size=3,
+        out_features=["stage2", "stage3", "stage4"], hidden_act="gelu",
+        drop_path_rate=0.0, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    hf = SwinBackbone(cfg).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+
+    rng = np.random.RandomState(19)
+    image = rng.rand(2, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        want = hf(
+            torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous()
+        ).feature_maps  # 3 maps, NCHW
+
+    # reuse the GDINO shim's Swin section by wrapping keys in its prefix
+    sd = {("model.backbone.conv_encoder.model." + k): v.numpy()
+          for k, v in hf.state_dict().items()}
+    out = {}
+    _swin_keys_to_original(sd, out, depths)
+    converted = convert_swin(out, depths=depths)
+
+    model = SwinTransformer(embed_dim=16, depths=depths,
+                            num_heads=(1, 2, 4, 8), window=3,
+                            dtype=jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    params = merge_into_params(params, converted, ("params",))
+    got = model.apply(params, jnp.asarray(image))
+    for key, w in zip(("s1", "s2", "s3"), want):
+        np.testing.assert_allclose(
+            np.asarray(got[key]).transpose(0, 3, 1, 2), w.numpy(),
+            atol=5e-5, rtol=1e-4,
+        )
+
+
+def _swin_keys_to_original(sd, out, depths):
+    """The Swin section of _hf_to_original_keys, reusable standalone."""
+
+    def fuse(dst, src):
+        out[dst + "weight"] = np.concatenate(
+            [sd[src + "query.weight"], sd[src + "key.weight"],
+             sd[src + "value.weight"]], 0)
+        out[dst + "bias"] = np.concatenate(
+            [sd[src + "query.bias"], sd[src + "key.bias"],
+             sd[src + "value.bias"]], 0)
+
+    def copy(dst, src):
+        for s in (".weight", ".bias"):
+            out[dst + s] = sd[src + s]
+
+    sw_hf = "model.backbone.conv_encoder.model."
+    sw = "backbone.0."
+    copy(sw + "patch_embed.proj",
+         sw_hf + "embeddings.patch_embeddings.projection")
+    copy(sw + "patch_embed.norm", sw_hf + "embeddings.norm")
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            hb = f"{sw_hf}encoder.layers.{si}.blocks.{bi}."
+            ob = f"{sw}layers.{si}.blocks.{bi}."
+            copy(ob + "norm1", hb + "layernorm_before")
+            fuse(ob + "attn.qkv.", hb + "attention.self.")
+            out[ob + "attn.relative_position_bias_table"] = sd[
+                hb + "attention.self.relative_position_bias_table"]
+            copy(ob + "attn.proj", hb + "attention.output.dense")
+            copy(ob + "norm2", hb + "layernorm_after")
+            copy(ob + "mlp.fc1", hb + "intermediate.dense")
+            copy(ob + "mlp.fc2", hb + "output.dense")
+        if si < len(depths) - 1:
+            hd = f"{sw_hf}encoder.layers.{si}.downsample."
+            out[f"{sw}layers.{si}.downsample.reduction.weight"] = sd[
+                hd + "reduction.weight"]
+            copy(f"{sw}layers.{si}.downsample.norm", hd + "norm")
+    for oi, stage in ((1, "stage2"), (2, "stage3"), (3, "stage4")):
+        copy(f"{sw}norm{oi}", sw_hf + f"hidden_states_norms.{stage}")
