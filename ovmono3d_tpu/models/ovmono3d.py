@@ -79,11 +79,13 @@ class OVMono3DLift:
     @classmethod
     def build(cls, cfg: Config, tokenizer: BertTokenizer,
               rng: jax.Array | None = None, gdino_kwargs: dict | None = None,
-              gdino_size: int = 800):
+              gdino_size: int = 800, priors: dict | None = None):
         """Construct with freshly-initialized params (converters fill real
-        weights via utils.checkpoint_convert)."""
+        weights via utils.checkpoint_convert; `priors` as produced by
+        utils.priors.compute_priors or utils.lift_convert.extract_priors
+        enables the dims-priors / cluster-z decodes)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        rcnn = build_model(cfg.model)
+        rcnn = build_model(cfg.model, priors=priors)
         S = cfg.model.backbone.square_pad
         k1, k2 = jax.random.split(rng)
         rcnn_params = jax.jit(rcnn.init)(

@@ -144,6 +144,25 @@ def convert_cube_head(state, shared_fc=True, num_fc=2,
     return out
 
 
+def extract_priors(state: dict) -> dict | None:
+    """Recover the category priors baked into a released checkpoint as
+    parameters (roi_heads.py:117-143: priors_dims_per_cat [1, C, 2, 3],
+    priors_z_scales [C, B], priors_z_stats [C, B, 2]) in the dict layout
+    utils.priors.compute_priors produces — so dims_priors_enabled /
+    cluster_bins decodes work from the checkpoint alone, no priors.npz."""
+    import numpy as np
+
+    key = "roi_heads.priors_dims_per_cat"
+    if key not in state:
+        return None
+    priors = {"dims": np.asarray(state[key])[0]}
+    if "roi_heads.priors_z_scales" in state:
+        priors["z_scales"] = np.asarray(state["roi_heads.priors_z_scales"])
+    if "roi_heads.priors_z_stats" in state:
+        priors["z_stats"] = np.asarray(state["roi_heads.priors_z_stats"])
+    return priors
+
+
 def convert_ovmono3d_lift(
     state: dict,
     depth: int = 12,

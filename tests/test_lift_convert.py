@@ -119,3 +119,47 @@ def test_lift_convert_merges_and_runs():
     assert not np.allclose(
         np.asarray(out.corners3d), np.asarray(out0.corners3d)
     )
+
+
+def test_extract_priors_roundtrip():
+    """Priors baked into a released checkpoint as parameters
+    (roi_heads.py:117-143) come back in the compute_priors dict layout."""
+    from ovmono3d_tpu.utils.lift_convert import extract_priors
+
+    rng = np.random.RandomState(1)
+    C, B = 9, 4
+    state = {
+        "roi_heads.priors_dims_per_cat":
+            rng.rand(1, C, 2, 3).astype(np.float32),
+        "roi_heads.priors_z_scales": rng.rand(C, B).astype(np.float32),
+        "roi_heads.priors_z_stats": rng.rand(C, B, 2).astype(np.float32),
+    }
+    priors = extract_priors(state)
+    np.testing.assert_array_equal(
+        priors["dims"], state["roi_heads.priors_dims_per_cat"][0])
+    np.testing.assert_array_equal(
+        priors["z_scales"], state["roi_heads.priors_z_scales"])
+    np.testing.assert_array_equal(
+        priors["z_stats"], state["roi_heads.priors_z_stats"])
+    assert extract_priors({"other": np.zeros(1)}) is None
+
+    # the extracted dict drives the priors-enabled decode end-to-end
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_model import tiny_config, _batch, _oracle
+
+    cfg = tiny_config()
+    cube = dataclasses.replace(cfg.model.cube, dims_priors_enabled=True)
+    mcfg = dataclasses.replace(cfg.model, cube=cube)
+    from ovmono3d_tpu.models.rcnn3d import build_model
+
+    model = build_model(mcfg, priors=priors)
+    image, K, im_hw, ratio = _batch()
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), image, K, im_hw,
+                                 ratio)
+    ob, oc, osc, ov = _oracle()
+    out = model.apply(params, image, K, im_hw, ratio, oracle_boxes=ob,
+                      oracle_classes=oc, oracle_scores=osc, oracle_valid=ov)
+    assert np.all(np.isfinite(np.asarray(out.dimensions)[np.asarray(ov)]))

@@ -89,7 +89,17 @@ def main():
         tok = BertTokenizer(vocab)
         logger.warning("no --vocab given; using a prompt-local vocab")
 
-    pipe = OVMono3DLift.build(cfg, tok)
+    priors = None
+    if args.rcnn_ckpt:
+        # Released checkpoints carry the priors as parameters
+        # (roi_heads.py:117-143) — recover them before building.
+        from ovmono3d_tpu.utils.lift_convert import extract_priors
+        from ovmono3d_tpu.utils.load import load_torch_state
+
+        priors = extract_priors(load_torch_state(args.rcnn_ckpt))
+        if priors is not None:
+            logger.info("extracted priors from %s", args.rcnn_ckpt)
+    pipe = OVMono3DLift.build(cfg, tok, priors=priors)
     logger.info("pipeline built (%d categories)", len(categories))
 
     # Released-weight loading (reference demo.py:144-150 + the GDINO ckpt

@@ -313,6 +313,15 @@ def main():
             cfg.model.num_classes, cfg.model.cube.cluster_bins,
         )
         logger.info("computed priors from synthetic records")
+    elif args.rcnn_ckpt:
+        # Released checkpoints bake the priors in as parameters
+        # (roi_heads.py:117-143) — recover them from the state dict.
+        from ovmono3d_tpu.utils.lift_convert import extract_priors
+        from ovmono3d_tpu.utils.load import load_torch_state
+
+        priors = extract_priors(load_torch_state(args.rcnn_ckpt))
+        if priors is not None:
+            logger.info("extracted priors from %s", args.rcnn_ckpt)
 
     model = build_model(cfg.model, priors=priors)
     S = cfg.model.backbone.square_pad
