@@ -23,6 +23,8 @@ _REF = Path("/root/reference/cubercnn/util/math_util.py")
 _WANTED = {
     "get_cuboid_verts_faces",
     "get_cuboid_verts",
+    "iou",
+    "intersect",
     "convert_3d_box_to_2d",
     "R_from_allocentric",
     "R_to_allocentric",
@@ -184,3 +186,29 @@ def test_convert_3d_box_to_2d_matches_reference(ref):
                                   want_fully.numpy())
     np.testing.assert_allclose(np.asarray(got_box), want_box.numpy(),
                                atol=1e-2, rtol=1e-4)
+
+
+def test_2d_iou_matches_reference(ref):
+    """ops.iou2d vs the reference's iou/intersect (math_util.py:850-966),
+    cross mode + ignore-area-b (IoA) mode."""
+    from ovmono3d_tpu.ops.iou2d import pairwise_ioa, pairwise_iou
+
+    rng = np.random.RandomState(3)
+
+    def boxes(n):
+        xy = rng.rand(n, 2) * 100
+        wh = rng.rand(n, 2) * 50 + 1
+        return np.concatenate([xy, xy + wh], -1).astype(np.float32)
+
+    a, b = boxes(13), boxes(7)
+    want = ref["iou"](torch.from_numpy(a), torch.from_numpy(b),
+                      mode="cross").numpy()
+    got = np.asarray(pairwise_iou(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
+
+    # reference ign_area_b divides by area(a): fraction of a inside b —
+    # our pairwise_ioa divides by area(boxes2), so swap + transpose.
+    want = ref["iou"](torch.from_numpy(a), torch.from_numpy(b),
+                      mode="cross", ign_area_b=True).numpy()
+    got = np.asarray(pairwise_ioa(jnp.asarray(b), jnp.asarray(a))).T
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
