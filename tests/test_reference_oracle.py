@@ -212,3 +212,30 @@ def test_2d_iou_matches_reference(ref):
                       mode="cross", ign_area_b=True).numpy()
     got = np.asarray(pairwise_ioa(jnp.asarray(b), jnp.asarray(a))).T
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
+
+
+def test_category_sets_match_reference():
+    """data.builtin vs the reference's hard-coded category splits
+    (builtin.py:12-53) for every dataset name the reference accepts —
+    a silent typo here skews base/novel AP splits."""
+    ref_path = Path("/root/reference/cubercnn/data/builtin.py")
+    if not ref_path.exists():
+        pytest.skip("reference source not present")
+    ns = {}
+    exec(compile(ref_path.read_text(), str(ref_path), "exec"), ns)
+    ref_cats = ns["get_omni3d_categories"]
+
+    from ovmono3d_tpu.data.builtin import get_omni3d_categories
+
+    names = [
+        "omni3d", "omni3d_in", "omni3d_out",
+        "SUNRGBD_train", "SUNRGBD_val", "SUNRGBD_test",
+        "Hypersim_train", "Hypersim_val", "Hypersim_test",
+        "ARKitScenes_train", "ARKitScenes_val", "ARKitScenes_test",
+        "Objectron_train", "Objectron_val", "Objectron_test",
+        "KITTI_train", "KITTI_val", "KITTI_test",
+        "nuScenes_train", "nuScenes_val", "nuScenes_test",
+        "SUNRGBD_test_novel", "ARKitScenes_test_novel", "KITTI_test_novel",
+    ]
+    for name in names:
+        assert set(get_omni3d_categories(name)) == set(ref_cats(name)), name
