@@ -87,15 +87,28 @@ def is_ignore(anno: dict, fs: FilterSettings, image_height: float) -> bool:
     return bool(ignore)
 
 
+def _xyxy_to_xywh(box):
+    x1, y1, x2, y2 = box
+    return [x1, y1, x2 - x1, y2 - y1]
+
+
 def _choose_bbox2d(anno: dict, fs: FilterSettings):
-    """2D box source selection in XYWH (datasets.py:321-447: modal, truncated
-    projection or tight projection)."""
-    if fs.modal_2d_boxes and anno.get("bbox2D_tight", [-1])[0] != -1:
-        return anno["bbox2D_tight"]
-    if fs.trunc_2d_boxes and anno.get("bbox2D_trunc", [-1])[0] != -1:
-        return anno["bbox2D_trunc"]
-    if anno.get("bbox2D_proj", [-1])[0] != -1:
-        return anno["bbox2D_proj"]
+    """2D box source selection in XYWH (datasets.py:99-122, 418-428).
+
+    The Omni3D JSON stores bbox2D_tight/trunc/proj as XYXY_ABS — the
+    reference converts each to XYWH via BoxMode.convert; the COCO-style
+    `bbox` fallback is already XYWH. A truncated box is usable when not
+    ALL of its coordinates are -1 (reference's np.all check)."""
+    tight = anno.get("bbox2D_tight")
+    if fs.modal_2d_boxes and tight is not None and tight[0] != -1:
+        return _xyxy_to_xywh(tight)
+    trunc = anno.get("bbox2D_trunc")
+    if (fs.trunc_2d_boxes and trunc is not None
+            and not all(v == -1 for v in trunc)):
+        return _xyxy_to_xywh(trunc)
+    proj = anno.get("bbox2D_proj")
+    if proj is not None and proj[0] != -1:
+        return _xyxy_to_xywh(proj)
     if anno.get("bbox") is not None:
         return anno["bbox"]
     return None

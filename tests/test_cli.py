@@ -237,7 +237,7 @@ def test_eval_predictions_offline(monkeypatch, capsys, tmp_path):
         ],
         "annotations": [
             {"image_id": 10, "category_id": 1,
-             "bbox2D_trunc": [100, 100, 50, 80],
+             "bbox2D_trunc": [100, 100, 150, 180],
              "center_cam": [0.1, 0.2, 3.0], "dimensions": [0.5, 0.9, 0.5],
              "R_cam": np.eye(3).tolist(), "truncation": 0.1,
              "visibility": 0.9, "valid3D": True},

@@ -157,17 +157,17 @@ def _fake_json(tmp_path):
         ],
         "annotations": [
             {"image_id": 10, "category_id": 1,
-             "bbox2D_trunc": [100, 100, 50, 80],
+             "bbox2D_trunc": [100, 100, 150, 180],
              "center_cam": [0.1, 0.2, 3.0], "dimensions": [0.5, 0.9, 0.5],
              "R_cam": np.eye(3).tolist(), "truncation": 0.1,
              "visibility": 0.9, "valid3D": True},
             {"image_id": 10, "category_id": 2,
-             "bbox2D_trunc": [300, 200, 40, 40],
+             "bbox2D_trunc": [300, 200, 340, 240],
              "center_cam": [0.5, 0.1, 2.0], "dimensions": [0.1, 0.2, 0.1],
              "R_cam": np.eye(3).tolist(), "truncation": 0.995,  # ignored
              "visibility": 0.9, "valid3D": True},
             {"image_id": 10, "category_id": 3,  # unknown class -> ignore
-             "bbox2D_trunc": [10, 10, 30, 30],
+             "bbox2D_trunc": [10, 10, 40, 40],
              "center_cam": [0, 0, 1.0], "dimensions": [1, 1, 1],
              "R_cam": np.eye(3).tolist(), "truncation": 0.0,
              "visibility": 1.0, "valid3D": True},

@@ -239,3 +239,66 @@ def test_category_sets_match_reference():
     ]
     for name in names:
         assert set(get_omni3d_categories(name)) == set(ref_cats(name)), name
+
+
+def test_is_ignore_matches_reference():
+    """Fuzz the multi-criterion annotation filter against the reference's
+    is_ignore (datasets.py:82-122) across 500 random annotations spanning
+    every criterion (behind-camera, invalid 3D, degenerate dims, depth cap,
+    lidar/segmentation emptiness, depth error, box-height bounds from each
+    2D source, truncation/visibility)."""
+    ref_path = Path("/root/reference/cubercnn/data/datasets.py")
+    if not ref_path.exists():
+        pytest.skip("reference source not present")
+
+    tree = ast.parse(ref_path.read_text())
+    body = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+            and n.name in ("is_ignore", "get_filter_settings_from_cfg")]
+
+    class _BoxMode:
+        XYXY_ABS, XYWH_ABS = 0, 1
+
+        @staticmethod
+        def convert(box, frm, to):
+            assert frm == _BoxMode.XYXY_ABS and to == _BoxMode.XYWH_ABS
+            x1, y1, x2, y2 = box
+            return [x1, y1, x2 - x1, y2 - y1]
+
+    ns = {"np": np, "BoxMode": _BoxMode}
+    exec(compile(ast.Module(body=body, type_ignores=[]), str(ref_path),
+                 "exec"), ns)
+    ref_fs = ns["get_filter_settings_from_cfg"](None)
+    ref_fs["trunc_2D_boxes"] = True
+
+    from ovmono3d_tpu.data.datasets import FilterSettings, is_ignore
+
+    fs = FilterSettings(trunc_2d_boxes=True, modal_2d_boxes=False)
+    rng = np.random.RandomState(4)
+    H = 480
+    mismatches = []
+    for i in range(500):
+        x1, y1 = rng.rand(2) * 300
+        w, h = rng.rand(2) * rng.choice([10.0, 200.0, 900.0], 2)
+        anno = {
+            "behind_camera": bool(rng.rand() < 0.1),
+            "valid3D": bool(rng.rand() > 0.1),
+            "dimensions": list(rng.randn(3) * 0.5 + 0.5),
+            "center_cam": [0.0, 0.0, float(rng.rand() * 2e8)],
+            "lidar_pts": int(rng.rand() > 0.1),
+            "segmentation_pts": int(rng.rand() > 0.1),
+            "depth_error": float(rng.rand()),
+            "truncation": float(rng.choice([-1.0, rng.rand()])),
+            "visibility": float(rng.choice([-1.0, rng.rand()])),
+            "category_name": "chair",
+            "bbox2D_trunc": (
+                [-1, -1, -1, -1] if rng.rand() < 0.2
+                else [x1, y1, x1 + w, y1 + h]
+            ),
+            "bbox2D_proj": [x1, y1, x1 + w * 0.8, y1 + h * 0.8],
+            "bbox": [x1, y1, w, h],
+        }
+        want = bool(ns["is_ignore"](anno, ref_fs, H))
+        got = is_ignore(anno, fs, H)
+        if want != got:
+            mismatches.append((i, anno, want, got))
+    assert not mismatches, mismatches[:3]
