@@ -16,8 +16,14 @@ import numpy as np
 
 from ovmono3d_tpu.config import Config
 
-# Mirror fix-up matrices for horizontally flipped poses
-# (dataset_mapper.py:101-168: R' = M1 @ R @ M2).
+# Mirror fix-up for horizontally flipped poses. The reference uses
+# R' = diag(1,-1,-1) @ R @ diag(-1,-1,1) (dataset_mapper.py:101-168); ours
+# is the mirror conjugation F @ R @ F with F = diag(-1,1,1), which equals
+# the reference's R' right-multiplied by diag(-1,1,-1) — a 180° rotation
+# about the box's vertical axis. A cuboid is symmetric under it, so every
+# corner-set-based target (disentangled corners, chamfer, NHD, IoU3D) is
+# IDENTICAL; only the per-corner labeling differs, and training is
+# self-consistent with whichever convention generates its targets.
 _M1 = np.diag([-1.0, 1.0, 1.0])
 _M2 = np.diag([-1.0, 1.0, 1.0])
 
