@@ -65,3 +65,43 @@ def process_shard(records: list, process_index: int | None = None,
     pi = process_index if process_index is not None else jax.process_index()
     pc = process_count if process_count is not None else jax.process_count()
     return records[pi::pc]
+
+
+def _pack_objects(items: list) -> np.ndarray:
+    """Pickle an object list into a uint8 payload array."""
+    import pickle
+
+    return np.frombuffer(pickle.dumps(items), np.uint8)
+
+
+def _unpack_objects(sizes, rows) -> list:
+    """Inverse of _pack_objects over gathered (per-process) padded rows."""
+    import pickle
+
+    out = []
+    for size, row in zip(np.asarray(sizes).ravel(), np.asarray(rows)):
+        out.extend(pickle.loads(row[: int(size)].tobytes()))
+    return out
+
+
+def gather_objects(items: list) -> list:
+    """Concatenated per-host object lists, identical on every host.
+
+    The reference gathers per-rank eval JSON to rank 0 with comm.gather
+    (omni3d_evaluation.py:717-723); over DCN we allgather a pickled
+    payload (hosts stay symmetric, so the evaluator can run anywhere).
+    Single-process: identity."""
+    import jax
+
+    if jax.process_count() == 1:
+        return list(items)
+    from jax.experimental import multihost_utils
+
+    payload = _pack_objects(items)
+    sizes = multihost_utils.process_allgather(
+        np.array([payload.size], np.int64)
+    )
+    padded = np.zeros(int(np.max(sizes)), np.uint8)
+    padded[: payload.size] = payload
+    rows = multihost_utils.process_allgather(padded)
+    return _unpack_objects(sizes, rows)

@@ -81,3 +81,31 @@ def detect_open_vocabulary_one(model, params, image, text, topk):
         "boxes": np.asarray(boxes), "scores": np.asarray(scores),
         "classes": np.asarray(classes), "valid": np.asarray(valid),
     }
+
+
+def test_gather_objects_roundtrip():
+    """Cross-host eval gather: the pack/pad/unpack pipeline reassembles
+    per-host object lists exactly (single-process gather_objects is the
+    identity; the multi-host payload path is exercised via its helpers)."""
+    from ovmono3d_tpu.parallel.mesh import (
+        _pack_objects,
+        _unpack_objects,
+        gather_objects,
+    )
+
+    items = [{"a": np.arange(5), "s": "x"}, (1, 2.5)]
+    assert gather_objects(items) == gather_objects(items)
+    assert len(gather_objects(items)) == 2
+
+    # simulate 3 hosts with different payload sizes
+    per_host = [items, [], [{"b": np.ones((2, 2))}]]
+    payloads = [_pack_objects(h) for h in per_host]
+    sizes = np.array([[p.size] for p in payloads])
+    m = int(sizes.max())
+    rows = np.zeros((3, m), np.uint8)
+    for i, p in enumerate(payloads):
+        rows[i, : p.size] = p
+    out = _unpack_objects(sizes, rows)
+    assert len(out) == 3
+    np.testing.assert_array_equal(out[0]["a"], np.arange(5))
+    np.testing.assert_array_equal(out[2]["b"], np.ones((2, 2)))

@@ -81,6 +81,14 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
     # (reference omni3d_evaluation.py:263).
     eval_prox = "Objectron" in dataset_name or "SUNRGBD" in dataset_name
 
+    # Multi-host: disjoint record shard per host (InferenceSampler), with
+    # the per-image results allgathered before accumulation so every host's
+    # helper sees the full dataset (reference comm.gather to rank 0,
+    # omni3d_evaluation.py:717-723).
+    from ovmono3d_tpu.parallel.mesh import gather_objects, process_shard
+
+    records = process_shard(records)
+
     @jax.jit
     def run(params, batch):
         return model.apply(
@@ -103,6 +111,7 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
 
     n_done = 0
     dumped = []
+    collected = []
     it = iter(build_test_iterator(cfg, records, batch_size, image_loader))
     while True:
         t0 = time.perf_counter()
@@ -146,7 +155,7 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
                 "center_2d": det.center_2d[bi][valid],
             }
             gt = _record_gt(rec)
-            helper.add_image(dataset_name, gt, pred, eval_prox=eval_prox)
+            collected.append((gt, pred))
             if (vis_dir is not None and vis_period > 0
                     and (n_done + bi) % vis_period == 0):
                 # Pred-vs-GT 3x2 panel every Nth eval image (reference
@@ -193,6 +202,10 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
                     ],
                 })
         n_done += len(chunk)
+    # Accumulate the (all-hosts) results into the shared helper — in the
+    # single-process case gather_objects is the identity.
+    for gt, pred in gather_objects(collected):
+        helper.add_image(dataset_name, gt, pred, eval_prox=eval_prox)
     if n_done:
         logger.info(
             "%s: total inference %.1f s (%.3f s/img); pure compute %.1f s "
