@@ -79,12 +79,20 @@ class OVMono3DLift:
     @classmethod
     def build(cls, cfg: Config, tokenizer: BertTokenizer,
               rng: jax.Array | None = None, gdino_kwargs: dict | None = None,
-              gdino_size: int = 800, priors: dict | None = None):
+              gdino_size: int | None = None, priors: dict | None = None):
         """Construct with freshly-initialized params (converters fill real
         weights via utils.checkpoint_convert; `priors` as produced by
         utils.priors.compute_priors or utils.lift_convert.extract_priors
-        enables the dims-priors / cluster-z decodes)."""
+        enables the dims-priors / cluster-z decodes).
+
+        `gdino_size` defaults to the RCNN square pad: the reference feeds
+        GroundingDINO the SAME preprocessed square canvas as the cube model
+        (roi_heads_gdino.py:147 passes images[0] channel-swapped), so
+        open-vocab detection runs at cfg.model.backbone.square_pad (896
+        for the flagship config), not a separate resolution."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if gdino_size is None:
+            gdino_size = cfg.model.backbone.square_pad
         rcnn = build_model(cfg.model, priors=priors)
         S = cfg.model.backbone.square_pad
         k1, k2 = jax.random.split(rng)
