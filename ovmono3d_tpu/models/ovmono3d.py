@@ -89,7 +89,13 @@ class OVMono3DLift:
         GroundingDINO the SAME preprocessed square canvas as the cube model
         (roi_heads_gdino.py:147 passes images[0] channel-swapped), so
         open-vocab detection runs at cfg.model.backbone.square_pad (896
-        for the flagship config), not a separate resolution."""
+        for the flagship config), not a separate resolution.
+
+        Known reference defect NOT replicated: the [2,1,0] channel swap at
+        roi_heads_gdino.py:147 assumes detectron2's default BGR input, but
+        every ViT config sets INPUT.FORMAT=RGB — the reference therefore
+        feeds GroundingDINO BGR images. We feed RGB (the detector's
+        training colorspace)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if gdino_size is None:
             gdino_size = cfg.model.backbone.square_pad
