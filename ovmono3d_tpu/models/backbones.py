@@ -22,7 +22,8 @@ from ovmono3d_tpu.models.vit import VisionTransformer
 # Architecture presets per family (reference backbone files + configs).
 VIT_PRESETS: dict[str, dict[str, Any]] = {
     # dinov2 vitb14 @ 518 pretrain (dino.py).
-    "dinov2": dict(patch_size=14, pretrain_grid=37, layerscale=True),
+    "dinov2": dict(patch_size=14, pretrain_grid=37, layerscale=True,
+               pos_interp_offset=0.1),
     # open_clip ViT-B/16 'openai' @ 224 (clip.py): pre-LN tower, QuickGELU
     # MLPs, torch-default LayerNorm eps.
     "clip": dict(patch_size=16, pretrain_grid=14, layerscale=False,

@@ -271,10 +271,48 @@ def sincos_pos_embed_2d(dim: int, grid_hw: tuple[int, int]) -> jax.Array:
     return jnp.concatenate([one_d(cols), one_d(rows)], axis=-1)
 
 
+def _torch_bicubic_weights(
+    src: int, dst: int, scale: float | None = None
+) -> "jnp.ndarray":
+    """1-D interpolation matrix [dst, src] matching torch F.interpolate
+    (mode='bicubic', align_corners=False, antialias=False): Keys cubic with
+    a = -0.75 (jax.image.resize uses a = -0.5), half-pixel mapping
+    x_src = (i + 0.5) / s - 0.5, border-replicated taps. When `scale` is
+    given, the mapping uses it instead of dst/src — DINOv2's
+    interpolate_pos_encoding passes scale_factor = (dst + 0.1) / src."""
+    import numpy as np
+
+    a = -0.75
+    s = scale if scale is not None else dst / src
+
+    def k(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1, ((a + 2) * t - (a + 3)) * t * t + 1,
+            np.where(t < 2, a * (((t - 5) * t + 8) * t - 4), 0.0),
+        )
+
+    x = (np.arange(dst) + 0.5) / s - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    w = np.zeros((dst, src), np.float64)
+    for tap in (-1, 0, 1, 2):
+        idx = x0 + tap
+        wt = k(x - idx)
+        np.add.at(w, (np.arange(dst), np.clip(idx, 0, src - 1)), wt)
+    return jnp.asarray(w.astype(np.float32))
+
+
 def resize_pos_embed(
-    pos_embed: jax.Array, grid_hw: tuple[int, int]
+    pos_embed: jax.Array, grid_hw: tuple[int, int],
+    interpolate_offset: float = 0.0,
 ) -> jax.Array:
-    """Bicubic-resize patch positional embeddings to a new grid.
+    """Bicubic-resize patch positional embeddings to a new grid, exactly as
+    torch would (the converters load tables the trunks interpolate with
+    F.interpolate at runtime; see _torch_bicubic_weights).
+
+    `interpolate_offset` selects DINOv2's scale-factor mapping
+    (interpolate_pos_encoding: scale_factor = (new + 0.1) / old); 0 is the
+    size-based mapping used by the CLIP/SAM/MiDaS resize helpers.
 
     pos_embed: [1, 1 + G*G, C] (cls first). Returns [1, 1 + h*w, C].
     """
@@ -284,10 +322,13 @@ def resize_pos_embed(
     c = patch_pe.shape[-1]
     h, w = grid_hw
     if (g, g) != (h, w):
-        patch_pe = patch_pe.reshape(1, g, g, c)
-        patch_pe = jax.image.resize(
-            patch_pe, (1, h, w, c), method="bicubic"
-        )
+        sy = (h + interpolate_offset) / g if interpolate_offset else None
+        sx = (w + interpolate_offset) / g if interpolate_offset else None
+        wy = _torch_bicubic_weights(g, h, sy)
+        wx = _torch_bicubic_weights(g, w, sx)
+        patch_pe = patch_pe.reshape(g, g, c)
+        patch_pe = jnp.einsum("hg,gkc->hkc", wy, patch_pe)
+        patch_pe = jnp.einsum("wk,hkc->hwc", wx, patch_pe)
         patch_pe = patch_pe.reshape(1, h * w, c)
     return jnp.concatenate([cls_pe, patch_pe], axis=1)
 
@@ -316,6 +357,9 @@ class VisionTransformer(nn.Module):
     use_cls_token: bool = True
     pre_ln: bool = False           # CLIP ln_pre
     quick_gelu: bool = False       # CLIP (openai) QuickGELU MLPs
+    pos_interp_offset: float = 0.0  # DINOv2 interpolate_pos_encoding uses
+                                   # scale_factor=(new+0.1)/old; the other
+                                   # trunks resize size-based (offset 0)
     norm_eps: float = 1e-6         # block LayerNorm eps (CLIP 1e-5,
                                    # HF ViT/MAE 1e-12, dinov2/SAM 1e-6)
     pos_sincos: bool = False       # MAE fixed 2D sin-cos pos embeddings,
@@ -376,7 +420,8 @@ class VisionTransformer(nn.Module):
                 axis=1,
             )
             pe_full = (pos_embed if self.pos_sincos
-                       else resize_pos_embed(pos_embed, (h, w)))
+                       else resize_pos_embed(pos_embed, (h, w),
+                                             self.pos_interp_offset))
             x = x + pe_full.astype(x.dtype)
         else:
             if self.pos_sincos:
@@ -388,6 +433,7 @@ class VisionTransformer(nn.Module):
                         axis=1,
                     ),
                     (h, w),
+                    self.pos_interp_offset,
                 )[:, 1:]
             x = x + pe.astype(x.dtype)
         if self.pre_ln:

@@ -1096,3 +1096,45 @@ def _swin_keys_to_original(sd, out, depths):
             copy(f"{sw}layers.{si}.downsample.norm", hd + "norm")
     for oi, stage in ((1, "stage2"), (2, "stage3"), (3, "stage4")):
         copy(f"{sw}norm{oi}", sw_hf + f"hidden_states_norms.{stage}")
+
+
+# ---------------------------------------------------------------------------
+# Positional-embedding bicubic interpolation (torch conventions)
+# ---------------------------------------------------------------------------
+
+
+def test_pos_embed_resize_matches_torch_bicubic():
+    """resize_pos_embed vs torch F.interpolate(mode='bicubic') for both
+    mappings the trunks use: size-based (CLIP/SAM/MiDaS resize helpers) and
+    DINOv2's scale_factor=(new+0.1)/old (interpolate_pos_encoding) — the
+    flagship 37->64 grid resize at 896² runs through this every forward.
+    torch's cubic kernel (a=-0.75) differs from jax.image.resize (a=-0.5)."""
+    import torch.nn.functional as F
+
+    from ovmono3d_tpu.models.vit import resize_pos_embed
+
+    rng = np.random.RandomState(20)
+    g, c = 37, 16
+    table = rng.randn(1, 1 + g * g, c).astype(np.float32)
+    grid_t = torch.from_numpy(
+        table[:, 1:].reshape(1, g, g, c).transpose(0, 3, 1, 2)
+    )
+
+    for h, w, offset in ((64, 64, 0.1), (64, 64, 0.0), (24, 31, 0.0),
+                         (24, 31, 0.1)):
+        if offset:
+            want = F.interpolate(
+                grid_t, scale_factor=((h + offset) / g, (w + offset) / g),
+                mode="bicubic", align_corners=False,
+                recompute_scale_factor=False,
+            )
+        else:
+            want = F.interpolate(grid_t, size=(h, w), mode="bicubic",
+                                 align_corners=False)
+        assert want.shape[-2:] == (h, w)
+        want = want.permute(0, 2, 3, 1).reshape(1, h * w, c).numpy()
+        got = np.asarray(
+            resize_pos_embed(jnp.asarray(table), (h, w), offset)
+        )
+        np.testing.assert_allclose(got[:, 0], table[:, 0], atol=0)
+        np.testing.assert_allclose(got[:, 1:], want, atol=2e-5, rtol=1e-4)
