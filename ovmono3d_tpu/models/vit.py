@@ -88,12 +88,14 @@ class Mlp(nn.Module):
 
 def _resize_rel_pos(rel_pos: jax.Array, size: int) -> jax.Array:
     """Linear-resize a decomposed relative-position table to 2*size-1 rows
-    (segment_anything get_rel_pos interpolation)."""
+    (segment_anything get_rel_pos uses F.interpolate(mode='linear'), which
+    does NOT antialias on downscale — jax.image.resize would)."""
     target = 2 * size - 1
     if rel_pos.shape[0] == target:
         return rel_pos
     return jax.image.resize(
-        rel_pos, (target, rel_pos.shape[1]), method="linear"
+        rel_pos, (target, rel_pos.shape[1]), method="linear",
+        antialias=False,
     )
 
 
