@@ -536,8 +536,11 @@ class VisionTransformer(nn.Module):
         if prompt_depth is None:
             depth = jnp.zeros((B, h, w, 1), patch.dtype)
         else:
+            # F.interpolate(..., mode='bilinear') semantics: half-pixel,
+            # NO antialiasing on the downscale (dino.py:85).
             depth = jax.image.resize(
-                prompt_depth.astype(patch.dtype), (B, h, w, 1), "bilinear"
+                prompt_depth.astype(patch.dtype), (B, h, w, 1), "bilinear",
+                antialias=False,
             )
         fused = fusion(jnp.concatenate([patch, depth], axis=-1))
         fused = fused.reshape(B, h * w, self.embed_dim)
