@@ -250,6 +250,10 @@ class DepthPro(nn.Module):
         assert H % out_size == 0 and (H // out_size) & (H // out_size - 1) \
             == 0, f"input side {H} must be a power-of-two multiple of " \
                   f"{out_size}"
+        assert int(H * min(self.scaled_ratios)) >= E, (
+            f"input side {H} too small: the {min(self.scaled_ratios)}-scale "
+            f"pyramid level must be at least encoder_size={E}"
+        )
         base = out_size
 
         # --- image pyramid -> overlapping crops, high-res scale first ---

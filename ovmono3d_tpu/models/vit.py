@@ -329,8 +329,12 @@ def resize_pos_embed(
         wy = _torch_bicubic_weights(g, h, sy)
         wx = _torch_bicubic_weights(g, w, sx)
         patch_pe = patch_pe.reshape(g, g, c)
-        patch_pe = jnp.einsum("hg,gkc->hkc", wy, patch_pe)
-        patch_pe = jnp.einsum("wk,hkc->hwc", wx, patch_pe)
+        # HIGHEST: XLA's default f32 matmul runs bf16 passes on TPU, which
+        # would throw away the torch-exactness this path exists for.
+        patch_pe = jnp.einsum("hg,gkc->hkc", wy, patch_pe,
+                              precision=jax.lax.Precision.HIGHEST)
+        patch_pe = jnp.einsum("wk,hkc->hwc", wx, patch_pe,
+                              precision=jax.lax.Precision.HIGHEST)
         patch_pe = patch_pe.reshape(1, h * w, c)
     return jnp.concatenate([cls_pe, patch_pe], axis=1)
 

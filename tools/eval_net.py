@@ -174,7 +174,8 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
                 )
                 imwrite_rgb(
                     Path(vis_dir)
-                    / f"{dataset_name}_{n_done + bi:06d}.jpg",
+                    / (f"{dataset_name}_p{jax.process_index()}"
+                       f"_{n_done + bi:06d}.jpg"),
                     panel,
                 )
             if dump_path is not None:
@@ -206,6 +207,7 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
     # single-process case gather_objects is the identity.
     for gt, pred in gather_objects(collected):
         helper.add_image(dataset_name, gt, pred, eval_prox=eval_prox)
+    dumped = gather_objects(dumped) if dump_path is not None else dumped
     if n_done:
         logger.info(
             "%s: total inference %.1f s (%.3f s/img); pure compute %.1f s "
@@ -214,7 +216,7 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
             (time.perf_counter() - t_start) / n_done,
             t_compute, t_compute / n_done, t_data,
         )
-    if dump_path is not None:
+    if dump_path is not None and jax.process_index() == 0:
         import json
 
         Path(dump_path).parent.mkdir(parents=True, exist_ok=True)
@@ -370,7 +372,11 @@ def main():
     if args.data_parallel:
         from ovmono3d_tpu.parallel.mesh import make_mesh, replicated
 
-        mesh = make_mesh(n_model=1)
+        # HOST-LOCAL mesh: each host runs an independent data-parallel
+        # program over its own chips on its own record shard (the results
+        # are gathered after the loop) — a global mesh would require
+        # cross-host-consistent batches and trip counts.
+        mesh = make_mesh(n_model=1, devices=jax.local_devices())
         n_data = mesh.shape["data"]
         if args.batch_size % n_data:
             raise SystemExit(
