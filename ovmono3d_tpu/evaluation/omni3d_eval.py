@@ -105,17 +105,21 @@ def _greedy_match(
 
 
 def corners_diag(corners: np.ndarray) -> np.ndarray:
-    """GT diagonal length per box: ||corner0 - corner6|| (the two opposite
-    template corners)."""
-    return np.linalg.norm(corners[..., 0, :] - corners[..., 6, :], axis=-1)
+    """GT normalization diagonal per box: the AXIS-ALIGNED bounding diagonal
+    of the (rotated) corner set — `gt_vertices.max(0) - gt_vertices.min(0)`
+    in the reference (calculate_nhd, omni3d_evaluation.py:2244), NOT the
+    rigid box diagonal."""
+    return np.linalg.norm(
+        corners.max(axis=-2) - corners.min(axis=-2), axis=-1
+    )
 
 
 def hungarian_corner_distance(
     pred: np.ndarray, gt: np.ndarray
 ) -> np.ndarray:
-    """Mean Hungarian-matched L2 distance between 8-corner sets
-    (reference NHD core, omni3d_evaluation.py:2227-2247). pred/gt: [N, 8, 3].
-    """
+    """SUM of Hungarian-matched L2 distances between 8-corner sets
+    (reference NHD core, omni3d_evaluation.py:2227-2247 sums the matched
+    costs before dividing by the diagonal). pred/gt: [N, 8, 3]."""
     from scipy.optimize import linear_sum_assignment
 
     out = np.zeros(pred.shape[0])
@@ -124,7 +128,7 @@ def hungarian_corner_distance(
             pred[i][:, None, :] - gt[i][None, :, :], axis=-1
         )
         r, c = linear_sum_assignment(cost)
-        out[i] = cost[r, c].mean()
+        out[i] = cost[r, c].sum()
     return out
 
 

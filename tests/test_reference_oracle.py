@@ -70,6 +70,9 @@ def ref():
         ),
         "axis_angle_to_matrix": _axis_angle_to_matrix,
     }
+    from scipy.optimize import linear_sum_assignment
+
+    ns["linear_sum_assignment"] = linear_sum_assignment
     exec(compile(mod, str(_REF), "exec"), ns)
     return ns
 
@@ -302,3 +305,39 @@ def test_is_ignore_matches_reference():
         if want != got:
             mismatches.append((i, anno, want, got))
     assert not mismatches, mismatches[:3]
+
+
+def test_nhd_matches_reference():
+    """Hungarian corner distance + diagonal normalization vs the
+    reference's calculate_nhd (omni3d_evaluation.py:2227-2247): the
+    matched costs are SUMMED and normalized by the AABB diagonal of the
+    rotated GT corners."""
+    ref_path = Path(
+        "/root/reference/cubercnn/evaluation/omni3d_evaluation.py"
+    )
+    if not ref_path.exists():
+        pytest.skip("reference source not present")
+    from scipy.optimize import linear_sum_assignment
+
+    tree = ast.parse(ref_path.read_text())
+    body = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+            and n.name == "calculate_nhd"]
+    ns = {"np": np, "linear_sum_assignment": linear_sum_assignment}
+    exec(compile(ast.Module(body=body, type_ignores=[]), str(ref_path),
+                 "exec"), ns)
+    ref = ns
+
+    from ovmono3d_tpu.evaluation.omni3d_eval import (
+        corners_diag,
+        hungarian_corner_distance,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 12
+    for i in range(n):
+        pred = rng.randn(8, 3) * 2
+        gt = rng.randn(8, 3) * 2
+        want = ref["calculate_nhd"](pred, gt)
+        got = (hungarian_corner_distance(pred[None], gt[None])
+               / corners_diag(gt[None]))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
