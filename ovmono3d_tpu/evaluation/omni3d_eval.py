@@ -12,7 +12,8 @@ Protocol constants (Omni3DParams, omni3d_evaluation.py:1394-1461):
   2D IoU thresholds: 0.50 : 0.05 : 0.95
   3D IoU thresholds: 0.05 : 0.05 : 0.50
   recall thresholds: 0 : 0.01 : 1 (101 points)
-  "area" bands = GT depth: all / near (<10 m) / medium (10-35 m) / far (>35 m)
+  3D "area" bands = GT depth: all / near (<10 m) / medium (10-35 m) / far
+  2D "area" bands = GT pixel area: all / small / medium / large (32^2, 96^2)
 """
 from __future__ import annotations
 
@@ -28,6 +29,14 @@ DEPTH_BANDS = {
     "near": (0.0, 10.0),
     "medium": (10.0, 35.0),
     "far": (35.0, np.inf),
+}
+# 2D mode buckets by GT pixel area, the COCO convention the reference's 2D
+# params keep (Omni3DParams.setDet2DParams: 32^2 / 96^2 boundaries).
+AREA_BANDS_2D = {
+    "all": (0.0, np.inf),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, np.inf),
 }
 
 
@@ -202,9 +211,11 @@ class Omni3DEvaluator:
         self.eval_prox = eval_prox
         self.proximity_thresh = proximity_thresh
         self.iou_thrs = IOU_THRS_3D if mode == "3D" else IOU_THRS_2D
+        # 3D buckets by GT depth, 2D by GT pixel area (Omni3DParams).
+        self.bands = DEPTH_BANDS if mode == "3D" else AREA_BANDS_2D
         # evals[band][cat] -> list of ImageEval
         self.evals: dict[str, dict[int, list[ImageEval]]] = {
-            band: {c: [] for c in range(num_classes)} for band in DEPTH_BANDS
+            band: {c: [] for c in range(num_classes)} for band in self.bands
         }
         self._nhd_values: list[float] = []
         self._nhd_dis: dict[str, list[float]] = {
@@ -283,13 +294,40 @@ class Omni3DEvaluator:
                     if iou.shape[1]
                     else np.ones(len(d_sel), bool)
                 )
-            depths = np.asarray(gt.get("depths", np.zeros(len(g_classes))))
-            for band, (lo, hi) in DEPTH_BANDS.items():
-                in_band = (depths[g_sel] >= lo) & (depths[g_sel] < hi)
+            # Band measure: GT depth / det predicted depth in 3D mode,
+            # GT / det box pixel areas in 2D mode (COCOeval 'area').
+            if self.mode == "3D":
+                gt_metric = np.asarray(
+                    gt.get("depths", np.zeros(len(g_classes)))
+                )[g_sel]
+                if "center" in pred and len(d_sel):
+                    det_metric = np.asarray(pred["center"])[d_sel, 2]
+                elif len(d_sel):
+                    det_metric = np.asarray(
+                        pred["corners3d"]
+                    )[d_sel][:, :, 2].mean(axis=1)
+                else:
+                    det_metric = np.zeros(0)
+            else:
+                def _areas(boxes, sel):
+                    b = np.asarray(boxes, float)[sel]
+                    if not len(b):
+                        return np.zeros(0)
+                    return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+                gt_metric = _areas(gt["boxes2d"], g_sel)
+                det_metric = _areas(pred["boxes2d"], d_sel)
+            for band, (lo, hi) in self.bands.items():
+                in_band = (gt_metric >= lo) & (gt_metric < hi)
                 gt_ignore = gt_ignore_base | ~in_band
                 matched, ignored = _greedy_match(
                     iou, gt_ignore, self.iou_thrs
                 )
+                # COCOeval evaluateImg: UNMATCHED detections whose own
+                # area/depth lies outside the band are ignored rather than
+                # counted as false positives (dtIg |= dtm==0 & aout).
+                det_out = ~((det_metric >= lo) & (det_metric < hi))
+                ignored = ignored | ((matched < 0) & det_out[None, :])
                 self.evals[band][c].append(
                     ImageEval(
                         det_scores=d_scores[d_sel],
@@ -420,7 +458,11 @@ class Omni3DEvaluator:
         for thr, name in thr_list:
             ti = int(np.argmin(np.abs(self.iou_thrs - thr)))
             out[f"{tag}@{name}"] = 100 * self._mean_valid(prec_all[ti])
-        for band in ("near", "medium", "far"):
+        sub_bands = (
+            ("near", "medium", "far") if self.mode == "3D"
+            else ("small", "medium", "large")
+        )
+        for band in sub_bands:
             p, _, _ = self._pr_curves(band)
             out[f"{tag}-{band[0].upper()}"] = 100 * self._mean_valid(p)
         out[f"AR{'3D' if self.mode == '3D' else '2D'}"] = (
