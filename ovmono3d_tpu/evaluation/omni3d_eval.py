@@ -415,9 +415,11 @@ class Omni3DEvaluator:
             ignored = ignored[:, order]
             far = far[order]
             tps = (matched >= 0) & ~ignored
-            # Unmatched dets are FPs — except those matched to ignore gt or,
-            # in proximity mode, outside every GT's neighborhood.
-            fps = (matched < 0) & ~far[None, :]
+            # Unmatched dets are FPs — except out-of-band ones (ignored is
+            # set for matched-to-ignore-gt AND unmatched-out-of-band dets,
+            # COCOeval dtIg) and, in proximity mode, dets outside every
+            # GT's neighborhood.
+            fps = (matched < 0) & ~ignored & ~far[None, :]
             tp_cum = np.cumsum(tps, axis=1).astype(np.float64)
             fp_cum = np.cumsum(fps, axis=1).astype(np.float64)
             nd = tp_cum.shape[1]

@@ -227,3 +227,38 @@ def test_matched_pair_metrics_shuffle_invariant():
     for k in results[0]:
         np.testing.assert_allclose(results[0][k], results[1][k], atol=1e-9,
                                    err_msg=k)
+
+
+def test_out_of_band_unmatched_det_is_ignored_not_fp():
+    """COCOeval dtIg: an unmatched detection whose own depth lies outside
+    the band must not count as a false positive in that band — here a
+    high-scoring near det above a perfect far TP leaves AP3D-F at 100
+    (it deflated the far AP before the fix)."""
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    gt = _gt([(0, 0, 50)])                       # one far GT
+    # near det (depth 5, unmatched, HIGHER score) + perfect far det
+    ev.add_image(gt, _pred([(30, 0, 5), (0, 0, 50)], [0.95, 0.9]))
+    res = ev.summarize()
+    np.testing.assert_allclose(res["AP3D-F"], 100.0, atol=1e-5)
+    # in the unrestricted band the near det IS a false positive
+    assert res["AP3D"] < 100.0
+
+
+def test_2d_area_bands():
+    """2D mode buckets by pixel area (32^2/96^2 boundaries): a 20x20 box is
+    'small', a 200x200 box is 'large'."""
+    ev = Omni3DEvaluator(num_classes=1, mode="2D")
+    gt = {
+        "classes": np.zeros(2, np.int64),
+        "boxes2d": np.array([[0, 0, 20, 20], [100, 100, 300, 300]], float),
+    }
+    pred = {
+        "classes": np.zeros(2, np.int64),
+        "scores": np.array([0.9, 0.8]),
+        "boxes2d": np.array([[0, 0, 20, 20], [100, 100, 300, 300]], float),
+    }
+    ev.add_image(gt, pred)
+    res = ev.summarize()
+    np.testing.assert_allclose(res["AP2D-S"], 100.0, atol=1e-5)
+    np.testing.assert_allclose(res["AP2D-L"], 100.0, atol=1e-5)
+    assert np.isnan(res["AP2D-M"])  # no medium GT anywhere
