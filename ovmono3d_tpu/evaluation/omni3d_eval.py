@@ -387,23 +387,31 @@ class Omni3DEvaluator:
 
     # -- summarization -------------------------------------------------------
 
-    def _pr_curves(self, band: str):
-        """COCOeval.accumulate: precision [T, R, K] and recall [T, K]."""
+    def _pr_curves(self, band: str, max_dets: int | None = None):
+        """COCOeval.accumulate: precision [T, R, K] and recall [T, K].
+
+        `max_dets` truncates each image's (score-sorted) detection list to
+        its first k entries — the AR1/AR10/AR100 maxDets axis."""
         T = len(self.iou_thrs)
         K = self.num_classes
         precision = -np.ones((T, len(REC_THRS), K))
         recall = -np.ones((T, K))
         ap_valid = np.zeros(K, bool)
+        k = max_dets if max_dets is not None else None
         for c in range(K):
             evs = self.evals[band][c]
             if not evs:
                 continue
-            scores = np.concatenate([e.det_scores for e in evs])
-            matched = np.concatenate([e.det_matched for e in evs], axis=1)
-            ignored = np.concatenate([e.det_ignored for e in evs], axis=1)
+            scores = np.concatenate([e.det_scores[:k] for e in evs])
+            matched = np.concatenate(
+                [e.det_matched[:, :k] for e in evs], axis=1
+            )
+            ignored = np.concatenate(
+                [e.det_ignored[:, :k] for e in evs], axis=1
+            )
             far = np.concatenate([
-                e.det_far if e.det_far is not None
-                else np.zeros(len(e.det_scores), bool)
+                (e.det_far if e.det_far is not None
+                 else np.zeros(len(e.det_scores), bool))[:k]
                 for e in evs
             ])
             npig = sum(e.num_gt for e in evs)
@@ -467,9 +475,13 @@ class Omni3DEvaluator:
         for band in sub_bands:
             p, _, _ = self._pr_curves(band)
             out[f"{tag}-{band[0].upper()}"] = 100 * self._mean_valid(p)
-        out[f"AR{'3D' if self.mode == '3D' else '2D'}"] = (
-            100 * self._mean_valid(rec_all)
-        )
+        ar_tag = f"AR{'3D' if self.mode == '3D' else '2D'}"
+        out[ar_tag] = 100 * self._mean_valid(rec_all)
+        # AR at the smaller maxDets caps (COCO AR1/AR10; the headline AR is
+        # AR100 — per-image lists are never longer than 100 here).
+        for cap in (1, 10):
+            _, rec_k, _ = self._pr_curves("all", max_dets=cap)
+            out[f"{ar_tag}@{cap}"] = 100 * self._mean_valid(rec_k)
         if self.mode == "3D" and self._nhd_values:
             out["NHD"] = float(np.mean(self._nhd_values))
         return out

@@ -262,3 +262,15 @@ def test_2d_area_bands():
     np.testing.assert_allclose(res["AP2D-S"], 100.0, atol=1e-5)
     np.testing.assert_allclose(res["AP2D-L"], 100.0, atol=1e-5)
     assert np.isnan(res["AP2D-M"])  # no medium GT anywhere
+
+
+def test_ar_maxdets_caps():
+    """AR1 caps each image to its single highest-scoring detection
+    (COCO maxDets axis): with 2 GT and 2 correct dets, AR@1 = 50."""
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    gt = _gt([(0, 0, 5), (4, 0, 5)])
+    ev.add_image(gt, _pred([(0, 0, 5), (4, 0, 5)], [0.9, 0.8]))
+    res = ev.summarize()
+    np.testing.assert_allclose(res["AR3D"], 100.0, atol=1e-5)
+    np.testing.assert_allclose(res["AR3D@1"], 50.0, atol=1e-5)
+    np.testing.assert_allclose(res["AR3D@10"], 100.0, atol=1e-5)
