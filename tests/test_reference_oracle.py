@@ -341,3 +341,135 @@ def test_nhd_matches_reference():
         got = (hungarian_corner_distance(pred[None], gt[None])
                / corners_diag(gt[None]))[0]
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_compute_priors_matches_reference():
+    """utils.priors.compute_priors vs the reference's compute_priors
+    (math_util.py:292-496) executed on identical annotations: test-resolution
+    2D-scale rescale, virtual-depth z conversion, per-category dims/z stats
+    (pandas ddof=1), the custom best-of K-means with top-k fill, and the
+    dummy fallbacks for unseen / under-sampled categories."""
+    if not _REF.exists():
+        pytest.skip("reference source not present")
+    pd = pytest.importorskip("pandas")
+    import types
+
+    tree = ast.parse(_REF.read_text())
+    wanted = {"compute_priors", "approx_eval_resolution",
+              "compute_virtual_scale_from_focal_spaces"}
+    body = [n for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name in wanted]
+    assert {n.name for n in body} == wanted
+
+    class _BoxMode:
+        XYXY_ABS, XYWH_ABS = 0, 1
+
+        @staticmethod
+        def convert(box, from_mode, to_mode):
+            x1, y1, x2, y2 = box
+            return [x1, y1, x2 - x1, y2 - y1]
+
+    names = ["chair", "table", "books", "cup", "lamp", "shoes"]
+    meta = types.SimpleNamespace(thing_classes=names)
+    ns = {
+        "torch": torch, "np": np, "pd": pd, "math": math,
+        "BoxMode": _BoxMode,
+        "MetadataCatalog": types.SimpleNamespace(get=lambda _name: meta),
+        "print": lambda *a, **k: None,
+    }
+    exec(compile(ast.Module(body=body, type_ignores=[]), str(_REF),
+                 "exec"), ns)
+
+    # --- synthetic annotations: per-category sample counts exercising the
+    # unseen-dummy (0), the under-sampled-bins branch (3) and the full
+    # K-means path (>= 30) -------------------------------------------------
+    rng = np.random.RandomState(7)
+    counts = [0, 3, 30, 55, 80, 120]
+    img_shapes = [(480, 640, 520.0), (1080, 1920, 1250.0),
+                  (375, 1242, 721.5), (768, 1024, 980.0)]
+    imgs, anns, records = {}, [], []
+    for i, (h, w, f) in enumerate(img_shapes):
+        K = [[f, 0.0, w / 2], [0.0, f, h / 2], [0.0, 0.0, 1.0]]
+        imgs[i] = {"K": K, "height": h, "width": w}
+        records.append({"image_id": i, "height": h, "width": w, "K": K,
+                        "annotations": []})
+    for cid, cnt in enumerate(counts):
+        for _ in range(cnt):
+            i = int(rng.randint(len(img_shapes)))
+            h, w, _f = img_shapes[i]
+            x1 = rng.uniform(0, w * 0.6)
+            y1 = rng.uniform(0, h * 0.6)
+            bw = rng.uniform(8, w * 0.35)
+            bh = rng.uniform(8, h * 0.35)
+            box = [x1, y1, x1 + bw, y1 + bh]
+            dims = rng.uniform(0.2, 2.0, 3).tolist()
+            center = [rng.uniform(-2, 2), rng.uniform(-1, 1),
+                      rng.uniform(1.0, 40.0)]
+            ignore = bool(rng.rand() < 0.15)
+            anns.append({
+                "category_name": names[cid].upper(),  # ref lowercases
+                "ignore": ignore, "dataset_id": 0, "image_id": i,
+                "bbox2D_proj": box, "center_cam": center,
+                "dimensions": dims,
+            })
+            records[i]["annotations"].append({
+                "category_id": -1 if ignore else cid, "ignore": ignore,
+                "bbox2d": box, "center_cam": center, "dimensions": dims,
+            })
+    # annotations for a category outside the master list are dropped
+    anns.append({"category_name": "zebra", "ignore": False,
+                 "dataset_id": 0, "image_id": 0,
+                 "bbox2D_proj": [0, 0, 50, 50],
+                 "center_cam": [0, 0, 5.0], "dimensions": [1, 1, 1]})
+    records[0]["annotations"].append({
+        "category_id": -1, "ignore": False, "bbox2d": [0, 0, 50, 50],
+        "center_cam": [0, 0, 5.0], "dimensions": [1, 1, 1]})
+
+    class _COCOStub:
+        def __init__(self):
+            self.imgs = imgs
+
+        def getAnnIds(self):
+            return list(range(len(anns)))
+
+        def loadAnns(self, ids):
+            return [anns[i] for i in ids]
+
+    n_bins, vfocal, tmin, tmax = 4, 512.0, 532, 896
+    cfg = types.SimpleNamespace(
+        MODEL=types.SimpleNamespace(
+            ROI_CUBE_HEAD=types.SimpleNamespace(
+                VIRTUAL_DEPTH=True, VIRTUAL_FOCAL=vfocal,
+                CLUSTER_BINS=n_bins),
+            ANCHOR_GENERATOR=types.SimpleNamespace(SIZES=[[64.0], [256.0],
+                                                          [512.0]]),
+        ),
+        INPUT=types.SimpleNamespace(MIN_SIZE_TEST=tmin, MAX_SIZE_TEST=tmax),
+        DATASETS=types.SimpleNamespace(MODAL_2D_BOXES=False,
+                                       TRUNC_2D_BOXES=False),
+    )
+    want = ns["compute_priors"](cfg, _COCOStub())
+
+    from ovmono3d_tpu.utils.priors import compute_priors
+
+    got = compute_priors(
+        records, len(names), n_bins,
+        virtual_depth=True, virtual_focal=vfocal,
+        test_min=tmin, test_max=tmax, anchor_min=64.0, anchor_max=512.0,
+    )
+
+    np.testing.assert_allclose(
+        got["dims"], np.asarray(want["priors_dims_per_cat"], np.float32),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        got["z"], np.asarray(want["priors_z3d_per_cat"], np.float32),
+        rtol=1e-5, atol=1e-6)
+    assert len(want["priors_bins"]) == len(names)
+    for c, (cat, scales, bin_z) in enumerate(want["priors_bins"]):
+        assert cat == names[c]
+        np.testing.assert_allclose(
+            got["z_scales"][c], np.asarray(scales, np.float32),
+            rtol=1e-5, atol=1e-4, err_msg=f"cluster scales cat {cat}")
+        np.testing.assert_allclose(
+            got["z_stats"][c], np.asarray(bin_z, np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=f"bin z stats cat {cat}")

@@ -326,6 +326,12 @@ def main():
         priors = compute_priors(
             synthetic_records(256, cfg.model.num_classes),
             cfg.model.num_classes, cfg.model.cube.cluster_bins,
+            virtual_depth=cfg.model.cube.virtual_depth,
+            virtual_focal=cfg.model.cube.virtual_focal,
+            test_min=cfg.input.min_size_test,
+            test_max=cfg.input.max_size_test,
+            anchor_min=cfg.model.anchors.sizes[0][0],
+            anchor_max=cfg.model.anchors.sizes[-1][-1],
         )
         logger.info("computed priors from synthetic records")
     elif args.rcnn_ckpt:

@@ -169,8 +169,14 @@ def main():
         image_loader = default_image_loader(cfg.datasets.data_root)
     logger.info("train records: %d", len(records))
 
-    priors = compute_priors(records, cfg.model.num_classes,
-                            cfg.model.cube.cluster_bins)
+    priors = compute_priors(
+        records, cfg.model.num_classes, cfg.model.cube.cluster_bins,
+        virtual_depth=cfg.model.cube.virtual_depth,
+        virtual_focal=cfg.model.cube.virtual_focal,
+        test_min=cfg.input.min_size_test, test_max=cfg.input.max_size_test,
+        anchor_min=cfg.model.anchors.sizes[0][0],
+        anchor_max=cfg.model.anchors.sizes[-1][-1],
+    )
     logger.info("priors computed: mean dims %s", priors["dims"][:, 0].mean(0))
     # Persist next to the checkpoints: priors are baked into the model (not
     # orbax state), so evaluation of dims_priors/cluster_bins configs needs
