@@ -473,3 +473,130 @@ def test_compute_priors_matches_reference():
         np.testing.assert_allclose(
             got["z_stats"][c], np.asarray(bin_z, np.float32),
             rtol=1e-5, atol=1e-5, err_msg=f"bin z stats cat {cat}")
+
+
+def test_rpn_iouness_losses_match_reference():
+    """RPN IoUness losses vs the reference's
+    _dense_box_regression_loss_with_uncertainty + matched_pairwise_iou
+    (rpn.py:206-354) executed on identical anchors/logits/deltas/fg masks:
+    BCE(logit, matched-IoU) weighted by the IoU itself, and per-anchor
+    summed L1 on deltas weighted by the IoU, both summed over foreground."""
+    ref_path = Path(
+        "/root/reference/cubercnn/modeling/proposal_generator/rpn.py"
+    )
+    if not ref_path.exists():
+        pytest.skip("reference source not present")
+    import types
+
+    import torch.nn.functional as F
+
+    tree = ast.parse(ref_path.read_text())
+    wanted = {"_dense_box_regression_loss_with_uncertainty",
+              "matched_pairwise_iou"}
+    body = [n for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name in wanted]
+    assert {n.name for n in body} == wanted
+
+    class _Boxes:
+        """detectron2.structures.Boxes surface used by the extracted code."""
+
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+        def __len__(self):
+            return self.tensor.shape[0]
+
+        def area(self):
+            b = self.tensor
+            return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+    class _Box2Box:
+        """Box2BoxTransform.get_deltas with unit weights (detectron2
+        defaults used by the reference RPN)."""
+
+        def get_deltas(self, src, tgt):
+            sw = src[:, 2] - src[:, 0]
+            sh = src[:, 3] - src[:, 1]
+            scx = src[:, 0] + 0.5 * sw
+            scy = src[:, 1] + 0.5 * sh
+            tw = tgt[:, 2] - tgt[:, 0]
+            th = tgt[:, 3] - tgt[:, 1]
+            tcx = tgt[:, 0] + 0.5 * tw
+            tcy = tgt[:, 1] + 0.5 * th
+            return torch.stack([(tcx - scx) / sw, (tcy - scy) / sh,
+                                torch.log(tw / sw), torch.log(th / sh)], 1)
+
+    def _smooth_l1(input, target, beta, reduction="none"):
+        # fvcore.nn.smooth_l1_loss
+        if beta < 1e-5:
+            loss = torch.abs(input - target)
+        else:
+            n = torch.abs(input - target)
+            loss = torch.where(n < beta, 0.5 * n**2 / beta, n - 0.5 * beta)
+        if reduction == "sum":
+            loss = loss.sum()
+        return loss
+
+    storage = types.SimpleNamespace(put_scalar=lambda *a, **k: None)
+    ns = {
+        "torch": torch, "np": np, "F": F, "List": list, "Union": None,
+        "Boxes": _Boxes, "Box2BoxTransform": _Box2Box,
+        "cat": torch.cat, "smooth_l1_loss": _smooth_l1,
+        "get_event_storage": lambda: storage,
+    }
+    import typing
+
+    ns["List"] = typing.List
+    ns["Union"] = typing.Union
+    exec(compile(ast.Module(body=body, type_ignores=[]), str(ref_path),
+                 "exec"), ns)
+
+    rng = np.random.RandomState(11)
+    N, R = 2, 48
+    x1 = rng.uniform(0, 300, (R, 1))
+    y1 = rng.uniform(0, 300, (R, 1))
+    anchors = np.concatenate(
+        [x1, y1, x1 + rng.uniform(8, 120, (R, 1)),
+         y1 + rng.uniform(8, 120, (R, 1))], 1).astype(np.float32)
+    # matched gt per anchor: the anchor jittered (overlapping, IoU > 0)
+    gt = np.stack([
+        anchors + rng.uniform(-6, 6, (R, 4)).astype(np.float32)
+        for _ in range(N)
+    ])
+    gt[..., 2] = np.maximum(gt[..., 2], gt[..., 0] + 4)
+    gt[..., 3] = np.maximum(gt[..., 3], gt[..., 1] + 4)
+    logits = rng.randn(N, R).astype(np.float32)
+    deltas = rng.randn(N, R, 4).astype(np.float32) * 0.3
+    fg = rng.rand(N, R) < 0.3
+
+    t = torch.from_numpy
+    want_reg, want_conf = ns["_dense_box_regression_loss_with_uncertainty"](
+        [t(anchors)], _Box2Box(), [t(deltas)], [t(logits)],
+        [t(gt[i]) for i in range(N)], t(fg),
+        box_reg_loss_type="smooth_l1", smooth_l1_beta=0.0,
+    )
+
+    from ovmono3d_tpu.models.rcnn3d import optax_sigmoid_bce, smooth_l1
+    from ovmono3d_tpu.ops import boxes as box_ops
+
+    ours_anchors = jnp.asarray(np.broadcast_to(anchors, (N, R, 4)))
+    iou_targets = _diag_iou(ours_anchors, jnp.asarray(gt))
+    fg_f = jnp.asarray(fg, jnp.float32)
+    bce = optax_sigmoid_bce(jnp.asarray(logits), iou_targets)
+    got_conf = jnp.sum(bce * iou_targets * fg_f)
+    gt_deltas = box_ops.get_deltas(ours_anchors, jnp.asarray(gt))
+    reg = smooth_l1(jnp.asarray(deltas), gt_deltas).sum(-1)
+    got_reg = jnp.sum(reg * iou_targets * fg_f)
+
+    np.testing.assert_allclose(float(got_conf), float(want_conf), rtol=1e-5)
+    np.testing.assert_allclose(float(got_reg), float(want_reg), rtol=1e-5)
+
+
+def _diag_iou(a, b):
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    return inter / (area_a + area_b - inter)
