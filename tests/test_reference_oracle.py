@@ -600,3 +600,72 @@ def _diag_iou(a, b):
     area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
     area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
     return inter / (area_a + area_b - inter)
+
+
+def test_geo_box_fit_matches_reference():
+    """geo.pipeline.fit_box_from_mask_depth vs the reference's
+    build_pseudo_bbox3d_from_mask2d_outlier (tools/ovmono3d_geo.py:127-210)
+    executed on an identical mask + depth map: unprojection with the open3d
+    flip, PCA yaw on the xz plane, min/max box in the yaw frame, and the
+    8-corner reconstruction. The synthetic cluster is dense enough that both
+    outlier filters (reference DBSCAN, our voxel density-core) keep every
+    point, making the geometric chain exactly comparable."""
+    ref_path = Path("/root/reference/tools/ovmono3d_geo.py")
+    if not ref_path.exists():
+        pytest.skip("reference source not present")
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.cluster import DBSCAN
+    from sklearn.decomposition import PCA
+    from sklearn.utils import shuffle
+
+    tree = ast.parse(ref_path.read_text())
+    wanted = {"build_pseudo_bbox3d_from_mask2d_outlier", "gen_8corners",
+              "heading2rotmat", "auto_downsample"}
+    body = [n for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name in wanted]
+    assert {n.name for n in body} == wanted
+    ns = {
+        "np": np, "PCA": PCA, "DBSCAN": DBSCAN, "shuffle": shuffle,
+        "print": lambda *a, **k: None,
+        "build_lineset": lambda *a, **k: None,
+    }
+    exec(compile(ast.Module(body=body, type_ignores=[]), str(ref_path),
+                 "exec"), ns)
+
+    # dense tilted plane patch: ~2500 points spanning ~2.5 cm at z~0.5 m
+    rng = np.random.RandomState(3)
+    H = W = 128
+    K = np.array([[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]])
+    mask = np.zeros((H, W), np.float32)
+    mask[40:90, 38:88] = 1.0
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    depth = (0.5 + 2e-4 * (xx - W / 2) + 1e-4 * (yy - H / 2)).astype(
+        np.float64
+    )
+
+    want_bbox, _ls, _dims, _yaw = ns[
+        "build_pseudo_bbox3d_from_mask2d_outlier"
+    ](mask, depth, K)
+
+    import jax
+
+    from ovmono3d_tpu.geo.pipeline import fit_box_from_mask_depth
+
+    got = jax.jit(fit_box_from_mask_depth)(
+        jnp.asarray(mask), jnp.asarray(depth, jnp.float32),
+        jnp.asarray(K, jnp.float32),
+    )
+    assert int(got["num_points"]) == int(mask.sum())
+
+    flip = np.diag([1.0, -1.0, -1.0])
+    want_corners_cam = np.asarray(want_bbox) @ flip
+
+    def canon(c):
+        c = np.round(np.asarray(c, np.float64), 5)
+        return c[np.lexsort((c[:, 2], c[:, 1], c[:, 0]))]
+
+    np.testing.assert_allclose(
+        canon(got["corners"]), canon(want_corners_cam), atol=7e-4,
+        err_msg="fitted corner sets differ")
+    np.testing.assert_allclose(
+        np.asarray(got["center"]), want_corners_cam.mean(0), atol=3e-4)
