@@ -174,6 +174,11 @@ def load_omni3d_json(
                     "category_id": (
                         -1 if ignore else category_to_contiguous[name]
                     ),
+                    # True contiguous id regardless of the ignore flag: the
+                    # evaluator keeps in-vocab ignores under their own
+                    # category (reference ignore2D/3D flags keep
+                    # category_name, data/datasets.py:258-260).
+                    "category_id_eval": category_to_contiguous.get(name, -1),
                     "bbox2d": [x, y, x + w, y + h],
                     "center_cam": anno.get("center_cam"),
                     "dimensions": anno.get("dimensions"),

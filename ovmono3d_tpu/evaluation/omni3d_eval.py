@@ -21,9 +21,15 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-IOU_THRS_2D = np.round(np.arange(0.50, 0.951, 0.05), 2)
-IOU_THRS_3D = np.round(np.arange(0.05, 0.501, 0.05), 2)
-REC_THRS = np.round(np.linspace(0.0, 1.00, 101), 2)
+# Exact linspace construction as Omni3DParams (omni3d_evaluation.py:1404-1435
+# "np.arange causes trouble"), so threshold/recall grid floats are
+# bit-identical to the reference's.
+IOU_THRS_2D = np.linspace(0.5, 0.95, 10, endpoint=True)
+IOU_THRS_3D = np.linspace(0.05, 0.5, 10, endpoint=True)
+REC_THRS = np.linspace(0.0, 1.00, 101, endpoint=True)
+# Band intervals are CLOSED on both ends (pycocotools evaluateImg keeps a box
+# when aRng[0] <= measure <= aRng[1]) — a boundary value (depth exactly 10,
+# area exactly 32^2) counts in BOTH adjacent bands, like the reference.
 DEPTH_BANDS = {
     "all": (0.0, np.inf),
     "near": (0.0, 10.0),
@@ -38,6 +44,8 @@ AREA_BANDS_2D = {
     "medium": (32.0**2, 96.0**2),
     "large": (96.0**2, np.inf),
 }
+MAX_DETS = 100  # per-(image, category) cap applied BEFORE matching
+                # (COCOeval.evaluateImg dt[0:maxDet], maxDets[-1])
 
 
 @dataclass
@@ -257,7 +265,11 @@ class Omni3DEvaluator:
         """Add one image.
 
         gt: dict with
-          classes [G] int (-1 = ignore region), boxes2d [G, 4] xyxy,
+          classes [G] int (-1 = class-agnostic ignore region),
+          ignore [G] bool optional (per-category ignore: the gt keeps its
+          true class and absorbs only same-class detections, the reference's
+          ignore2D/ignore3D flag semantics — omni3d_evaluation.py:1531-1534,
+          data/datasets.py:258-260), boxes2d [G, 4] xyxy,
           corners3d [G, 8, 3] (3D mode), depths [G] (gt z; for bands).
         pred: dict with
           classes [D], scores [D], boxes2d [D, 4],
@@ -266,6 +278,9 @@ class Omni3DEvaluator:
         g_classes = np.asarray(gt.get("classes", np.zeros(0, np.int64)))
         d_classes = np.asarray(pred.get("classes", np.zeros(0, np.int64)))
         d_scores = np.asarray(pred.get("scores", np.zeros(0)))
+        g_ignore_flags = np.asarray(
+            gt.get("ignore", np.zeros(len(g_classes), bool)), bool
+        )
 
         for c in range(self.num_classes):
             d_sel = np.where(d_classes == c)[0]
@@ -273,8 +288,8 @@ class Omni3DEvaluator:
             if len(d_sel) == 0 and len(g_sel) == 0:
                 continue
             order = np.argsort(-d_scores[d_sel], kind="mergesort")
-            d_sel = d_sel[order]
-            gt_ignore_base = g_classes[g_sel] == -1
+            d_sel = d_sel[order][:MAX_DETS]
+            gt_ignore_base = (g_classes[g_sel] == -1) | g_ignore_flags[g_sel]
 
             if self.mode == "3D":
                 iou = self._iou_3d(
@@ -318,7 +333,7 @@ class Omni3DEvaluator:
                 gt_metric = _areas(gt["boxes2d"], g_sel)
                 det_metric = _areas(pred["boxes2d"], d_sel)
             for band, (lo, hi) in self.bands.items():
-                in_band = (gt_metric >= lo) & (gt_metric < hi)
+                in_band = (gt_metric >= lo) & (gt_metric <= hi)
                 gt_ignore = gt_ignore_base | ~in_band
                 matched, ignored = _greedy_match(
                     iou, gt_ignore, self.iou_thrs
@@ -326,7 +341,7 @@ class Omni3DEvaluator:
                 # COCOeval evaluateImg: UNMATCHED detections whose own
                 # area/depth lies outside the band are ignored rather than
                 # counted as false positives (dtIg |= dtm==0 & aout).
-                det_out = ~((det_metric >= lo) & (det_metric < hi))
+                det_out = ~((det_metric >= lo) & (det_metric <= hi))
                 ignored = ignored | ((matched < 0) & det_out[None, :])
                 self.evals[band][c].append(
                     ImageEval(
@@ -472,10 +487,12 @@ class Omni3DEvaluator:
             ("near", "medium", "far") if self.mode == "3D"
             else ("small", "medium", "large")
         )
-        for band in sub_bands:
-            p, _, _ = self._pr_curves(band)
-            out[f"{tag}-{band[0].upper()}"] = 100 * self._mean_valid(p)
         ar_tag = f"AR{'3D' if self.mode == '3D' else '2D'}"
+        for band in sub_bands:
+            p, r, _ = self._pr_curves(band)
+            out[f"{tag}-{band[0].upper()}"] = 100 * self._mean_valid(p)
+            # banded AR at maxDets=100 (reference stats[10:13]).
+            out[f"{ar_tag}-{band[0].upper()}"] = 100 * self._mean_valid(r)
         out[ar_tag] = 100 * self._mean_valid(rec_all)
         # AR at the smaller maxDets caps (COCO AR1/AR10; the headline AR is
         # AR100 — per-image lists are never longer than 100 here).

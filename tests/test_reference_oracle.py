@@ -669,3 +669,150 @@ def test_geo_box_fit_matches_reference():
         err_msg="fitted corner sets differ")
     np.testing.assert_allclose(
         np.asarray(got["center"]), want_corners_cam.mean(0), atol=3e-4)
+
+
+def test_evaluator_accumulate_summarize_match_reference():
+    """Full AP/AR protocol vs the REFERENCE'S OWN Omni3Deval.accumulate and
+    .summarize (omni3d_evaluation.py:1554-1688, 2072-2224), executed on
+    pycocotools-format evalImgs built from our matcher's per-image results:
+    validates band/areaRng handling, the maxDets axis, mergesort score
+    ordering, the monotone precision envelope, searchsorted recall sampling,
+    the -1 absent-category convention, and the 13-stat summary mapping."""
+    ref_path = Path(
+        "/root/reference/cubercnn/evaluation/omni3d_evaluation.py"
+    )
+    if not ref_path.exists():
+        pytest.skip("reference source not present")
+    import copy
+    import datetime
+    import time
+    import types
+
+    tree = ast.parse(ref_path.read_text())
+    params_cls = next(n for n in tree.body if isinstance(n, ast.ClassDef)
+                      and n.name == "Omni3DParams")
+    omni_cls = next(n for n in tree.body if isinstance(n, ast.ClassDef)
+                    and n.name == "Omni3Deval")
+    fns = [n for n in omni_cls.body if isinstance(n, ast.FunctionDef)
+           and n.name in ("accumulate", "summarize")]
+    assert len(fns) == 2
+    ns = {"np": np, "time": time, "datetime": datetime, "copy": copy,
+          "print": lambda *a, **k: None}
+    exec(compile(ast.Module(body=[params_cls] + fns, type_ignores=[]),
+                 str(ref_path), "exec"), ns)
+
+    from ovmono3d_tpu.evaluation.omni3d_eval import Omni3DEvaluator
+
+    # --- synthetic detections/GT across area bands, with per-category
+    # ignores, planted boundary areas, empty-category cases ----------------
+    rng = np.random.RandomState(17)
+    C, I = 4, 8
+    ev = Omni3DEvaluator(C, mode="2D")
+    img_of = [[] for _ in range(C)]
+
+    def rand_box(kind):
+        side = {"s": rng.uniform(8, 25, 2), "m": rng.uniform(40, 90, 2),
+                "l": rng.uniform(120, 300, 2)}[kind]
+        x, y = rng.uniform(0, 500, 2)
+        return np.array([x, y, x + side[0], y + side[1]])
+
+    for i in range(I):
+        G = rng.randint(1, 7)
+        g_boxes, g_cls, g_ign = [], [], []
+        for _ in range(G):
+            g_boxes.append(rand_box(rng.choice(["s", "m", "l"])))
+            # category 3 gets GTs but (below) never detections
+            g_cls.append(rng.randint(0, C))
+            g_ign.append(bool(rng.rand() < 0.2))
+        if i == 0:  # exact boundary: 32x32 = 1024 px^2, in BOTH s and m
+            g_boxes.append(np.array([10.0, 10.0, 42.0, 42.0]))
+            g_cls.append(0)
+            g_ign.append(False)
+        g_boxes = np.stack(g_boxes)
+        g_cls = np.asarray(g_cls, np.int64)
+        g_ign = np.asarray(g_ign, bool)
+
+        d_boxes, d_cls, d_scores = [], [], []
+        for g in range(len(g_boxes)):
+            if g_cls[g] == 3 or rng.rand() < 0.25:
+                continue
+            jit = rng.randn(4) * 3
+            d_boxes.append(g_boxes[g] + jit)
+            # sometimes the wrong class
+            d_cls.append(g_cls[g] if rng.rand() < 0.85
+                         else rng.randint(0, 3))
+            d_scores.append(rng.rand())
+        for _ in range(rng.randint(0, 4)):  # false positives
+            d_boxes.append(rand_box(rng.choice(["s", "m", "l"])))
+            d_cls.append(rng.randint(0, 3))
+            d_scores.append(rng.rand())
+        pred = {
+            "classes": np.asarray(d_cls, np.int64),
+            "scores": np.asarray(d_scores, float),
+            "boxes2d": (np.stack(d_boxes) if d_boxes
+                        else np.zeros((0, 4))),
+        }
+        before = [len(ev.evals["all"][c]) for c in range(C)]
+        ev.add_image(
+            {"classes": g_cls, "ignore": g_ign, "boxes2d": g_boxes}, pred
+        )
+        for c in range(C):
+            if len(ev.evals["all"][c]) > before[c]:
+                img_of[c].append(i)
+
+    # --- reference side: evalImgs in pycocotools layout -------------------
+    bands = list(ev.bands)
+    assert bands == ["all", "small", "medium", "large"]
+    eval_imgs = []
+    for c in range(C):
+        for band in bands:
+            per_img = {}
+            for k, i in enumerate(img_of[c]):
+                e = ev.evals[band][c][k]
+                per_img[i] = {
+                    "dtScores": np.asarray(e.det_scores, float),
+                    "dtMatches": (e.det_matched + 1).astype(float),
+                    "dtIgnore": e.det_ignored.astype(bool),
+                    "gtIgnore": np.zeros(e.num_gt, int),
+                }
+            eval_imgs.extend(per_img.get(i) for i in range(I))
+
+    p = ns["Omni3DParams"]("2D")
+    p.imgIds = list(range(I))
+    p.catIds = list(range(C))
+    stub = types.SimpleNamespace(
+        params=p, _paramsEval=copy.deepcopy(p), evalImgs=eval_imgs,
+        evals_per_cat_area=None, eval={}, mode="2D", stats=[],
+    )
+    ns["accumulate"](stub)
+    ns["summarize"](stub)
+
+    # --- compare the full precision/recall tensors ------------------------
+    for a, band in enumerate(bands):
+        for m, cap in enumerate([1, 10, 100]):
+            prec, rec, _ = ev._pr_curves(band, max_dets=cap)
+            np.testing.assert_allclose(
+                prec, stub.eval["precision"][:, :, :, a, m], atol=1e-12,
+                err_msg=f"precision band={band} maxDets={cap}")
+            np.testing.assert_allclose(
+                rec, stub.eval["recall"][:, :, a, m], atol=1e-12,
+                err_msg=f"recall band={band} maxDets={cap}")
+
+    # --- and the 13-stat summary -------------------------------------------
+    got = ev.summarize()
+    want = np.asarray(stub.stats)
+    mapping = [
+        ("AP2D", 0), ("AP2D@50", 1), ("AP2D@75", 2), ("AP2D@95", 3),
+        ("AP2D-S", 4), ("AP2D-M", 5), ("AP2D-L", 6),
+        ("AR2D@1", 7), ("AR2D@10", 8), ("AR2D", 9),
+        ("AR2D-S", 10), ("AR2D-M", 11), ("AR2D-L", 12),
+    ]
+    for key, si in mapping:
+        np.testing.assert_allclose(
+            got[key] / 100.0, want[si], atol=1e-12,
+            err_msg=f"{key} vs stats[{si}]")
+    # non-vacuity: the planted data must populate every band and the
+    # headline AP must be a real value strictly inside (0, 100)
+    assert 0 < got["AP2D"] < 100
+    for key in ("AP2D-S", "AP2D-M", "AP2D-L", "AR2D@1", "AR2D-S"):
+        assert got[key] > 0, key

@@ -232,9 +232,18 @@ def _record_gt(rec):
     import jax.numpy as jnp
 
     classes, boxes2d, corners, depths = [], [], [], []
-    centers, dims, poses = [], [], []
+    centers, dims, poses, ignores = [], [], [], []
     for anno in rec.get("annotations", []):
-        classes.append(anno["category_id"])
+        cid = anno["category_id"]
+        ig = bool(anno.get("ignore", cid < 0))
+        if ig:
+            # In-vocab ignores keep their true category so they absorb only
+            # same-class detections (reference ignore2D/ignore3D semantics,
+            # omni3d_evaluation.py:1531-1534); unknown categories stay -1
+            # (class-agnostic ignore region, our documented extension).
+            cid = anno.get("category_id_eval", cid)
+        classes.append(cid)
+        ignores.append(ig)
         boxes2d.append(anno["bbox2d"])
         if anno.get("center_cam") is not None:
             box = np.concatenate(
@@ -262,6 +271,7 @@ def _record_gt(rec):
     center_2d = (center / z) @ K.T
     return {
         "classes": np.asarray(classes, np.int64),
+        "ignore": np.asarray(ignores, bool),
         "boxes2d": np.asarray(boxes2d, np.float64).reshape(-1, 4),
         "corners3d": np.asarray(corners).reshape(-1, 8, 3),
         "depths": np.asarray(depths),
