@@ -143,6 +143,12 @@ class SolverConfig:
     clip_gradients: float = 0.0
     checkpoint_period: int = 9999
     max_training_attempts: int = 10  # restart loop (train_net.py:54)
+    # Accumulate gradients over k micro-steps before applying one optimizer
+    # update (optax.MultiSteps) — the TPU-native route to the reference's
+    # large-batch recipe (run.sh: 8 GPUs x batch 64) on few chips. The LR
+    # schedule (steps / warmup_iters) counts MACRO optimizer steps
+    # automatically; max_iter still counts micro-steps, so scale it by k.
+    grad_accum_steps: int = 1
 
 
 @dataclass(frozen=True)

@@ -151,3 +151,15 @@ def apply_freeze(tx: optax.GradientTransformation, trainable_mask):
     return optax.multi_transform(
         {"train": tx, "frozen": optax.set_to_zero()}, labels
     )
+
+
+def with_grad_accum(tx: optax.GradientTransformation, k: int):
+    """Accumulate gradients over `k` micro-steps per optimizer update
+    (solver.grad_accum_steps): micro-gradients are AVERAGED, so k micro
+    batches of size n reproduce the update of one batch of k*n — the
+    TPU-native route to the reference's 8-GPU x 64 large-batch recipe
+    (run.sh:1-15) on few chips. Composes with the in-graph stabilization
+    skip: a skipped micro-step reverts the whole optimizer state, so the
+    poisoned micro-gradient never enters the accumulator
+    (parallel/train_step.py)."""
+    return optax.MultiSteps(tx, every_k_schedule=k) if k > 1 else tx

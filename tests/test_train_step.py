@@ -252,3 +252,41 @@ def test_repeated_steps_reduce_loss(setup):
     last = np.mean(losses[-3:])
     assert np.isfinite(last)
     assert last < 0.85 * first, (first, last, losses)
+
+
+def test_grad_accumulation_matches_single_step(setup):
+    """with_grad_accum(k=2): two micro-steps on the SAME batch (rng pinned)
+    reproduce exactly one un-accumulated SGD step — micro-gradients are
+    averaged — and the first micro-step changes no parameters."""
+    from ovmono3d_tpu.train.optim import with_grad_accum
+
+    cfg, model, params, tx, batch = setup
+    micro = {k: v[:2] for k, v in batch.items()}
+
+    step_plain = jax.jit(make_train_step(model, tx, cfg.model.stabilize))
+    tx_acc = with_grad_accum(tx, 2)
+    step_acc = jax.jit(make_train_step(model, tx_acc, cfg.model.stabilize))
+
+    rng = jax.random.PRNGKey(7)
+    ref_state = create_train_state(params, tx, rng)
+    ref_state, _ = step_plain(ref_state, micro)
+
+    acc_state = create_train_state(params, tx_acc, rng)
+    acc_state, _ = step_acc(acc_state, micro)
+    # k=2: no parameter change after the first micro-step
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        acc_state.params, params,
+    )
+    # pin the rng so the second micro-step sees the identical gradient
+    acc_state = acc_state.replace(rng=rng)
+    acc_state, _ = step_acc(acc_state, micro)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6,
+            rtol=1e-5,
+        ),
+        acc_state.params, ref_state.params,
+    )

@@ -217,6 +217,10 @@ def main():
     if cfg.model.backbone.freeze:
         trainable_mask = freeze_backbone_mask(params)
         tx = apply_freeze(tx, trainable_mask)
+    if cfg.solver.grad_accum_steps > 1:
+        from ovmono3d_tpu.train.optim import with_grad_accum
+
+        tx = with_grad_accum(tx, cfg.solver.grad_accum_steps)
     state = create_train_state(params, tx, jax.random.PRNGKey(cfg.seed + 1))
     step_fn = shard_train_step(
         make_train_step(model, tx, cfg.model.stabilize,
