@@ -92,6 +92,20 @@ class Omni3DEvaluationHelper:
         out["overall"] = overall
         per_cat = merged3d.per_category_ap()
         out["per_category_AP3D"] = per_cat
+        out["per_category_AP2D"] = merged2d.per_category_ap()
+        out["per_category_AR2D"] = merged2d.per_category_ar()
+        out["per_category_AR3D"] = merged3d.per_category_ar()
+        # Category-mean rollups — the reference's general_2D/3D_AP/AR
+        # (mean of the per-category values, omni3d_evaluation.py:521-531),
+        # a different aggregation than the joint mean in `overall`.
+        for key, table in (
+            ("general_AP2D", out["per_category_AP2D"]),
+            ("general_AR2D", out["per_category_AR2D"]),
+            ("general_AP3D", per_cat),
+            ("general_AR3D", out["per_category_AR3D"]),
+        ):
+            if table:
+                out[key] = float(np.mean(list(table.values())))
 
         # Omni3D In/Out rollups over the indoor/outdoor category universes
         # (reference omni3d_evaluation.py:427-620 analysis tables).

@@ -512,3 +512,13 @@ class Omni3DEvaluator:
                     prec[:, :, c]
                 )
         return out
+
+    def per_category_ar(self) -> dict[str, float]:
+        """Per-category AR over the 'all' band at maxDets=100 (the
+        reference's "AR-{name}" rows, omni3d_evaluation.py:477-484)."""
+        _, rec, valid = self._pr_curves("all")
+        out = {}
+        for c in range(self.num_classes):
+            if valid[c]:
+                out[self.class_names[c]] = 100 * self._mean_valid(rec[:, c])
+        return out
