@@ -237,27 +237,42 @@ class Omni3DEvaluator:
 
     # -- IoU backends -------------------------------------------------------
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Next power-of-two size (min 8): pads device IoU calls to a small
+        set of shapes so real-dataset evals reuse a handful of compiled
+        kernels instead of recompiling per unique (D, G)."""
+        return max(8, 1 << int(np.ceil(np.log2(n))))
+
     def _iou_2d(self, det_boxes, gt_boxes):
         from ovmono3d_tpu.ops.iou2d import pairwise_iou
         import jax.numpy as jnp
 
-        if len(det_boxes) == 0 or len(gt_boxes) == 0:
-            return np.zeros((len(det_boxes), len(gt_boxes)))
+        D, G = len(det_boxes), len(gt_boxes)
+        if D == 0 or G == 0:
+            return np.zeros((D, G))
+        db = np.zeros((self._bucket(D), 4), np.float64)
+        gb = np.zeros((self._bucket(G), 4), np.float64)
+        db[:D] = np.asarray(det_boxes, np.float64)
+        gb[:G] = np.asarray(gt_boxes, np.float64)
         return np.asarray(
-            pairwise_iou(jnp.asarray(det_boxes), jnp.asarray(gt_boxes))
-        )
+            pairwise_iou(jnp.asarray(db), jnp.asarray(gb))
+        )[:D, :G]
 
     def _iou_3d(self, det_corners, gt_corners):
         from ovmono3d_tpu.ops.iou3d import pairwise_iou3d
         import jax.numpy as jnp
 
-        if len(det_corners) == 0 or len(gt_corners) == 0:
-            return np.zeros((len(det_corners), len(gt_corners)))
-        _, iou = pairwise_iou3d(
-            jnp.asarray(det_corners, jnp.float32),
-            jnp.asarray(gt_corners, jnp.float32),
-        )
-        return np.asarray(iou)
+        D, G = len(det_corners), len(gt_corners)
+        if D == 0 or G == 0:
+            return np.zeros((D, G))
+        # degenerate all-zero padding boxes: zero volume -> IoU 0 (guarded)
+        dc = np.zeros((self._bucket(D), 8, 3), np.float32)
+        gc = np.zeros((self._bucket(G), 8, 3), np.float32)
+        dc[:D] = np.asarray(det_corners, np.float32)
+        gc[:G] = np.asarray(gt_corners, np.float32)
+        _, iou = pairwise_iou3d(jnp.asarray(dc), jnp.asarray(gc))
+        return np.asarray(iou)[:D, :G]
 
     # -- accumulation --------------------------------------------------------
 
@@ -282,6 +297,21 @@ class Omni3DEvaluator:
             gt.get("ignore", np.zeros(len(g_classes), bool)), bool
         )
 
+        # One device IoU launch per image over the FULL det x gt matrix,
+        # sliced per category below (vs one launch per (image, category) —
+        # the per-image matching math is unchanged).
+        if len(d_classes) and len(g_classes):
+            if self.mode == "3D":
+                full_iou = self._iou_3d(
+                    np.asarray(pred["corners3d"]), np.asarray(gt["corners3d"])
+                )
+            else:
+                full_iou = self._iou_2d(
+                    np.asarray(pred["boxes2d"]), np.asarray(gt["boxes2d"])
+                )
+        else:
+            full_iou = np.zeros((len(d_classes), len(g_classes)))
+
         for c in range(self.num_classes):
             d_sel = np.where(d_classes == c)[0]
             g_sel = np.where((g_classes == c) | (g_classes == -1))[0]
@@ -290,17 +320,7 @@ class Omni3DEvaluator:
             order = np.argsort(-d_scores[d_sel], kind="mergesort")
             d_sel = d_sel[order][:MAX_DETS]
             gt_ignore_base = (g_classes[g_sel] == -1) | g_ignore_flags[g_sel]
-
-            if self.mode == "3D":
-                iou = self._iou_3d(
-                    np.asarray(pred["corners3d"])[d_sel],
-                    np.asarray(gt["corners3d"])[g_sel],
-                )
-            else:
-                iou = self._iou_2d(
-                    np.asarray(pred["boxes2d"])[d_sel],
-                    np.asarray(gt["boxes2d"])[g_sel],
-                )
+            iou = full_iou[np.ix_(d_sel, g_sel)]
 
             det_far = None
             if self.eval_prox:
