@@ -74,12 +74,16 @@ def _greedy_match(
     O(T x D x G) triple loop (reference semantics:
     omni3d_evaluation.py:1467-1688, COCOeval.evaluateImg).
 
-    Scan rules (identical to the scalar version, golden-tested for parity):
-      - ignore gts stay matchable after being used; real gts are consumed
-      - a det never switches from a real-gt match to an ignore-gt match
-      - equal IoU prefers the later gt (>= comparison)
+    Scan rules (pycocotools evaluateImg exactly; parity-tested against a
+    direct transcription of its loop in tests/test_evaluator.py):
+      - gts are scanned IGNORES-LAST (gtind = argsort(_ignore, mergesort)),
+        so a det holding any real-gt match never takes an ignore gt — even
+        one with higher IoU (the `break` on reaching the ignore section)
+      - every matched gt is consumed per threshold, ignores included
+        (iscrowd is always False in this protocol, datasets.py:257)
+      - equal IoU prefers the later gt in scan order (>= comparison)
 
-    Returns (matched [T, D] gt idx or -1, ignored [T, D]).
+    Returns (matched [T, D] ORIGINAL gt idx or -1, ignored [T, D]).
     """
     D, G = iou.shape
     T = len(thresholds)
@@ -87,12 +91,16 @@ def _greedy_match(
     ignored = np.zeros((T, D), bool)
     if D == 0 or G == 0:
         return matched, ignored
+    # ignores-last stable scan order (COCOeval gtind)
+    order = np.argsort(gt_ignore.astype(np.int8), kind="stable")
+    iou_s = iou[:, order]
+    ign_s = np.asarray(gt_ignore, bool)[order]
     base = np.minimum(thresholds.astype(np.float64), 1 - 1e-10)
     min_thr = base.min()
     gt_used = np.zeros((T, G), bool)
     t_idx = np.arange(T)
     for d in range(D):
-        iou_d = iou[d]
+        iou_d = iou_s[d]
         cand = np.nonzero(iou_d >= min_thr)[0]
         if cand.size == 0:
             continue
@@ -101,23 +109,20 @@ def _greedy_match(
         best_ign = np.zeros(T, bool)
         for g in cand:
             v = iou_d[g]
-            ok = v >= best_iou
-            if gt_ignore[g]:
-                # Never switch from a real-gt match to an ignore gt.
+            ok = (v >= best_iou) & ~gt_used[:, g]
+            if ign_s[g]:
+                # the `break`: a held real match blocks the ignore section
                 ok &= ~((best_g >= 0) & ~best_ign)
-            else:
-                ok &= ~gt_used[:, g]
             if not ok.any():
                 continue
             best_iou = np.where(ok, v, best_iou)
             best_g = np.where(ok, g, best_g)
-            best_ign = np.where(ok, gt_ignore[g], best_ign)
+            best_ign = np.where(ok, ign_s[g], best_ign)
         sel = best_g >= 0
         if sel.any():
-            matched[sel, d] = best_g[sel]
+            matched[sel, d] = order[best_g[sel]]
             ignored[sel, d] = best_ign[sel]
-            real = sel & ~best_ign
-            gt_used[t_idx[real], best_g[real]] = True
+            gt_used[t_idx[sel], best_g[sel]] = True
     return matched, ignored
 
 

@@ -102,11 +102,14 @@ def detect_open_vocabulary_batch(
     if run is None:
         run = make_gdino_serving_fn(model, mesh, topk=topk)
     data = batch_sharding(mesh)
+    # device_put on the HOST arrays: each shard splits host-side and
+    # uploads once — jnp.asarray first would commit the whole multi-MB
+    # feed to device 0 and then reshard (two tunnel transfers).
     boxes, scores, classes, valid = run(
         jax.device_put(params, replicated(mesh)),
-        jax.device_put(jnp.asarray(images), data),
+        jax.device_put(np.asarray(images), data),
         text_args,
-        jax.device_put(jnp.asarray(im_hw), data),
+        jax.device_put(im_hw, data),
     )
     return {
         "boxes": np.asarray(boxes)[:N],

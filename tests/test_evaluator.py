@@ -145,29 +145,34 @@ def test_proximity_eval_ignores_far_detections():
 
 
 def _greedy_match_scalar(iou, gt_ignore, thresholds):
-    """Pre-vectorization scalar matcher: the parity reference."""
+    """Direct transcription of pycocotools COCOeval.evaluateImg's matching
+    loop (the semantics the reference inherits, omni3d_evaluation.py:1467):
+    gts scanned ignores-last (gtind = argsort(_ignore, mergesort)), every
+    matched gt consumed (iscrowd is always False in this protocol), and the
+    `break` once a det holding a real match reaches the ignore section."""
     D, G = iou.shape
     T = len(thresholds)
     matched = -np.ones((T, D), np.int64)
     ignored = np.zeros((T, D), bool)
+    gtind = np.argsort(np.asarray(gt_ignore, np.int8), kind="mergesort")
     for ti, thr in enumerate(thresholds):
-        gt_used = np.zeros(G, bool)
+        gtm = np.zeros(G, bool)   # indexed by sorted position
         for d in range(D):
-            best_iou = min(thr, 1 - 1e-10)
-            best_g = -1
-            for g in range(G):
-                if gt_used[g] and not gt_ignore[g]:
+            best = min(thr, 1 - 1e-10)
+            m = -1  # sorted position of the current match
+            for pos, g in enumerate(gtind):
+                if gtm[pos]:
                     continue
-                if iou[d, g] < best_iou:
+                if m > -1 and not gt_ignore[gtind[m]] and gt_ignore[g]:
+                    break
+                if iou[d, g] < best:
                     continue
-                if best_g > -1 and gt_ignore[g] and not gt_ignore[best_g]:
-                    continue
-                best_iou = iou[d, g]
-                best_g = g
-            if best_g >= 0:
-                gt_used[best_g] = True
-                matched[ti, d] = best_g
-                ignored[ti, d] = gt_ignore[best_g]
+                best = iou[d, g]
+                m = pos
+            if m >= 0:
+                gtm[m] = True
+                matched[ti, d] = gtind[m]
+                ignored[ti, d] = gt_ignore[gtind[m]]
     return matched, ignored
 
 

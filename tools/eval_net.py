@@ -61,9 +61,30 @@ def parse_args():
     return ap.parse_args()
 
 
+def make_run_fn(model):
+    """Jitted oracle-path inference step, built ONCE and shared across test
+    datasets — a fresh @jax.jit per dataset would re-trace (and, on a
+    compile-cache miss, re-upload through the size-capped axon relay) the
+    identical graph for every dataset."""
+    import jax
+
+    @jax.jit
+    def run(params, batch):
+        return model.apply(
+            params, batch["image"], batch["K"], batch["im_hw"],
+            batch["im_scale_ratio"], None,
+            oracle_boxes=batch["oracle_boxes"],
+            oracle_classes=batch["oracle_classes"],
+            oracle_scores=batch["oracle_scores"],
+            oracle_valid=batch["oracle_valid"],
+        )
+
+    return run
+
+
 def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
                      helper, dataset_name, dump_path=None, vis_dir=None,
-                     vis_period=50, mesh=None):
+                     vis_period=50, mesh=None, run=None):
     """Oracle-path inference over a record list, accumulated into the SHARED
     multi-dataset `helper` (reference do_test accumulates every test dataset
     into one Omni3DEvaluationHelper, omni3d_evaluation.py:427-620).
@@ -89,16 +110,8 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
 
     records = process_shard(records)
 
-    @jax.jit
-    def run(params, batch):
-        return model.apply(
-            params, batch["image"], batch["K"], batch["im_hw"],
-            batch["im_scale_ratio"], None,
-            oracle_boxes=batch["oracle_boxes"],
-            oracle_classes=batch["oracle_classes"],
-            oracle_scores=batch["oracle_scores"],
-            oracle_valid=batch["oracle_valid"],
-        )
+    if run is None:
+        run = make_run_fn(model)
 
     # Separate data / pure-compute timers + periodic ETA, the reference's
     # inference_on_dataset instrumentation (omni3d_evaluation.py:637-715).
@@ -125,8 +138,11 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
             from ovmono3d_tpu.parallel.mesh import batch_sharding
 
             sharding = batch_sharding(mesh)
+            # device_put on the HOST arrays: shards split host-side and
+            # upload once each — jnp.asarray first would commit the whole
+            # feed to device 0 and then reshard (two tunnel transfers).
             batch = {
-                k: jax.device_put(jnp.asarray(v), sharding)
+                k: jax.device_put(np.asarray(v), sharding)
                 for k, v in batch.items()
             }
         else:
@@ -225,14 +241,30 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
     return n_done
 
 
+def _np_cuboid_corners(centers, dims, poses):
+    """Batched numpy mirror of utils.geometry.cuboid_corners (reference
+    get_cuboid_verts_faces, math_util.py:116-219) — host-side GT prep must
+    not dispatch a device call per annotation (multi-ms each on the
+    tunneled TPU)."""
+    import numpy as np
+
+    from ovmono3d_tpu.utils.geometry import CORNER_SIGNS
+
+    signs = np.asarray(CORNER_SIGNS, np.float64)          # [8, 3]
+    whl = np.asarray(dims, np.float64)                    # (W, H, L)
+    scale = np.stack([whl[:, 2], whl[:, 1], whl[:, 0]], -1)
+    local = signs[None] * scale[:, None, :]               # [N, 8, 3]
+    local = np.einsum("nij,nkj->nki", np.asarray(poses, np.float64), local)
+    return (local + np.asarray(centers, np.float64)[:, None, :]).astype(
+        np.float32
+    )
+
+
 def _record_gt(rec):
     import numpy as np
 
-    from ovmono3d_tpu.utils.geometry import cuboid_corners
-    import jax.numpy as jnp
-
-    classes, boxes2d, corners, depths = [], [], [], []
-    centers, dims, poses, ignores = [], [], [], []
+    classes, boxes2d, depths = [], [], []
+    centers, dims, poses, ignores, has3d = [], [], [], [], []
     for anno in rec.get("annotations", []):
         cid = anno["category_id"]
         ig = bool(anno.get("ignore", cid < 0))
@@ -246,25 +278,25 @@ def _record_gt(rec):
         ignores.append(ig)
         boxes2d.append(anno["bbox2d"])
         if anno.get("center_cam") is not None:
-            box = np.concatenate(
-                [anno["center_cam"], anno["dimensions"]]
-            ).astype(np.float32)
-            pose = np.asarray(anno["pose"], np.float32)
-            corners.append(
-                np.asarray(cuboid_corners(jnp.asarray(box), jnp.asarray(pose)))
-            )
+            has3d.append(True)
             depths.append(anno["center_cam"][2])
             centers.append(np.asarray(anno["center_cam"], np.float32))
             dims.append(np.asarray(anno["dimensions"], np.float32))
-            poses.append(pose)
+            poses.append(np.asarray(anno["pose"], np.float32))
         else:
-            corners.append(np.zeros((8, 3), np.float32))
+            has3d.append(False)
             depths.append(0.0)
             centers.append(np.zeros(3, np.float32))
             dims.append(np.ones(3, np.float32))
             poses.append(np.eye(3, dtype=np.float32))
     n = len(classes)
     center = np.asarray(centers, np.float32).reshape(n, 3)
+    corners = (
+        _np_cuboid_corners(center, np.asarray(dims, np.float32).reshape(n, 3),
+                           np.asarray(poses, np.float32).reshape(n, 3, 3))
+        if n else np.zeros((0, 8, 3), np.float32)
+    )
+    corners[~np.asarray(has3d, bool)] = 0.0
     # Projected GT centers (for the xy-pixel error stat, vis.py:289-294).
     K = np.asarray(rec.get("K", np.eye(3)), np.float32)
     z = np.maximum(center[:, 2:3], 1e-6)
@@ -476,6 +508,7 @@ def main():
         novel_categories=novel_categories,
     )
 
+    run_fn = make_run_fn(model)
     for name, records in datasets.items():
         logger.info("evaluating %s (%d images)", name, len(records))
         if args.vis_dir:
@@ -486,6 +519,7 @@ def main():
             dump_path=(f"{args.dump_predictions}_{name}.json"
                        if args.dump_predictions else None),
             vis_dir=args.vis_dir, vis_period=args.vis_period, mesh=mesh,
+            run=run_fn,
         )
 
     summary = helper.summarize_all()
@@ -497,7 +531,7 @@ def main():
     overall.update({
         k: v for k, v in summary.items()
         if k.startswith(("NHD_disentangled", "mean_err", "novel_",
-                         "AP3D_omni"))
+                         "AP3D_omni", "general_"))
     })
     print_ap_summary(overall, title="overall (all test datasets merged)")
     print_ap_per_category(summary["per_category_AP3D"],
