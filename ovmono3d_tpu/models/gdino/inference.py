@@ -23,7 +23,7 @@ from ovmono3d_tpu.models.gdino.tokenizer import (
     BertTokenizer,
     phrase_token_spans,
 )
-from ovmono3d_tpu.ops.nms import nms_mask
+from ovmono3d_tpu.ops.nms import nms_mask_parallel
 
 BOX_THRESHOLD = 0.001   # roi_heads_gdino.py:148
 NMS_THRESHOLD = 0.5     # roi_heads_gdino.py:254
@@ -40,6 +40,12 @@ def build_text_inputs(
     span_matrix [P, T] (row c = indicator of category c's token span),
     span_valid [P].
     """
+    if len(categories) > max_phrases:
+        raise ValueError(
+            f"{len(categories)} categories > max_phrases={max_phrases}; "
+            "pass max_phrases=len(categories) (silently dropping the rest "
+            "would zero their detections)"
+        )
     ids, spans = phrase_token_spans(tok, categories, max_len)
     n = len(ids)
     input_ids = np.full((1, max_len), tok.pad_id, np.int32)
@@ -83,7 +89,12 @@ def postprocess_grounding(
     valid [topk]).
     """
     probs = jax.nn.sigmoid(pred_logits)                     # (Q, 256)
-    phrase_logits = probs @ span_matrix.T                   # (Q, P) sums
+    # HIGHEST precision: default f32 matmul uses bf16 passes on TPU and the
+    # ~0.4% score error would flip detections at the 0.001 threshold; the
+    # [Q, 256] x [256, P] dot is tiny so exactness is free.
+    phrase_logits = jnp.matmul(
+        probs, span_matrix.T, precision=jax.lax.Precision.HIGHEST
+    )                                                       # (Q, P) sums
     phrase_logits = jnp.where(span_valid[None, :], phrase_logits, -1e9)
     scores = jnp.max(phrase_logits, axis=1)                 # (Q,)
     classes = jnp.argmax(phrase_logits, axis=1).astype(jnp.int32)
@@ -95,8 +106,11 @@ def postprocess_grounding(
         [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
     )
     valid = scores > box_threshold
-    # class-agnostic NMS (torchvision.ops.nms in the reference)
-    keep = nms_mask(boxes, scores, nms_threshold, valid)
+    # class-agnostic NMS (torchvision.ops.nms in the reference); the
+    # parallel fixpoint form is bit-identical to the serial scan
+    # (tests/test_nms.py) and converges in a few dense rounds instead of a
+    # Q-step sequential fori_loop.
+    keep = nms_mask_parallel(boxes, scores, nms_threshold, valid)
     neg_inf = jnp.finfo(scores.dtype).min
     masked = jnp.where(keep, scores, neg_inf)
     topk = min(topk, masked.shape[0])  # fewer queries than output slots

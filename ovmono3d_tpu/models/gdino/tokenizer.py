@@ -130,6 +130,13 @@ def phrase_token_spans(
         spans.append(list(range(start, len(ids))))
         ids.append(tok.period_id)
     ids.append(tok.sep_id)
-    ids = ids[:max_len]
-    spans = [[i for i in s if i < max_len] for s in spans]
+    if len(ids) > max_len:
+        # The reference asserts on span mismatch rather than truncating
+        # (roi_heads_gdino.py:284); silently clipping would zero the spans
+        # of the overflowing categories and make them undetectable.
+        raise ValueError(
+            f"prompt needs {len(ids)} tokens for {len(categories)} "
+            f"categories but max_text_len is {max_len}; split the category "
+            "list across prompts"
+        )
     return ids, spans

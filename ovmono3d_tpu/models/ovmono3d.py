@@ -66,7 +66,18 @@ class OVMono3DLift:
     gdino_params: dict
     tokenizer: BertTokenizer
     gdino_size: int = 800   # square input side for the detector
+    # Shortest-edge resize rule for the content placed on the square canvas
+    # (detectron2 ResizeShortestEdge(MIN_SIZE_TEST, MAX_SIZE_TEST) — the
+    # reference feeds GroundingDINO the SAME canvas the RCNN sees,
+    # roi_heads_gdino.py:147). None = legacy longest-side-to-canvas rule.
+    gdino_min_size: int | None = None
+    gdino_max_size: int | None = None
     max_detections: int = 100
+    # 2D-stage slots: the reference keeps EVERY box passing threshold+NMS
+    # (roi_heads_gdino.py:252-257, no cap); 300 slots let the final ranking
+    # happen on the fused sqrt(s2d*conf) score downstream instead of
+    # pre-truncating by 2D score at 100.
+    detect_topk: int = 300
     _jit_cache: dict = dataclasses.field(default_factory=dict)
 
     def _jitted(self, name: str, fn):
@@ -112,7 +123,9 @@ class OVMono3DLift:
         gdino, gdino_params = _init_gdino(tokenizer, k2, gdino_kwargs,
                                           gdino_size)
         return cls(cfg, rcnn, rcnn_params, gdino, gdino_params, tokenizer,
-                   gdino_size=gdino_size)
+                   gdino_size=gdino_size,
+                   gdino_min_size=cfg.input.min_size_test,
+                   gdino_max_size=cfg.input.max_size_test)
 
     @classmethod
     def build_2d_only(cls, tokenizer: BertTokenizer,
@@ -132,14 +145,28 @@ class OVMono3DLift:
     # -- stages ---------------------------------------------------------------
 
     def _prep_gdino_image(self, image: np.ndarray):
-        """Resize longest side to gdino_size, pad square, normalize.
+        """Place the resized content on the square canvas, normalize.
+
+        With gdino_min_size set, the content is resized with detectron2's
+        ResizeShortestEdge(min, max) rule — the EXACT canvas geometry the
+        reference feeds GroundingDINO (roi_heads_gdino.py:147 passes the
+        detectron2-preprocessed square-pad image, so e.g. a 480x640 frame
+        becomes 532x709 content on the 896 canvas, NOT 672x896). Without
+        it, falls back to longest-side-to-canvas.
         Returns (tensor [1, S, S, 3], scale original->tensor)."""
         import cv2
 
         S = self.gdino_size
         h, w = image.shape[:2]
-        scale = S / max(h, w)
+        if self.gdino_min_size:
+            scale = self.gdino_min_size / min(h, w)
+            max_size = self.gdino_max_size or S
+            if max(h, w) * scale > max_size:
+                scale = max_size / max(h, w)
+        else:
+            scale = S / max(h, w)
         nh, nw = int(round(h * scale)), int(round(w * scale))
+        nh, nw = min(nh, S), min(nw, S)
         resized = cv2.resize(image.astype(np.float32) / 255.0, (nw, nh))
         canvas = np.zeros((S, S, 3), np.float32)
         canvas[:nh, :nw] = (resized - GDINO_MEAN) / GDINO_STD
@@ -148,12 +175,12 @@ class OVMono3DLift:
     def detect_2d(self, image: np.ndarray, categories: list[str]):
         """Open-vocab 2D detection; boxes in ORIGINAL image pixels."""
         if not categories:
-            z = np.zeros((self.max_detections,))
+            z = np.zeros((self.detect_topk,))
             return {
-                "boxes": np.zeros((self.max_detections, 4), np.float32),
+                "boxes": np.zeros((self.detect_topk, 4), np.float32),
                 "scores": z.astype(np.float32),
-                "classes": np.zeros((self.max_detections,), np.int32),
-                "valid": np.zeros((self.max_detections,), bool),
+                "classes": np.zeros((self.detect_topk,), np.int32),
+                "valid": np.zeros((self.detect_topk,), bool),
             }
         tensor, scale = self._prep_gdino_image(image)
         # Text runs at the smallest power-of-two bucket >= the caption
@@ -164,7 +191,8 @@ class OVMono3DLift:
         # (Measured: T=32 -> 256 costs only ~1 ms of the 119 ms forward —
         # semantics more than perf.)
         full = self.gdino.max_text_len
-        text = build_text_inputs(self.tokenizer, categories, max_len=full)
+        text = build_text_inputs(self.tokenizer, categories, max_len=full,
+                                 max_phrases=max(64, len(categories)))
         n_tok = int(text["text_mask"][0].sum())
         T = 32
         while T < n_tok and T < full:
@@ -192,7 +220,7 @@ class OVMono3DLift:
             jnp.asarray(
                 [self.gdino_size, self.gdino_size], jnp.float32
             ),
-            topk=self.max_detections,
+            topk=self.detect_topk,
         )
         return {
             "boxes": np.asarray(boxes) / scale,

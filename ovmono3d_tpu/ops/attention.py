@@ -223,10 +223,27 @@ def flash_attention(
     return out[:, :n]
 
 
+def _env_clamp() -> float | None:
+    """OVMONO3D_ATTN_CLAMP: '' / unset -> 50 (default clamped single-pass
+    kernel), 'none' -> online-softmax kernel (numerically unconditional),
+    a float -> that clamp. The clamped kernel is exact only while per-row
+    max raw logits stay within [C-87, C] (see _flash_kernel_single);
+    audit a converted checkpoint with tools/check_attn_logits.py before
+    trusting the default on new weights."""
+    import os
+
+    val = os.environ.get("OVMONO3D_ATTN_CLAMP", "").strip().lower()
+    if not val:
+        return 50.0
+    if val == "none":
+        return None
+    return float(val)
+
+
 @jax.custom_vjp
 def _attention_autoselect(q, k, v):
     if jax.default_backend() == "tpu":
-        return flash_attention(q, k, v)
+        return flash_attention(q, k, v, clamp_c=_env_clamp())
     return attention_xla(q, k, v)
 
 

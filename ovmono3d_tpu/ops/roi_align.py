@@ -24,39 +24,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_gather(feat: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Bilinear sample of feat [H, W, C] at continuous (x, y) points [P].
-
-    Out-of-range samples contribute 0 (matching ROIAlign's zero padding for
-    points outside the feature map).
-    Returns [P, C].
-    """
-    H, W, _ = feat.shape
-    # ROIAlign zero-pads samples fully outside; clamps the interpolation
-    # lattice at the border (torchvision bilinear_interpolate semantics).
-    oob = (x < -1.0) | (x > W) | (y < -1.0) | (y > H)
-    x = jnp.clip(x, 0.0, W - 1)
-    y = jnp.clip(y, 0.0, H - 1)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    lx = x - x0.astype(x.dtype)
-    ly = y - y0.astype(y.dtype)
-
-    flat = feat.reshape(H * W, -1)
-    f00 = flat[y0 * W + x0]
-    f01 = flat[y0 * W + x1]
-    f10 = flat[y1 * W + x0]
-    f11 = flat[y1 * W + x1]
-    w00 = ((1 - ly) * (1 - lx))[:, None]
-    w01 = ((1 - ly) * lx)[:, None]
-    w10 = (ly * (1 - lx))[:, None]
-    w11 = (ly * lx)[:, None]
-    out = f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
-    return jnp.where(oob[:, None], 0.0, out)
-
-
 def _interp_matrix(
     coords: jax.Array, size: int, dtype
 ) -> jax.Array:
@@ -129,12 +96,18 @@ def roi_align(
     Ry = _interp_matrix(ys, H, feat.dtype)  # [N, R, H]
     Rx = _interp_matrix(xs, W, feat.dtype)  # [N, R, W]
 
+    # Pin HIGHEST for f32: TPU's default f32 matmul uses bf16 passes, which
+    # would round the interpolation weights and break the torchvision-exact
+    # numerics this op claims (same rule as deformable.py's f32 sampler).
+    prec = (jax.lax.Precision.HIGHEST if feat.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     t = jnp.einsum(
-        "nih,hwc->niwc", Ry, feat, preferred_element_type=jnp.float32
+        "nih,hwc->niwc", Ry, feat, preferred_element_type=jnp.float32,
+        precision=prec,
     )
     pooled = jnp.einsum(
         "njw,niwc->nijc", Rx, t.astype(feat.dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     return pooled.astype(feat.dtype)
 

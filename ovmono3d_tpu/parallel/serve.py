@@ -91,7 +91,8 @@ def detect_open_vocabulary_batch(
         images = np.concatenate(
             [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
         )
-    text = build_text_inputs(tok, categories, max_len=model.max_text_len)
+    text = build_text_inputs(tok, categories, max_len=model.max_text_len,
+                             max_phrases=max(64, len(categories)))
     text_args = tuple(
         jnp.asarray(text[k])
         for k in ("input_ids", "text_mask", "text_self_mask",
