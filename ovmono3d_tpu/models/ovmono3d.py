@@ -163,6 +163,9 @@ class OVMono3DLift:
             max_size = self.gdino_max_size or S
             if max(h, w) * scale > max_size:
                 scale = max_size / max(h, w)
+            # content can never exceed the canvas (real configs have
+            # max_size == square_pad == S; tiny test configs may not)
+            scale = min(scale, S / max(h, w))
         else:
             scale = S / max(h, w)
         nh, nw = int(round(h * scale)), int(round(w * scale))

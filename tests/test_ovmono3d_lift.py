@@ -63,3 +63,37 @@ def test_default_focal_heuristic():
     # f = 4 * h / 2 (demo.py:63-76)
     assert K[0, 0] == pytest.approx(960.0)
     assert K[0, 2] == pytest.approx(320.0)
+
+
+def test_prep_gdino_canvas_shortest_edge(pipeline):
+    """Config-built pipelines use the detectron2 ResizeShortestEdge(min,
+    max) canvas geometry the reference feeds GroundingDINO
+    (roi_heads_gdino.py:147): a 480x640 frame at (532, 896) becomes
+    532x709 content on the square canvas — NOT longest-side 672x896."""
+    import dataclasses as dc
+
+    # the tiny fixture carries the config's min/max test sizes
+    p = dc.replace(pipeline, gdino_min_size=30, gdino_max_size=56,
+                   gdino_size=64)
+    im = (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8)
+    tensor, scale = p._prep_gdino_image(im)
+    assert tensor.shape == (1, 64, 64, 3)
+    # shortest edge 48 -> 30 gives scale 0.625; longest 64*0.625=40 <= 56
+    np.testing.assert_allclose(scale, 30 / 48)
+    nh, nw = round(48 * scale), round(64 * scale)
+    # content occupies [:nh, :nw]; padding stays at the normalized zero
+    pad_val = tensor[0, -1, -1]
+    assert np.abs(tensor[0, :nh, :nw] - pad_val[None, None]).max() > 0
+    assert np.allclose(tensor[0, nh:], pad_val)
+    assert np.allclose(tensor[0, :, nw:], pad_val)
+
+    # max-size cap: a very wide frame hits the max_size/longest rule
+    im2 = (np.random.RandomState(1).rand(20, 80, 3) * 255).astype(np.uint8)
+    _, scale2 = p._prep_gdino_image(im2)
+    np.testing.assert_allclose(scale2, 56 / 80)
+
+    # 2D-only construction (no config) keeps the longest-side rule
+    p3 = dc.replace(pipeline, gdino_min_size=None, gdino_max_size=None,
+                    gdino_size=64)
+    _, scale3 = p3._prep_gdino_image(im)
+    np.testing.assert_allclose(scale3, 64 / 64)
