@@ -134,6 +134,10 @@ class SolverConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0001
     weight_decay_norm: float = 0.0
+    # None = biases follow weight_decay (detectron2 WEIGHT_DECAY_BIAS
+    # default; solver/build.py:36-40)
+    weight_decay_bias: float | None = None
+    adam_eps: float = 1e-2          # all reference adam variants (build.py)
     bias_lr_factor: float = 1.0
     steps: tuple[int, ...] = (69600, 92800)
     gamma: float = 0.1
@@ -159,6 +163,9 @@ class InputConfig:
     max_size_test: int = 896
     random_flip: bool = True
     train_set_percentage: float = 1.0
+    # INPUT.DEPTH_SIZE config-surface parity only: prompt depth now rides
+    # the image's exact canvas geometry in the mapper (resize + flip + pad
+    # with the image), so no separate fixed depth resolution is used.
     depth_size: tuple[int, int] = (800, 600)
     format: str = "RGB"
 

@@ -60,7 +60,10 @@ def resize_shortest_edge(
     scale = short / min(h, w)
     if max(h, w) * scale > max_size:
         scale = max_size / max(h, w)
-    return int(round(h * scale)), int(round(w * scale)), scale
+    # round-half-UP like detectron2's int(x + 0.5) (ResizeShortestEdge
+    # .get_output_shape) and the native kernel's std::lround — Python's
+    # banker's round() disagrees at exact .5 products (e.g. 749*0.5).
+    return int(h * scale + 0.5), int(w * scale + 0.5), scale
 
 
 def _resize_image(image: np.ndarray, new_hw: tuple[int, int]) -> np.ndarray:
@@ -131,11 +134,21 @@ def map_example(
         except (OSError, ValueError):
             depth = None
     if depth is not None:
-        dh, dw = cfg.input.depth_size[1], cfg.input.depth_size[0]
-        d = _resize_image(np.asarray(depth, np.float32), (dh, dw))
+        # The SAME geometry as the image: shortest-edge resize to (nh, nw),
+        # flip, then top-left placement on the square canvas — so the
+        # model's stretch of the depth canvas onto the padded patch grid is
+        # alignment-exact. (The reference aug-transforms depth with the
+        # image, dataset_mapper.py:48-77, but its collate pads depth only
+        # to the BATCH max size while images pad to the square canvas
+        # (train_net.py:205-220), stretching depth relative to pixels
+        # whenever the batch max is smaller — a misalignment we don't
+        # replicate.)
+        d = _resize_image(np.asarray(depth, np.float32), (nh, nw))
         if flip:
             d = d[:, ::-1]
-        ex.depth = np.ascontiguousarray(d)[..., None]
+        d_canvas = np.zeros((S, S), np.float32)
+        d_canvas[:nh, :nw] = d
+        ex.depth = d_canvas[..., None]
 
     # Network-resolution K for projecting 3D centers to input coords.
     K_net = K / ratio

@@ -197,7 +197,11 @@ def label_anchors_single(
         anchors, gt.boxes, fg_gt, iou_thresholds, allow_low_quality=True
     )
     # IoU-weighted subsampling (rpn.py:275-328) with positive_fraction.
-    pos_sampled, neg_sampled = box_ops.subsample_labels(
+    # The negative sample (and the reference's background-inside-ignore
+    # IoA pass, rpn.py:93-105) is NOT computed: the IoUness losses are
+    # FG-only in the reference too (rpn.py:206-273), so negatives are dead
+    # work there as well — see VERDICT/review note.
+    pos_sampled, _ = box_ops.subsample_labels(
         key, labels, batch_size, positive_fraction, matched_iou_v
     )
     # Best anchor per GT is always positive (rpn.py:71-84: applied after
@@ -208,17 +212,10 @@ def label_anchors_single(
     is_best = (iou_full >= best_per_gt - 1e-7) & (best_per_gt > 0)
     force_pos = jnp.any(is_best, axis=0) & (labels == 1)
     fg_mask = pos_sampled | force_pos
-
-    # Ignore regions: background anchors inside an ignore box (IoA >= thr)
-    # are dropped from the negative sample (rpn.py:93-105).
-    if gt.boxes.shape[0] > 0:
-        ioa = pairwise_ioa(gt.boxes, anchors)
-        ioa = jnp.where(ign_gt[:, None], ioa, 0.0)
-        in_ignore = jnp.max(ioa, axis=0) >= ignore_threshold
-        neg_sampled = neg_sampled & ~in_ignore
+    del ign_gt  # ignore regions only affect the (unused) negative sample
 
     matched_boxes = gt.boxes[matched_idx]
-    return fg_mask, neg_sampled, matched_boxes, matched_iou_v
+    return fg_mask, matched_boxes, matched_iou_v
 
 
 def sample_proposals_single(
@@ -247,11 +244,14 @@ def sample_proposals_single(
     matched_idx = jnp.argmax(iou, axis=0)
 
     labels = jnp.where(matched_iou_v >= iou_threshold, 1, 0)
-    # Proposals inside ignore regions are excluded entirely.
+    # Only BACKGROUND proposals inside ignore regions are excluded — the
+    # reference applies the IoA override to matched_labels==0 only
+    # (roi_heads.py:909-917); a foreground match overlapping an ignore
+    # region stays a positive.
     ioa = pairwise_ioa(gt.boxes, prop_boxes)
     ioa = jnp.where(ign_gt[:, None], ioa, 0.0)
     in_ignore = jnp.max(ioa, axis=0) >= ignore_threshold
-    labels = jnp.where(in_ignore | ~prop_valid, -1, labels)
+    labels = jnp.where((in_ignore & (labels == 0)) | ~prop_valid, -1, labels)
 
     pos_sampled, neg_sampled = box_ops.subsample_labels(
         key, labels, num_samples, positive_fraction, matched_iou_v
@@ -381,6 +381,9 @@ def decode_cube(
     else:  # direct
         z_norm = z_raw
         z = z_raw
+    if cfg.z_type != "clusters":
+        z_mean = jnp.zeros_like(z)
+        z_std = jnp.ones_like(z)
 
     if cfg.virtual_depth:
         v2r = geom.virtual_to_real_scale(
@@ -410,6 +413,8 @@ def decode_cube(
         "corners": corners,
         "virtual_to_real": v2r,
         "deltas_2d": deltas_2d,
+        "z_mean": z_mean,
+        "z_std": z_std,
     }
 
 
@@ -516,7 +521,15 @@ def cube_losses(
             loss_z = jnp.abs(
                 dec["z_norm"] - jnp.log(jnp.clip(gt_z * r2v, 0.01))
             )
-        else:  # direct (and clusters fall back to direct-vs-virtual)
+        elif cfg.z_type == "clusters":
+            # l1 between the RAW prediction and the cluster-standardized
+            # virtual-z target (roi_heads.py:672-673).
+            loss_z = jnp.abs(
+                dec["z_norm"]
+                - (gt_z * r2v - dec["z_mean"])
+                / jnp.maximum(dec["z_std"], 1e-8)
+            )
+        else:  # direct
             loss_z = jnp.abs(dec["z"] - gt_z)
 
     losses = {
@@ -848,7 +861,7 @@ class RCNN3D(nn.Module):
         rng_anchor, rng_prop = jax.random.split(rng)
         anchor_keys = jax.random.split(rng_anchor, b)
         prop_keys = jax.random.split(rng_prop, b)
-        fg_mask, neg_mask, matched_boxes, iou_targets = jax.vmap(
+        fg_mask, matched_boxes, iou_targets = jax.vmap(
             lambda k, g: label_anchors_single(
                 k, anchors, g, rpn_cfg.iou_thresholds,
                 rpn_cfg.batch_size_per_image, rpn_cfg.positive_fraction,
@@ -967,10 +980,12 @@ class RCNN3D(nn.Module):
 
 
 def optax_sigmoid_bce(logits, targets):
-    """Numerically-stable binary cross-entropy with logits."""
-    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
-        jnp.exp(-jnp.abs(logits))
-    )
+    """Numerically-stable binary cross-entropy with logits (delegates to
+    optax; oracled vs the reference's F.binary_cross_entropy_with_logits
+    in tests/test_reference_oracle.py)."""
+    import optax
+
+    return optax.sigmoid_binary_cross_entropy(logits, targets)
 
 
 def build_model(cfg: ModelConfig, priors: dict | None = None) -> RCNN3D:

@@ -50,19 +50,28 @@ def train(
     attempts = 0
     period = max(solver.checkpoint_period, 1)
     eval_period = getattr(cfg.test, "eval_period", 0)
-    last_ckpt_step = int(state.step)
+    # Step/skipped are tracked HOST-SIDE: int(state.step) every iteration
+    # would block on the step result and serialize dispatch (multi-ms
+    # exposed latency per step on the tunneled TPU). state.step advances by
+    # exactly 1 per step_fn call; `skipped` is only materialized at the
+    # stabilization-check cadence below.
+    step = int(state.step)
+    last_ckpt_step = step
     last_ckpt_skipped = int(state.skipped)
+    # At most every 20 steps (bounded restart-detection delay), but never
+    # sparser than the half-checkpoint-period gate that arms the check.
+    stab_check_every = max(1, min(20, period // 2))
     # Host copy of the entry state: the restart target until the first
     # checkpoint lands (only needed when stabilization is on).
     init_host_state = (
         jax.device_get(state) if cfg.model.stabilize > 0 else None
     )
 
-    while int(state.step) < solver.max_iter:
+    while step < solver.max_iter:
         t0 = time.time()
         batch = next(data_iter)
         state, metrics = step_fn(state, batch)
-        step = int(state.step)
+        step += 1
 
         if hooks:
             for hook in hooks:
@@ -71,10 +80,16 @@ def train(
                 hook(step, state, metrics, batch=batch)
 
         since_ckpt = step - last_ckpt_step
-        skipped_since = int(state.skipped) - last_ckpt_skipped
-        if (
+        check_stab = (
             cfg.model.stabilize > 0
             and since_ckpt >= period // 2
+            and step % stab_check_every == 0
+        )
+        skipped_since = (
+            int(state.skipped) - last_ckpt_skipped if check_stab else 0
+        )
+        if (
+            check_stab
             and skipped_since / max(since_ckpt, 1) >= cfg.model.stabilize
         ):
             attempts += 1
@@ -94,7 +109,8 @@ def train(
                 state = init_host_state
             if data_iter_factory is not None:
                 data_iter = data_iter_factory(attempts)
-            last_ckpt_step = int(state.step)
+            step = int(state.step)  # resync host counter after restore
+            last_ckpt_step = step
             last_ckpt_skipped = int(state.skipped)
             continue
 

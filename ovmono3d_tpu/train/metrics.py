@@ -41,17 +41,26 @@ class MetricsWriter:
             except Exception as e:  # pragma: no cover
                 logger.warning("tensorboard writer unavailable: %s", e)
         self._last_flush = time.time()
+        self._buffer: list[tuple[int, dict]] = []
 
     def __call__(self, step: int, state, metrics: dict, **_):
-        scalars = {}
-        for k, v in metrics.items():
-            try:
-                scalars[k] = float(v)
-            except (TypeError, ValueError):
-                continue
-            self.history[k].append(scalars[k])
+        # Buffer the device scalars WITHOUT materializing them — float()
+        # per step would block on the step's result and defeat JAX async
+        # dispatch (multi-ms exposed dispatch latency on the tunneled TPU).
+        self._buffer.append((step, metrics))
         if step % self.period != 0:
             return
+        scalars = {}
+        for s, m in self._buffer:
+            vals = {}
+            for k, v in m.items():
+                try:
+                    vals[k] = float(v)  # ready by now: K steps behind
+                except (TypeError, ValueError):
+                    continue
+                self.history[k].append(vals[k])
+            scalars = vals  # keep the latest step's values for the record
+        self._buffer.clear()
         now = time.time()
         rate = self.period / max(now - self._last_flush, 1e-9)
         self._last_flush = now

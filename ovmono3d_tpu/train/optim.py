@@ -74,22 +74,26 @@ def _sgd(lr_schedule, momentum, weight_decay):
     )
 
 
-def _adam_like(kind, lr_schedule, weight_decay):
+def _adam_like(kind, lr_schedule, weight_decay, eps: float = 1e-2):
     """adam | adam+amsgrad | adamw | adamw+amsgrad (SOLVER.TYPE values,
-    solver/build.py:49-66)."""
+    solver/build.py:49-66 — all torch variants there pass eps=1e-02).
+
+    Adam variants use COUPLED L2 (decay added to the gradient before the
+    moment normalizer, torch.optim.Adam semantics); AdamW variants use
+    DECOUPLED decay (added after normalization, scaled by lr,
+    torch.optim.AdamW semantics)."""
     amsgrad = kind.endswith("+amsgrad")
     if kind.startswith("adamw"):
-        inner = (
-            optax.chain(optax.amsgrad(lr_schedule),)
-            if amsgrad else optax.adamw(lr_schedule,
-                                        weight_decay=weight_decay)
-        )
-        if amsgrad and weight_decay:
-            inner = optax.chain(
-                optax.add_decayed_weights(weight_decay), inner
+        if amsgrad:
+            return optax.chain(
+                optax.scale_by_amsgrad(eps=eps),
+                optax.add_decayed_weights(weight_decay) if weight_decay
+                else optax.identity(),
+                optax.scale_by_learning_rate(lr_schedule),
             )
-        return inner
-    base = optax.amsgrad(lr_schedule) if amsgrad else optax.adam(lr_schedule)
+        return optax.adamw(lr_schedule, eps=eps, weight_decay=weight_decay)
+    base = (optax.amsgrad(lr_schedule, eps=eps) if amsgrad
+            else optax.adam(lr_schedule, eps=eps))
     return optax.chain(
         optax.add_decayed_weights(weight_decay) if weight_decay else
         optax.identity(),
@@ -110,13 +114,17 @@ def build_optimizer(cfg: SolverConfig, params) -> optax.GradientTransformation:
     def make(kind, lr, wd):
         if kind == "sgd":
             return _sgd(lr, cfg.momentum, wd)
-        return _adam_like(kind, lr, wd)
+        return _adam_like(kind, lr, wd, eps=cfg.adam_eps)
 
     kind = cfg.type
+    # Biases follow WEIGHT_DECAY unless WEIGHT_DECAY_BIAS overrides
+    # (detectron2 default None = follow; solver/build.py:36-40).
+    wd_bias = (cfg.weight_decay if cfg.weight_decay_bias is None
+               else cfg.weight_decay_bias)
     tx = optax.multi_transform(
         {
             "default": make(kind, sched, cfg.weight_decay),
-            "bias": make(kind, bias_sched, 0.0),
+            "bias": make(kind, bias_sched, wd_bias),
             "norm": make(kind, sched, cfg.weight_decay_norm),
         },
         param_group_labels(params),

@@ -267,8 +267,12 @@ def test_depth_plumbing(tmp_path):
     cfg = Config()
     ex = map_example(recs[0], cfg, is_train=True, max_gt=4,
                      rng=np.random.RandomState(0))
-    dh, dw = cfg.input.depth_size[1], cfg.input.depth_size[0]
-    assert ex.depth.shape == (dh, dw, 1)
-    np.testing.assert_allclose(ex.depth, 2.5, atol=1e-5)
+    # depth rides the image's exact canvas geometry: resized content at
+    # [:nh, :nw] of the square pad, zeros elsewhere
+    S = cfg.model.backbone.square_pad
+    nh, nw = int(ex.im_hw[0]), int(ex.im_hw[1])
+    assert ex.depth.shape == (S, S, 1)
+    np.testing.assert_allclose(ex.depth[:nh, :nw], 2.5, atol=1e-5)
+    assert np.all(ex.depth[nh:] == 0) and np.all(ex.depth[:, nw:] == 0)
     batch = batch_examples([ex, ex])
-    assert batch["depth"].shape == (2, dh, dw, 1)
+    assert batch["depth"].shape == (2, S, S, 1)
