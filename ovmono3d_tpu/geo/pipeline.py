@@ -179,14 +179,26 @@ def fit_box_from_mask_depth(
     R_align = heading_to_rotmat(-yaw)
     aligned = centered @ R_align.T + offset
 
-    keep = robust_extent_mask(aligned, flat_m)
+    # Density filter on MEAN-CENTERED coordinates: DBSCAN is translation-
+    # invariant, and the voxel grid's +-512-cell range (~5 m at eps=0.01)
+    # would otherwise saturate for any object beyond ~5 m depth, silently
+    # disabling outlier rejection.
+    keep = robust_extent_mask(aligned - offset, flat_m)
 
     big = jnp.float32(1e9)
     mins = jnp.min(jnp.where(keep[:, None], aligned, big), axis=0)
     maxs = jnp.max(jnp.where(keep[:, None], aligned, -big), axis=0)
-    extent = maxs - mins
 
-    corners = mins[None, :] + _CORNER_FLAGS * extent[None, :]
+    # Corner base/extents exactly as the reference builds them
+    # (ovmono3d_geo.py:187-205): y and z are deliberately SWAPPED
+    # (base at y_max/z_max with negative extents), which lands corner 0 on
+    # the camera-frame (-y, -z) octant after the open3d flip — matching
+    # template vertex v0 so the Procrustes correspondence is exact.
+    base = jnp.stack([mins[0], maxs[1], maxs[2]])
+    extent = jnp.stack(
+        [maxs[0] - mins[0], mins[1] - maxs[1], mins[2] - maxs[2]]
+    )
+    corners = base[None, :] + _CORNER_FLAGS * extent[None, :]
     corners = corners - offset
     corners = corners @ heading_to_rotmat(yaw).T + offset
     # Back to camera frame (undo the open3d flip).

@@ -28,6 +28,12 @@ from ovmono3d_tpu.ops.rotation import (
 )
 
 
+# fvcore c2_xavier_fill == kaiming_uniform_(a=1): uniform(+-sqrt(3/fan_in)).
+# The reference initializes every head FC stack with it (cube_head.py:72-100,
+# detectron2 FastRCNNConvFCHead).
+_C2_XAVIER = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+
+
 class RPNHead(nn.Module):
     """Shared conv + objectness/delta predictors, applied per level."""
 
@@ -36,9 +42,15 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array]):
-        conv = nn.Conv(self.conv_dim, (3, 3), padding=1, name="conv")
-        obj = nn.Conv(self.num_anchors, (1, 1), name="objectness")
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="deltas")
+        # detectron2 StandardRPNHead init: normal(std=0.01) weights, zero
+        # bias for all three convs.
+        init = nn.initializers.normal(0.01)
+        conv = nn.Conv(self.conv_dim, (3, 3), padding=1, kernel_init=init,
+                       name="conv")
+        obj = nn.Conv(self.num_anchors, (1, 1), kernel_init=init,
+                      name="objectness")
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init,
+                         name="deltas")
         logits, regs = [], []
         for f in feats:
             t = nn.relu(conv(f))
@@ -63,7 +75,8 @@ class FastRCNNHead(nn.Module):
     def __call__(self, pooled: jax.Array):
         x = pooled.reshape(pooled.shape[0], -1)
         for i in range(self.num_fc):
-            x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{i + 1}")(x))
+            x = nn.relu(nn.Dense(self.fc_dim, kernel_init=_C2_XAVIER,
+                                 name=f"fc{i + 1}")(x))
         scores = nn.Dense(
             self.num_classes + 1,
             kernel_init=nn.initializers.normal(0.01),
@@ -104,7 +117,8 @@ class CubeHead(nn.Module):
 
     def _mlp(self, x, name):
         for i in range(self.num_fc):
-            x = nn.relu(nn.Dense(self.fc_dim, name=f"{name}_fc{i + 1}")(x))
+            x = nn.relu(nn.Dense(self.fc_dim, kernel_init=_C2_XAVIER,
+                                 name=f"{name}_fc{i + 1}")(x))
         return x
 
     @nn.compact

@@ -177,15 +177,17 @@ def subsample_labels(
         avail = jnp.sum(mask)
         return (ranks < jnp.minimum(count, avail)) & mask
 
-    pos_w = matched_ious if matched_ious is not None else jnp.ones_like(
-        labels, jnp.float32
-    )
-    pos_sampled = sample(k_pos, positive, pos_w, num_pos_target)
+    # Both positives AND negatives are weighted by matched IoU + 1e-4 when
+    # IoUs are given (rpn.py:315-325: multinomial(matched_ious[...] + eps)
+    # for perm1 and perm2) — hard-negative bias, not uniform.
+    if matched_ious is not None:
+        w = matched_ious + 1e-4
+    else:
+        w = jnp.ones_like(labels, jnp.float32)
+    pos_sampled = sample(k_pos, positive, w, num_pos_target)
     num_pos = jnp.sum(pos_sampled)
     num_neg_target = num_samples - num_pos
-    neg_sampled = sample(
-        k_neg, negative, jnp.ones_like(pos_w), num_neg_target
-    )
+    neg_sampled = sample(k_neg, negative, w, num_neg_target)
     return pos_sampled, neg_sampled
 
 

@@ -44,15 +44,23 @@ def shard_batch(mesh: Mesh, batch):
 def init_multihost(coordinator: str | None = None):
     """Initialize jax.distributed for multi-host training (the reference's
     detectron2 `launch(num_machines, machine_rank, dist_url)` equivalent,
-    SURVEY.md §2.2). No-op when single-process or already initialized."""
+    SURVEY.md §2.2). No-op when no coordinator is given or when the
+    distributed client is already up.
+
+    MUST NOT probe jax.process_count() first: that initializes the backend
+    and makes jax.distributed.initialize raise — and swallowing that error
+    would silently run an N-host job as N independent single-host jobs
+    (duplicated eval, no gradient sync). Probe the distributed client's own
+    state instead, and let a too-late call FAIL loudly."""
+    if coordinator is None:
+        return
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
     import jax
 
-    if jax.process_count() > 1 or coordinator is None:
-        return
-    try:
-        jax.distributed.initialize(coordinator_address=coordinator)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-host
+    jax.distributed.initialize(coordinator_address=coordinator)
 
 
 def process_shard(records: list, process_index: int | None = None,

@@ -28,7 +28,7 @@ from ovmono3d_tpu.models.rcnn3d import RCNN3D
 from ovmono3d_tpu.structures import GroundTruth
 
 TOLERANCE = 4.0  # loss-spike multiplier (train_net.py:178-250)
-EMA_WINDOW = 20.0
+GAMMA = 0.02     # rolling-average gain (train_net.py:189, ~50-step window)
 
 
 @struct.dataclass
@@ -105,7 +105,14 @@ def make_train_step(model: RCNN3D, tx: optax.GradientTransformation,
             )
         )
         loss_finite = jnp.isfinite(total)
-        ema = state.loss_ema
+        # Rolling mean exactly as the reference (train_net.py:231-250):
+        # initialized to 2x the first loss, and FROZEN on diverging steps —
+        # folding an exploded loss in would raise the bar and let the next
+        # diverged step slip through.
+        safe_total = jnp.where(loss_finite, total, 0.0)
+        ema = jnp.where(
+            state.loss_ema < 0, 2.0 * safe_total, state.loss_ema
+        )
         exploded = (ema > 0) & (total > TOLERANCE * ema)
         skip = (~grads_finite) | (~loss_finite) | (
             exploded if stabilize > 0 else jnp.zeros((), bool)
@@ -127,11 +134,8 @@ def make_train_step(model: RCNN3D, tx: optax.GradientTransformation,
             new_opt_state, state.opt_state,
         )
 
-        safe_total = jnp.where(loss_finite, total, ema)
         new_ema = jnp.where(
-            ema < 0,
-            safe_total,
-            ema + (safe_total - ema) / EMA_WINDOW,
+            skip, ema, ema * (1.0 - GAMMA) + safe_total * GAMMA
         )
         new_state = TrainState(
             params=new_params,

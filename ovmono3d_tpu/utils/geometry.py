@@ -236,10 +236,12 @@ def chamfer_corner_distance(pred: jax.Array, gt: jax.Array) -> jax.Array:
     (roi_heads.py:299-309 chamfer_loss): mean over min-L1 row/col matches.
     pred/gt: [..., 8, 3]. Returns [...].
     """
-    # Pairwise L1 distances [..., 8, 8].
+    # Pairwise L1 distances [..., 8, 8]. The two directed means are SUMMED
+    # (NOT averaged) exactly as chamfer_loss does — halving would train the
+    # chamfer pose/joint losses at half the reference magnitude.
     diff = jnp.sum(jnp.abs(pred[..., :, None, :] - gt[..., None, :, :]), axis=-1)
-    return 0.5 * (jnp.mean(jnp.min(diff, axis=-1), axis=-1)
-                  + jnp.mean(jnp.min(diff, axis=-2), axis=-1))
+    return (jnp.mean(jnp.min(diff, axis=-1), axis=-1)
+            + jnp.mean(jnp.min(diff, axis=-2), axis=-1))
 
 
 def approx_eval_resolution(h, w, scale_min: float = 0, scale_max: float = 1e10):
