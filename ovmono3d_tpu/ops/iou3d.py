@@ -83,7 +83,15 @@ def _clip_polygon_by_plane(verts, count, normal, offset, tol):
     cur_in = d_cur <= tol
     nxt_in = d_nxt <= tol
     denom = d_cur - d_nxt
-    t = d_cur / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
+    # Preserve the denominator's SIGN when clamping: replacing a tiny
+    # negative denom with +_EPS flips t's sign and emits an intersection
+    # vertex far off the edge for edges nearly parallel to the clip plane.
+    safe = jnp.where(
+        jnp.abs(denom) < _EPS,
+        jnp.where(denom < 0, -_EPS, _EPS),
+        denom,
+    )
+    t = d_cur / safe
     inter = cur + t[:, None] * (nxt - cur)
 
     slot_active = idx < count

@@ -248,8 +248,9 @@ def approx_eval_resolution(h, w, scale_min: float = 0, scale_max: float = 1e10):
     """Resolution an (h, w) image runs through the model at given a min/max
     scale constraint (math_util.py:262-289). Host-side helper."""
     orig_h = h
-    sf = scale_min / min(h, w)
-    h, w = h * sf, w * sf
+    if scale_min > 0:
+        sf = scale_min / min(h, w)
+        h, w = h * sf, w * sf
     sf = min(scale_max / max(h, w), 1.0)
     h, w = h * sf, w * sf
     return h, w, h / orig_h

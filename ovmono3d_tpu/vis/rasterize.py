@@ -99,15 +99,20 @@ def render_depth_map(K, verts, height, width, faces=CUBOID_FACES):
     """
     verts = np.asarray(verts, np.float64).reshape(-1, 8, 3)
     n = verts.shape[0]
-    zbufs = np.full((n, height, width), np.inf)
+    # Running min/argmin instead of stacking N float64 z-buffers — the
+    # stacked form is O(N*H*W*8) bytes (~1 GB for 50 instances at 1080p)
+    # on the dataset-preprocessing path. Only the bool silhouettes are
+    # kept per instance (the API callers need them).
+    silhouettes = np.zeros((n, height, width), bool)
+    depth_map = np.full((height, width), np.inf)
+    depth_inds = np.zeros((height, width), np.int64)
     for i in range(n):
         p2, z = _project(np.asarray(K, np.float64), verts[i])
-        zbufs[i] = _raster_triangles(p2, z, faces, height, width)
-    silhouettes = np.isfinite(zbufs)
-    depth_map = zbufs.min(axis=0) if n else np.full((height, width), np.inf)
-    depth_inds = zbufs.argmin(axis=0) if n else np.zeros(
-        (height, width), np.int64
-    )
+        zbuf = _raster_triangles(p2, z, faces, height, width)
+        silhouettes[i] = np.isfinite(zbuf)
+        nearer = zbuf < depth_map
+        depth_map = np.where(nearer, zbuf, depth_map)
+        depth_inds = np.where(nearer, i, depth_inds)
     return silhouettes, depth_map, depth_inds
 
 

@@ -172,7 +172,9 @@ def main():
         logger.warning("no --vocab given; using a category-local vocab")
 
     pipe = OVMono3DLift.build_2d_only(tok)
-    pipe = dataclasses.replace(pipe, max_detections=args.topk)
+    # detect_2d's output slots are sized by detect_topk (max_detections
+    # only governs the 3D lift stage, unused by this 2D-only tool)
+    pipe = dataclasses.replace(pipe, detect_topk=args.topk)
     if args.gdino_ckpt:
         from ovmono3d_tpu.utils.load import load_gdino_params
 

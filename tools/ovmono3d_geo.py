@@ -223,9 +223,9 @@ def main():
 
     if args.eval_only:
         # Reference two-command workflow: evaluate saved predictions only
-        # (eval_ovmono3d_geo.py:98-134).
-        import pickle
-
+        # (eval_ovmono3d_geo.py:98-134). NOTE: pickle is imported at module
+        # scope — a local re-import here would shadow it for the WHOLE
+        # function and break the earlier synthetic-path pickle.dump.
         for name in cfg.datasets.test_novel or cfg.datasets.test:
             json_path = (Path(cfg.datasets.data_root) / "Omni3D"
                          / f"{name}.json")
@@ -351,14 +351,27 @@ def main():
             canvas[: simg.shape[0], : simg.shape[1]] = (simg - mean) / std
             embed = embed_fn(sam_params, jnp.asarray(canvas)[None])
             preds = []
-            for det in rec.get("oracle2d", [])[: args.max_instances]:
-                if det["score"] < SCORE_THRESHOLD:  # ovmono3d_geo.py:274
-                    continue
+            # Threshold FIRST (reference ovmono3d_geo.py:274 filters over
+            # all boxes), then keep the highest-score instances — slicing
+            # raw file order could spend every slot on sub-threshold boxes.
+            dets = sorted(
+                (d for d in rec.get("oracle2d", [])
+                 if d["score"] >= SCORE_THRESHOLD),
+                key=lambda d: -d["score"],
+            )
+            for det in dets[: args.max_instances]:
                 box = np.asarray(det["bbox2d"], np.float32) * scale
                 masks, iou = seg_fn(seg_params, embed,
                                     jnp.asarray(box)[None])
                 m = np.asarray(masks[0, 2])  # largest (index 2, L309)
-                mask_img = cv2.resize(m, (W, H)) > 0
+                # The mask covers the PADDED square canvas — crop the
+                # content region before resizing to (W, H), else masks on
+                # non-square images compress/shift by H/W (the crop
+                # segment_anything's postprocess_masks performs).
+                mh, mw = m.shape
+                ch = max(1, int(round(mh * (H * scale) / S_SAM)))
+                cw = max(1, int(round(mw * (W * scale) / S_SAM)))
+                mask_img = cv2.resize(m[:ch, :cw], (W, H)) > 0
                 out = fit_box_from_mask_depth(
                     jnp.asarray(mask_img, jnp.float32),
                     jnp.asarray(depth_map), jnp.asarray(K),

@@ -194,7 +194,13 @@ def main():
     batch_size = args.batch_size or max(
         cfg.solver.ims_per_batch // max(jax.process_count(), 1), n_dev
     )
-    batch_size = (batch_size // n_dev) * n_dev or n_dev
+    rounded = (batch_size // n_dev) * n_dev or n_dev
+    if args.batch_size and rounded != args.batch_size:
+        logger.warning(
+            "--batch-size %d adjusted to %d (must be a multiple of the %d "
+            "mesh data devices)", args.batch_size, rounded, n_dev,
+        )
+    batch_size = rounded
     S = cfg.model.backbone.square_pad
 
     import jax.numpy as jnp
@@ -299,6 +305,12 @@ def main():
                 for a in rec["annotations"] if a["category_id"] >= 0
             ]
 
+        from tools.eval_net import make_run_fn
+
+        # ONE jitted eval step shared across every periodic eval — a fresh
+        # closure per eval would re-trace the full graph each period.
+        eval_run_fn = make_run_fn(model)
+
         def eval_fn(state):
             from ovmono3d_tpu.evaluation.helper import Omni3DEvaluationHelper
             from tools.eval_net import evaluate_dataset
@@ -311,6 +323,7 @@ def main():
             evaluate_dataset(
                 cfg, model, jax.device_get(state.params), eval_records,
                 image_loader, batch_size, helper, "in_train_eval",
+                run=eval_run_fn,
             )
             return helper.summarize_dataset("in_train_eval")
 
