@@ -290,3 +290,42 @@ def test_grad_accumulation_matches_single_step(setup):
         ),
         acc_state.params, ref_state.params,
     )
+
+
+def test_loss_ema_reference_semantics(setup):
+    """The stabilization rolling mean matches the reference exactly
+    (train_net.py:231-250): initialized to 2x the first loss, updated with
+    GAMMA=0.02 only on NON-diverging steps, and frozen on skips — folding
+    an exploded loss in would mask subsequent divergence."""
+    from ovmono3d_tpu.parallel.train_step import GAMMA, TOLERANCE
+
+    cfg, model, params, tx, batch = setup
+    mesh = make_mesh()
+    step_fn = shard_train_step(
+        make_train_step(model, tx, cfg.model.stabilize), mesh, donate=False
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(4))
+    sbatch = shard_batch(mesh, batch)
+
+    # step 1: ema = (2*loss)*(1-g) + loss*g
+    state, m1 = step_fn(state, sbatch)
+    loss1 = float(m1["total_loss"])
+    want = 2.0 * loss1 * (1 - GAMMA) + loss1 * GAMMA
+    np.testing.assert_allclose(float(state.loss_ema), want, rtol=1e-5)
+
+    # poisoned step: skip + ema FROZEN
+    ema_before = float(state.loss_ema)
+    bad = dict(batch)
+    bad["image"] = batch["image"].at[0, 0, 0, 0].set(jnp.nan)
+    state, m2 = step_fn(state, shard_batch(mesh, bad))
+    assert float(m2["skipped"]) == float(m1["skipped"]) + 1.0 or float(
+        state.skipped
+    ) >= 1.0
+    np.testing.assert_allclose(float(state.loss_ema), ema_before, rtol=0)
+
+    # normal step: ema moves by the reference's gain
+    state, m3 = step_fn(state, sbatch)
+    loss3 = float(m3["total_loss"])
+    if np.isfinite(loss3) and loss3 <= TOLERANCE * ema_before:
+        want = ema_before * (1 - GAMMA) + loss3 * GAMMA
+        np.testing.assert_allclose(float(state.loss_ema), want, rtol=1e-5)
