@@ -203,10 +203,12 @@ def so3_relative_angle(
     r12 = _matmul(r1, jnp.swapaxes(r2, -1, -2))
     trace = r12[..., 0, 0] + r12[..., 1, 1] + r12[..., 2, 2]
     cos = (trace - 1.0) * 0.5
-    cos = jnp.clip(cos, -1.0 + eps, 1.0 - eps)
     if cos_angle:
+        # pytorch3d returns the RAW cosine here (its eps only guards the
+        # acos branch) — clipping would put a floor/dead-zone on the
+        # reference's `1 - cos` pose loss near identity.
         return cos
-    return jnp.arccos(cos)
+    return jnp.arccos(jnp.clip(cos, -1.0 + eps, 1.0 - eps))
 
 
 def random_rotations(key: jax.Array, n: int, dtype=jnp.float32) -> jax.Array:

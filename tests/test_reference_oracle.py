@@ -816,3 +816,285 @@ def test_evaluator_accumulate_summarize_match_reference():
     assert 0 < got["AP2D"] < 100
     for key in ("AP2D-S", "AP2D-M", "AP2D-L", "AR2D@1", "AR2D-S"):
         assert got[key] > 0, key
+
+
+# ---------------------------------------------------------------------------
+# Cube-head training losses vs the reference's own loss block
+# ---------------------------------------------------------------------------
+
+def _load_cube_loss_block():
+    """Extract the `if self.training:` loss subtree of
+    ROIHeads3D._forward_cube (roi_heads.py:551-792) plus the class's own
+    l1_loss / chamfer_loss / safely_reduce_losses methods, compiled for
+    exec with a caller-provided namespace."""
+    path = Path("/root/reference/cubercnn/modeling/roi_heads/roi_heads.py")
+    if not path.exists():
+        pytest.skip("reference source not present")
+    tree = ast.parse(path.read_text())
+    cls = next(
+        n for n in tree.body
+        if isinstance(n, ast.ClassDef) and n.name == "ROIHeads3D"
+    )
+    fwd = next(
+        m for m in cls.body
+        if isinstance(m, ast.FunctionDef) and m.name == "_forward_cube"
+    )
+
+    def _starts_with_prefix_assign(if_node):
+        for s in if_node.body[:3]:
+            if isinstance(s, ast.Assign) and any(
+                isinstance(t, ast.Name) and t.id == "prefix"
+                for t in s.targets
+            ):
+                return True
+        return False
+
+    train_if = next(
+        s for s in fwd.body
+        if isinstance(s, ast.If)
+        and isinstance(s.test, ast.Attribute)
+        and s.test.attr == "training"
+        and _starts_with_prefix_assign(s)
+    )
+    block = compile(
+        ast.Module(body=train_if.body, type_ignores=[]), str(path), "exec"
+    )
+    methods = {}
+    for m in cls.body:
+        if isinstance(m, ast.FunctionDef) and m.name in {
+            "l1_loss", "chamfer_loss", "safely_reduce_losses",
+        }:
+            ns = {"torch": torch, "F": torch.nn.functional}
+            exec(
+                compile(ast.Module(body=[m], type_ignores=[]), str(path),
+                        "exec"),
+                ns,
+            )
+            methods[m.name] = ns[m.name]
+    assert len(methods) == 3
+    return block, methods
+
+
+def _so3_relative_angle_torch(r1, r2, eps=1e-4, cos_angle=False):
+    """pytorch3d.transforms.so3_relative_angle stand-in (pure torch):
+    angle of r1 @ r2^T via the trace formula; with cos_angle=True the RAW
+    cosine is returned (pytorch3d only clamps in its acos branch)."""
+    r12 = torch.bmm(r1, r2.transpose(1, 2))
+    trace = r12[:, 0, 0] + r12[:, 1, 1] + r12[:, 2, 2]
+    cos = (trace - 1.0) * 0.5
+    if cos_angle:
+        return cos
+    return torch.acos(cos.clamp(-1.0 + eps, 1.0 - eps))
+
+
+def _run_reference_cube_losses(ref, flags, data):
+    """Execute the reference's training-loss block with `flags` on `self`
+    and `data` as the decoded/GT tensors. Returns its `losses` dict."""
+    import types
+
+    block, methods = _load_cube_loss_block()
+    self_obj = types.SimpleNamespace(**flags)
+    for name, fn in methods.items():
+        setattr(self_obj, name, types.MethodType(fn, self_obj))
+    storage = types.SimpleNamespace(put_scalar=lambda *a, **k: None)
+    util_ns = types.SimpleNamespace(
+        get_cuboid_verts_faces=ref["get_cuboid_verts_faces"],
+        R_to_allocentric=ref["R_to_allocentric"],
+    )
+    losses = {}
+    ns = {
+        "self": self_obj,
+        "torch": torch,
+        "np": np,
+        "F": torch.nn.functional,
+        "util": util_ns,
+        "get_event_storage": lambda: storage,
+        "so3_relative_angle": _so3_relative_angle_torch,
+        "E_CONSTANT": 2.71828183,       # roi_heads.py:28
+        "SQRT_2_CONSTANT": 1.41421356,  # roi_heads.py:29
+        "losses": losses,
+        **data,
+    }
+    exec(block, ns)
+    return ns["losses"]
+
+
+def _cube_loss_data(rng, N, z_type="direct"):
+    """Random but geometrically sane decoded predictions + GTs, as both the
+    torch namespace the reference block needs and our jax-side inputs."""
+    from scipy.spatial.transform import Rotation
+
+    fx = rng.uniform(400, 800, N).astype(np.float32)
+    fy = rng.uniform(400, 800, N).astype(np.float32)
+    K = np.zeros((N, 3, 3), np.float32)
+    K[:, 0, 0] = fx
+    K[:, 1, 1] = fy
+    K[:, 0, 2] = rng.uniform(300, 500, N)
+    K[:, 1, 2] = rng.uniform(200, 400, N)
+    K[:, 2, 2] = 1.0
+
+    gt_2d = rng.uniform(100, 700, (N, 2)).astype(np.float32)
+    gt_z = rng.uniform(1.5, 30.0, N).astype(np.float32)
+    gt_dims = rng.uniform(0.3, 3.5, (N, 3)).astype(np.float32)
+    gt_boxes3d = np.concatenate(
+        [gt_2d, gt_z[:, None], gt_dims, np.zeros((N, 3), np.float32)], 1
+    )
+    gt_poses = Rotation.random(N, random_state=rng).as_matrix().astype(
+        np.float32
+    )
+
+    cube_x = (gt_2d[:, 0] + rng.randn(N) * 12).astype(np.float32)
+    cube_y = (gt_2d[:, 1] + rng.randn(N) * 12).astype(np.float32)
+    cube_z = (gt_z * np.exp(rng.randn(N) * 0.2)).astype(np.float32)
+    cube_dims = (gt_dims * np.exp(rng.randn(N, 3) * 0.2)).astype(np.float32)
+    cube_pose = Rotation.random(N, random_state=rng).as_matrix().astype(
+        np.float32
+    )
+    cube_pose_allo = Rotation.random(N, random_state=rng).as_matrix().astype(
+        np.float32
+    )
+    cube_uncert = rng.uniform(-1, 1, N).astype(np.float32)
+    deltas_2d = (rng.randn(N, 2) * 0.3).astype(np.float32)
+    dims_norm = (rng.randn(N, 3) * 0.4).astype(np.float32)
+    v2r = rng.uniform(0.5, 2.0, N).astype(np.float32)
+    z_mean = rng.uniform(2, 20, N).astype(np.float32)
+    z_std = rng.uniform(0.5, 4, N).astype(np.float32)
+    if z_type == "sigmoid":
+        z_norm = rng.uniform(0.01, 0.99, N).astype(np.float32)
+    else:
+        z_norm = (rng.randn(N) * 0.5 + 1.0).astype(np.float32)
+
+    src = np.zeros((N, 4), np.float32)
+    src[:, 0] = gt_2d[:, 0] - rng.uniform(30, 80, N)
+    src[:, 1] = gt_2d[:, 1] - rng.uniform(30, 80, N)
+    src[:, 2] = gt_2d[:, 0] + rng.uniform(30, 80, N)
+    src[:, 3] = gt_2d[:, 1] + rng.uniform(30, 80, N)
+
+    t = torch.from_numpy
+    torch_ns = {
+        "gt_boxes3D": t(gt_boxes3d),
+        "gt_poses": t(gt_poses),
+        "Ks_scaled_per_box": t(K),
+        "cube_x": t(cube_x),
+        "cube_y": t(cube_y),
+        "cube_xy": t(np.stack([cube_x, cube_y], 1)),
+        "cube_z": t(cube_z),
+        "cube_dims": t(cube_dims),
+        "cube_pose": t(cube_pose),
+        "cube_pose_allocentric": t(cube_pose_allo),
+        "cube_uncert": t(cube_uncert),
+        "cube_2d_deltas": t(deltas_2d),
+        "cube_dims_norm": t(dims_norm),
+        "cube_z_norm": t(z_norm),
+        "real_to_virtual": t(1.0 / v2r),
+        "z_means": t(z_mean),
+        "z_stds": t(z_std),
+        "src_ctr_x": t((src[:, 0] + src[:, 2]) / 2),
+        "src_ctr_y": t((src[:, 1] + src[:, 3]) / 2),
+        "src_widths": t(src[:, 2] - src[:, 0]),
+        "src_heights": t(src[:, 3] - src[:, 1]),
+        "n": N,
+        "num_boxes_per_image": N,
+    }
+    dec = {
+        "x": jnp.asarray(cube_x),
+        "y": jnp.asarray(cube_y),
+        "z": jnp.asarray(cube_z),
+        "z_norm": jnp.asarray(z_norm),
+        "dims": jnp.asarray(cube_dims),
+        "dims_norm": jnp.asarray(dims_norm),
+        "pose": jnp.asarray(cube_pose),
+        "pose_allocentric": jnp.asarray(cube_pose_allo),
+        "uncert": jnp.asarray(cube_uncert),
+        "deltas_2d": jnp.asarray(deltas_2d),
+        "virtual_to_real": jnp.asarray(v2r),
+        "z_mean": jnp.asarray(z_mean),
+        "z_std": jnp.asarray(z_std),
+    }
+    ours_inputs = dict(
+        dec=dec,
+        gt_boxes3d=jnp.asarray(gt_boxes3d),
+        gt_poses=jnp.asarray(gt_poses),
+        K_scaled=jnp.asarray(K),
+        fg_mask=jnp.ones((N,), jnp.float32),
+        src_boxes=jnp.asarray(src),
+    )
+    return torch_ns, ours_inputs
+
+
+_REF_LOSS_KEYMAP = {
+    "loss_xy": "Cube/loss_xy",
+    "loss_z": "Cube/loss_z",
+    "loss_dims": "Cube/loss_dims",
+    "loss_pose": "Cube/loss_pose",
+    "loss_joint": "Cube/loss_joint",
+    "loss_uncert": "Cube/uncert",
+}
+
+_LOSS_WEIGHT_FLAGS = dict(
+    loss_w_3d=1.7, loss_w_xy=0.8, loss_w_z=1.3, loss_w_dims=0.7,
+    loss_w_pose=1.1, loss_w_joint=0.6,
+)
+
+
+def _compare_cube_losses(ref_losses, ours):
+    assert set(ours) == set(_REF_LOSS_KEYMAP), sorted(ours)
+    for k, ref_k in _REF_LOSS_KEYMAP.items():
+        np.testing.assert_allclose(
+            float(ours[k]), float(ref_losses[ref_k]), rtol=2e-4, atol=1e-6,
+            err_msg=k,
+        )
+        assert float(ours[k]) != 0.0, k  # non-vacuous
+
+
+def test_cube_losses_disentangled_match_reference(ref):
+    """The flagship loss configuration — disentangled corner losses with
+    chamfer pose, joint chamfer loss, uncertainty scaling and inverse-z
+    weighting — vs the reference's own `if self.training:` loss block
+    (roi_heads.py:551-792) executed on identical decoded predictions."""
+    import dataclasses
+
+    from ovmono3d_tpu.config import CubeHeadConfig
+    from ovmono3d_tpu.models.rcnn3d import cube_losses
+
+    flags = dict(
+        disentangled_loss=True, chamfer_pose=True, dims_priors_enabled=False,
+        allocentric_pose=True, z_type="direct", inverse_z_weight=True,
+        use_confidence=0.5, virtual_depth=True, **_LOSS_WEIGHT_FLAGS,
+    )
+    torch_ns, ours_inputs = _cube_loss_data(np.random.RandomState(7), 24)
+    ref_losses = _run_reference_cube_losses(ref, flags, torch_ns)
+
+    cfg = dataclasses.replace(
+        CubeHeadConfig(), disentangled_loss=True, chamfer_pose=True,
+        inverse_z_weight=True, use_confidence=0.5, **_LOSS_WEIGHT_FLAGS,
+    )
+    _compare_cube_losses(ref_losses, cube_losses(cfg, **ours_inputs))
+
+
+@pytest.mark.parametrize("z_type", ["direct", "sigmoid", "log", "clusters"])
+def test_cube_losses_entangled_match_reference(ref, z_type):
+    """The non-disentangled loss variants (roi_heads.py:630-673): delta-space
+    xy, log-space dims, `1 - so3_relative_angle` allocentric pose, the four
+    z_type targets, and the l1 joint loss — vs the reference's own block."""
+    import dataclasses
+
+    from ovmono3d_tpu.config import CubeHeadConfig
+    from ovmono3d_tpu.models.rcnn3d import cube_losses
+
+    flags = dict(
+        disentangled_loss=False, chamfer_pose=True, dims_priors_enabled=False,
+        allocentric_pose=True, z_type=z_type, inverse_z_weight=False,
+        use_confidence=1.0, virtual_depth=True, **_LOSS_WEIGHT_FLAGS,
+    )
+    torch_ns, ours_inputs = _cube_loss_data(
+        np.random.RandomState(13), 24, z_type=z_type
+    )
+    ref_losses = _run_reference_cube_losses(ref, flags, torch_ns)
+
+    cfg = dataclasses.replace(
+        CubeHeadConfig(), disentangled_loss=False, chamfer_pose=True,
+        allocentric_pose=True, z_type=z_type, use_confidence=1.0,
+        **_LOSS_WEIGHT_FLAGS,
+    )
+    _compare_cube_losses(ref_losses, cube_losses(cfg, **ours_inputs))
