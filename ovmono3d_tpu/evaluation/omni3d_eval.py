@@ -45,6 +45,10 @@ AREA_BANDS_2D = {
     "large": (96.0**2, np.inf),
 }
 MAX_DETS = 100  # per-(image, category) cap applied BEFORE matching
+# Matched-pair IoU gate for NHD / disentangled-NHD / error stats
+# (Omni3DevalWithNHD iou_threshold_for_disentangled_metrics default,
+# omni3d_evaluation.py:2294-2296).
+NHD_IOU_THRESH = 0.5
                 # (COCOeval.evaluateImg dt[0:maxDet], maxDets[-1])
 
 
@@ -378,23 +382,30 @@ class Omni3DEvaluator:
                     )
                 )
 
-            # NHD on matched pairs at the loosest threshold, 'all' band.
+            # NHD pairs, reference-exact (Omni3DevalWithNHD.evaluateImg,
+            # omni3d_evaluation.py:2380-2399): per detection (score order,
+            # maxDet-capped), the single best-IoU GT over ALL category GTs
+            # — ignored ones included, scanned ignore-last so a non-ignored
+            # GT wins exact ties — paired when IoU >= 0.5; one GT may pair
+            # with multiple detections (no one-to-one constraint). The
+            # reference re-collects the identical pairs once per area band,
+            # which leaves every reported MEAN unchanged; we collect once.
             if self.mode == "3D" and len(d_sel) and len(g_sel):
-                matched, ignored = _greedy_match(
-                    iou, gt_ignore_base, self.iou_thrs
-                )
-                m = matched[0]
-                ok = (m >= 0) & ~ignored[0]
+                g_order = np.argsort(gt_ignore_base, kind="mergesort")
+                iou_o = iou[:, g_order]
+                best = iou_o.argmax(axis=1)
+                best_iou = iou_o[np.arange(len(d_sel)), best]
+                ok = best_iou >= NHD_IOU_THRESH
                 if ok.any():
-                    pc = np.asarray(pred["corners3d"])[d_sel][ok]
-                    gc = np.asarray(gt["corners3d"])[g_sel][m[ok]]
+                    d_idx = d_sel[ok]
+                    g_idx = g_sel[g_order[best[ok]]]
+                    pc = np.asarray(pred["corners3d"])[d_idx]
+                    gc = np.asarray(gt["corners3d"])[g_idx]
                     nhd = hungarian_corner_distance(pc, gc) / np.maximum(
                         corners_diag(gc), 1e-8
                     )
                     self._nhd_values.extend(nhd.tolist())
-                    self._matched_pair_metrics(
-                        pred, gt, d_sel[ok], g_sel[m[ok]]
-                    )
+                    self._matched_pair_metrics(pred, gt, d_idx, g_idx)
 
     def _matched_pair_metrics(self, pred, gt, d_idx, g_idx):
         """Disentangled NHD + mean prediction errors over the SAME IoU-matched

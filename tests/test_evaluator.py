@@ -218,7 +218,9 @@ def test_matched_pair_metrics_shuffle_invariant():
     gt["dims"] = np.ones((3, 3))
     gt["pose"] = np.tile(np.eye(3), (3, 1, 1))
 
-    pb = [(0.1, 0, 5.5), (3, 0.1, 5.2), (0, 2, 8.4)]
+    # every pred within 3D IoU >= 0.5 of its GT (the reference's matched-pair
+    # gate, omni3d_evaluation.py:2294-2296)
+    pb = [(0.05, 0, 5.1), (3, 0.05, 5.1), (0, 2, 8.15)]
     results = []
     for order in ([0, 1, 2], [2, 0, 1]):
         pred = _pred([pb[i] for i in order], [0.9, 0.8, 0.7])
@@ -232,6 +234,28 @@ def test_matched_pair_metrics_shuffle_invariant():
     for k in results[0]:
         np.testing.assert_allclose(results[0][k], results[1][k], atol=1e-9,
                                    err_msg=k)
+
+
+def test_matched_pair_metrics_allow_duplicate_gt():
+    """Reference NHD pairing has NO one-to-one constraint
+    (omni3d_evaluation.py:2380-2399: each detection independently takes its
+    best-IoU GT >= 0.5) — two near-identical detections both pair with the
+    same GT, and a detection below the gate contributes nothing."""
+    boxes = [(0, 0, 5)]
+    gt = _gt(boxes)
+    gt["center"] = np.array([b[:3] for b in boxes], float)
+    gt["dims"] = np.ones((1, 3))
+    gt["pose"] = np.tile(np.eye(3), (1, 1, 1))
+
+    pb = [(0.05, 0, 5.1), (0, 0.05, 5.1), (0, 0, 25.0)]  # 2 dup + 1 far-off
+    pred = _pred(pb, [0.9, 0.8, 0.7])
+    pred["center"] = np.array([b[:3] for b in pb], float)
+    pred["dims"] = np.ones((3, 3))
+    pred["pose"] = np.tile(np.eye(3), (3, 1, 1))
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    ev.add_image(gt, pred)
+    assert len(ev._nhd_values) == 2
+    assert len(ev._errors["z_m"]) == 2
 
 
 def test_out_of_band_unmatched_det_is_ignored_not_fp():

@@ -1098,3 +1098,142 @@ def test_cube_losses_entangled_match_reference(ref, z_type):
         **_LOSS_WEIGHT_FLAGS,
     )
     _compare_cube_losses(ref_losses, cube_losses(cfg, **ours_inputs))
+
+
+# ---------------------------------------------------------------------------
+# Fast R-CNN inference vs the reference's own fast_rcnn.py
+# ---------------------------------------------------------------------------
+
+class _RefBoxes:
+    """detectron2.structures.Boxes surface used by
+    fast_rcnn_inference_single_image: .tensor, .clip((h, w))."""
+
+    def __init__(self, tensor):
+        self.tensor = tensor
+
+    def clip(self, box_size):
+        h, w = box_size
+        self.tensor[:, 0].clamp_(min=0, max=w)
+        self.tensor[:, 1].clamp_(min=0, max=h)
+        self.tensor[:, 2].clamp_(min=0, max=w)
+        self.tensor[:, 3].clamp_(min=0, max=h)
+
+
+class _RefInstances:
+    """detectron2.structures.Instances: attribute bag."""
+
+    def __init__(self, image_size):
+        self.image_size = image_size
+
+
+def _np_nms(boxes, scores, thresh):
+    """torchvision.ops.nms semantics: greedy by descending score, suppress
+    IoU > thresh. Returns kept indices in descending-score order."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        b = boxes[i]
+        xx1 = np.maximum(b[0], boxes[order, 0])
+        yy1 = np.maximum(b[1], boxes[order, 1])
+        xx2 = np.minimum(b[2], boxes[order, 2])
+        yy2 = np.minimum(b[3], boxes[order, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        a = (b[2] - b[0]) * (b[3] - b[1])
+        areas = (boxes[order, 2] - boxes[order, 0]) * (
+            boxes[order, 3] - boxes[order, 1]
+        )
+        iou = inter / np.maximum(a + areas - inter, 1e-12)
+        suppressed[order[iou > thresh]] = True
+        suppressed[i] = True  # self (already kept)
+    return np.asarray(keep, np.int64)
+
+
+def _torch_batched_nms(boxes, scores, idxs, iou_threshold):
+    """detectron2.layers.batched_nms semantics via the class-offset trick."""
+    if boxes.numel() == 0:
+        return torch.zeros((0,), dtype=torch.int64)
+    max_coord = float(boxes.max())
+    offsets = idxs.to(boxes.dtype) * (max_coord + 1.0)
+    shifted = boxes + offsets[:, None]
+    keep = _np_nms(shifted.numpy(), scores.numpy(), iou_threshold)
+    return torch.from_numpy(keep)
+
+
+def test_fast_rcnn_inference_matches_reference():
+    """fast_rcnn_inference_single vs the reference's own
+    fast_rcnn_inference_single_image (fast_rcnn.py:57-116) executed on
+    identical per-class boxes and softmax scores: background-column drop,
+    image clipping, strict score threshold, per-class NMS, post-NMS topk,
+    and the (boxes, scores, classes) of every kept detection in order."""
+    ref_path = Path(
+        "/root/reference/cubercnn/modeling/roi_heads/fast_rcnn.py"
+    )
+    if not ref_path.exists():
+        pytest.skip("reference source not present")
+    import typing
+
+    tree = ast.parse(ref_path.read_text())
+    body = [n for n in tree.body
+            if isinstance(n, ast.FunctionDef)
+            and n.name == "fast_rcnn_inference_single_image"]
+    assert len(body) == 1
+    ns = {
+        "torch": torch, "np": np, "Boxes": _RefBoxes,
+        "Instances": _RefInstances, "batched_nms": _torch_batched_nms,
+        "Tuple": typing.Tuple, "List": typing.List,
+    }
+    exec(compile(ast.Module(body=body, type_ignores=[]), str(ref_path),
+                 "exec"), ns)
+
+    rng = np.random.RandomState(21)
+    N, C, H, W, topk = 60, 9, 480, 640, 16
+    score_thresh, nms_thresh = 0.05, 0.5
+    # clustered boxes (so NMS actually suppresses), some crossing the border
+    centers = rng.uniform(-20, 680, (N, 1, 2)) + rng.randn(N, C, 2) * 10
+    sizes = rng.uniform(20, 160, (N, C, 2))
+    boxes = np.concatenate(
+        [centers - sizes / 2, centers + sizes / 2], -1
+    ).astype(np.float32)
+    # sparse peaky scores: a valid set bigger than topk but far under the
+    # candidate cap, plus sub-threshold mass everywhere
+    raw = rng.rand(N, C) ** 6
+    scores = (raw / raw.sum(1, keepdims=True)).astype(np.float32)
+    bg = np.clip(1.0 - scores.sum(1, keepdims=True), 0, None)
+
+    inst, kept_prop = ns["fast_rcnn_inference_single_image"](
+        torch.from_numpy(boxes.reshape(N, C * 4).copy()),
+        torch.from_numpy(np.concatenate([scores, bg], 1)),
+        (H, W), score_thresh, nms_thresh, topk,
+    )
+    want_boxes = inst.pred_boxes.tensor.numpy()
+    want_scores = inst.scores.numpy()
+    want_classes = inst.pred_classes.numpy()
+    assert topk >= len(want_scores) > 4  # non-vacuous, exercises NMS + topk
+
+    import jax
+
+    from ovmono3d_tpu.models.rcnn3d import fast_rcnn_inference_single
+
+    got = jax.jit(
+        fast_rcnn_inference_single,
+        static_argnames=("score_thresh", "nms_thresh", "topk"),
+    )(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        jnp.ones((N,), bool), jnp.asarray([H, W], jnp.int32),
+        score_thresh=score_thresh, nms_thresh=nms_thresh, topk=topk,
+    )
+    g_boxes, g_scores, g_classes, g_valid = (
+        np.asarray(got[0]), np.asarray(got[1]), np.asarray(got[2]),
+        np.asarray(got[3]),
+    )
+    nk = int(g_valid.sum())
+    assert g_valid[:nk].all()  # valid entries are the score-ordered prefix
+    assert nk == len(want_scores)
+    np.testing.assert_allclose(g_scores[:nk], want_scores, rtol=1e-6)
+    np.testing.assert_array_equal(g_classes[:nk], want_classes)
+    np.testing.assert_allclose(g_boxes[:nk], want_boxes, rtol=1e-5,
+                               atol=1e-4)
