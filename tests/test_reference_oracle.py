@@ -1237,3 +1237,261 @@ def test_fast_rcnn_inference_matches_reference():
     np.testing.assert_array_equal(g_classes[:nk], want_classes)
     np.testing.assert_allclose(g_boxes[:nk], want_boxes, rtol=1e-5,
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# GDINO phrase-logit pooling vs the reference's own roi_heads_gdino.py
+# ---------------------------------------------------------------------------
+
+def test_gdino_phrase_logits_match_reference():
+    """postprocess_grounding's span pooling vs the reference's own
+    get_phrase_logits_from_token_logits (roi_heads_gdino.py:273-294)
+    executed on identical sigmoid token logits and the SAME WordPiece
+    tokenization: per-phrase token-span sum, then max/argmax over phrases
+    (get_grounding_output:192-198)."""
+    ref_path = Path(
+        "/root/reference/cubercnn/modeling/roi_heads/roi_heads_gdino.py"
+    )
+    if not ref_path.exists():
+        pytest.skip("reference source not present")
+    import typing
+
+    tree = ast.parse(ref_path.read_text())
+    body = [n for n in tree.body
+            if isinstance(n, ast.FunctionDef)
+            and n.name == "get_phrase_logits_from_token_logits"]
+    assert len(body) == 1
+    ns = {
+        "torch": torch, "Dict": typing.Dict, "List": typing.List,
+        "AutoTokenizer": object,
+    }
+    exec(compile(ast.Module(body=body, type_ignores=[]), str(ref_path),
+                 "exec"), ns)
+
+    from ovmono3d_tpu.models.gdino.inference import build_text_inputs
+    from ovmono3d_tpu.models.gdino.tokenizer import (
+        BertTokenizer,
+        build_caption,
+        phrase_token_spans,
+    )
+
+    vocab = {
+        "[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, ".": 4,
+        "chair": 5, "cup": 6, "cereal": 7, "box": 8, "lap": 9,
+        "##top": 10, "shoes": 11, "coffee": 12, "maker": 13,
+    }
+    tok = BertTokenizer(vocab)
+    cats = ["chair", "laptop", "cereal box", "coffee maker", "cup"]
+
+    class _TokShim:
+        """The two call shapes get_phrase_logits_from_token_logits uses."""
+
+        def __call__(self, text, add_special_tokens=True):
+            if isinstance(text, list):
+                assert not add_special_tokens
+                return {"input_ids": [tok.tokenize_ids(t) for t in text]}
+            ids, _ = phrase_token_spans(tok, cats)
+            assert text == build_caption(cats)
+            return {"input_ids": ids}
+
+    rng = np.random.RandomState(5)
+    Q = 40
+    probs = rng.rand(Q, 256).astype(np.float32)
+
+    want = ns["get_phrase_logits_from_token_logits"](
+        torch.from_numpy(probs), _TokShim()(build_caption(cats)),
+        _TokShim(), cats,
+    )
+    want_scores, want_classes = want.max(dim=1)
+
+    text = build_text_inputs(tok, cats, max_len=256, max_phrases=len(cats))
+    got = np.asarray(probs @ text["span_matrix"].T)
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got.max(1), want_scores.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(got.argmax(1), want_classes.numpy())
+
+
+# ---------------------------------------------------------------------------
+# Cube-head decode vs the reference's own decode subtree
+# ---------------------------------------------------------------------------
+
+def _load_cube_decode_segment():
+    """Extract the decode statements of ROIHeads3D._forward_cube — from
+    `fg_inds = torch.arange(n)` (just after the cube-head forward,
+    roi_heads.py:433) up to the training-loss `if` (roi_heads.py:551):
+    cluster-bin assignment from 2D scales, per-class gathers, center-delta
+    application, dims-prior decode (exp/sigmoid), allocentric->egocentric
+    pose, the four z_type decodes, and virtual-depth scaling."""
+    path = Path("/root/reference/cubercnn/modeling/roi_heads/roi_heads.py")
+    if not path.exists():
+        pytest.skip("reference source not present")
+    tree = ast.parse(path.read_text())
+    cls = next(
+        n for n in tree.body
+        if isinstance(n, ast.ClassDef) and n.name == "ROIHeads3D"
+    )
+    fwd = next(
+        m for m in cls.body
+        if isinstance(m, ast.FunctionDef) and m.name == "_forward_cube"
+    )
+    start = next(
+        i for i, s in enumerate(fwd.body)
+        if isinstance(s, ast.Assign)
+        and isinstance(s.targets[0], ast.Name)
+        and s.targets[0].id == "fg_inds"
+    )
+    end = next(
+        i for i, s in enumerate(fwd.body)
+        if i > start
+        and isinstance(s, ast.If)
+        and isinstance(s.test, ast.Attribute)
+        and s.test.attr == "training"
+    )
+    return compile(
+        ast.Module(body=fwd.body[start:end], type_ignores=[]), str(path),
+        "exec",
+    )
+
+
+@pytest.mark.parametrize(
+    "priors_on,dims_func,z_type",
+    [
+        (True, "exp", "clusters"),
+        (True, "sigmoid", "clusters"),
+        (False, "exp", "log"),
+        (False, "exp", "direct"),
+        (False, "exp", "sigmoid"),
+    ],
+)
+def test_cube_decode_matches_reference(ref, priors_on, dims_func, z_type):
+    """decode_cube vs the reference's own decode subtree executed on
+    identical raw head outputs, priors and proposals."""
+    import dataclasses
+    import types
+
+    from ovmono3d_tpu.config import CubeHeadConfig
+    from ovmono3d_tpu.models.rcnn3d import decode_cube
+    from scipy.spatial.transform import Rotation
+
+    seg = _load_cube_decode_segment()
+    rng = np.random.RandomState(3 + priors_on + len(z_type))
+    N, C, B = 20, 7, (4 if z_type == "clusters" else 1)
+    S = 512  # network-input height
+
+    classes = rng.randint(0, C, N)
+    ratio = rng.uniform(1.0, 3.0, N).astype(np.float32)
+    fy = rng.uniform(400, 1200, N).astype(np.float32)
+    K_scaled = np.zeros((N, 3, 3), np.float32)
+    K_scaled[:, 0, 0] = fy / ratio
+    K_scaled[:, 1, 1] = fy / ratio
+    K_scaled[:, 0, 2] = rng.uniform(200, 320, N) / ratio
+    K_scaled[:, 1, 2] = rng.uniform(150, 260, N) / ratio
+    K_scaled[:, 2, 2] = 1.0
+
+    src = np.zeros((N, 4), np.float32)
+    src[:, 0] = rng.uniform(0, 300, N)
+    src[:, 1] = rng.uniform(0, 200, N)
+    src[:, 2] = src[:, 0] + rng.uniform(20, 200, N)
+    src[:, 3] = src[:, 1] + rng.uniform(20, 200, N)
+
+    # raw head outputs, reference layout
+    if priors_on:
+        deltas = (rng.randn(N, C, 2) * 0.3).astype(np.float32)
+        dims_n = (rng.randn(N, C, 3) * 0.4).astype(np.float32)
+        pose = Rotation.random(N * C, random_state=rng).as_matrix().astype(
+            np.float32).reshape(N, C, 3, 3)
+        z_raw = (rng.randn(N, B, C, 1) * 0.7).astype(np.float32)
+        uncert = rng.uniform(0.01, 3.0, (N, C)).astype(np.float32)
+    else:
+        deltas = (rng.randn(N, 2) * 0.3).astype(np.float32)
+        dims_n = (rng.randn(N, 3) * 0.4).astype(np.float32)
+        pose = Rotation.random(N, random_state=rng).as_matrix().astype(
+            np.float32)
+        z_raw = (rng.randn(N, 1) * 0.7 + (2.0 if z_type == "log" else 8.0)
+                 ).astype(np.float32)
+        uncert = rng.uniform(0.01, 3.0, (N, 1)).astype(np.float32)
+
+    pz_scales = np.sort(rng.uniform(30, 600, (C, B)).astype(np.float32), 1)
+    pz_stats = np.stack(
+        [rng.uniform(2, 25, (C, B)), rng.uniform(0.5, 5, (C, B))], -1
+    ).astype(np.float32)
+    pdims = np.stack(
+        [rng.uniform(0.3, 3, (C, 3)), rng.uniform(0.05, 0.8, (C, 3))], 1
+    ).astype(np.float32)
+
+    t = torch.from_numpy
+    src_w, src_h = src[:, 2] - src[:, 0], src[:, 3] - src[:, 1]
+    self_obj = types.SimpleNamespace(
+        cluster_bins=B, dims_priors_enabled=priors_on,
+        dims_priors_func=dims_func, use_confidence=1.0,
+        allocentric_pose=True, z_type=z_type, virtual_depth=True,
+        priors_z_scales=t(pz_scales), priors_z_stats=t(pz_stats),
+        priors_dims_per_cat=t(pdims[None]),
+    )
+    virtual_focal = 512.0
+    v2r_ref = ref["compute_virtual_scale_from_focal_spaces"](
+        t(fy), t(np.float32(S) * ratio), virtual_focal, t(np.full(N, S, np.float32))
+    )
+    util_ns = types.SimpleNamespace(
+        scaled_sigmoid=ref["scaled_sigmoid"],
+        R_from_allocentric=ref["R_from_allocentric"],
+    )
+    ns = {
+        "self": self_obj, "torch": torch, "np": np, "util": util_ns,
+        "n": N, "box_classes": t(classes.astype(np.int64)),
+        "cube_2d_deltas": t(deltas), "cube_z": t(z_raw),
+        "cube_dims": t(dims_n), "cube_pose": t(pose),
+        "cube_uncert": t(uncert),
+        "Ks_scaled_per_box": t(K_scaled),
+        "virtual_to_real": v2r_ref,
+        "src_ctr_x": t(src[:, 0] + 0.5 * src_w),
+        "src_ctr_y": t(src[:, 1] + 0.5 * src_h),
+        "src_widths": t(src_w), "src_heights": t(src_h),
+        "src_scales": t(np.sqrt(src_w**2 + src_h**2)),
+    }
+    exec(seg, ns)
+
+    cfg = dataclasses.replace(
+        CubeHeadConfig(), cluster_bins=B, dims_priors_enabled=priors_on,
+        dims_priors_func=dims_func, z_type=z_type, allocentric_pose=True,
+        virtual_depth=True, virtual_focal=virtual_focal, use_confidence=1.0,
+    )
+    outputs = {
+        "deltas_2d": jnp.asarray(deltas),
+        "dims": jnp.asarray(dims_n),
+        "pose": jnp.asarray(pose),
+        "uncert": jnp.asarray(uncert.reshape(N, C) if priors_on
+                              else uncert.reshape(N)),
+        "z": jnp.asarray(z_raw.reshape(N, B, C) if priors_on
+                         else z_raw.reshape(N, 1)),
+    }
+    dec = decode_cube(
+        cfg, outputs, jnp.asarray(src), jnp.asarray(classes),
+        jnp.asarray(K_scaled), jnp.asarray(fy),
+        jnp.full((N,), S, jnp.float32), jnp.asarray(ratio),
+        priors_dims=jnp.asarray(pdims) if priors_on else None,
+        priors_z_scales=jnp.asarray(pz_scales),
+        priors_z_stats=jnp.asarray(pz_stats) if z_type == "clusters"
+        else None,
+    )
+
+    pairs = {
+        "x": "cube_x", "y": "cube_y", "z": "cube_z", "dims": "cube_dims",
+        "pose": "cube_pose", "uncert": "cube_uncert",
+        "z_norm": "cube_z_norm", "pose_allocentric":
+        "cube_pose_allocentric",
+    }
+    np.testing.assert_allclose(
+        np.asarray(dec["virtual_to_real"]), v2r_ref.numpy(),
+        rtol=2e-5, err_msg="virtual_to_real",
+    )
+    for ours_k, ref_k in pairs.items():
+        if ref_k == "cube_z_norm" and z_type == "direct":
+            continue  # the reference only defines it for the bounded types
+        want = ns[ref_k].detach().numpy().reshape(
+            np.asarray(dec[ours_k]).shape
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec[ours_k]), want, rtol=3e-4, atol=1e-5,
+            err_msg=ours_k,
+        )
