@@ -18,16 +18,78 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 BASELINE_IMG_PER_S = 1.0 / 0.217  # reference pure-compute (BASELINE.md)
+METRIC = "ovmono3d_lift_oracle_896_b1_img_per_s"
+# Backend probe + whole-run watchdog: the tunneled TPU backend can wedge
+# (jax.devices() hangs indefinitely after a client is killed mid-compile —
+# see CLAUDE.md). A hung bench run records nothing; emit one honest JSON
+# line instead so the driver always gets an artifact.
+PROBE_TIMEOUT_S = 240
+PROBE_ATTEMPTS = 3
+WATCHDOG_S = 1500
+
+
+def _fail_json(note: str) -> str:
+    return json.dumps(
+        {
+            "metric": METRIC,
+            "value": 0.0,
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,
+            "error": note,
+        }
+    )
+
+
+def _probe_backend() -> bool:
+    """Bring up jax.devices() in a throwaway subprocess with a timeout.
+
+    Must run BEFORE this process touches JAX: a second live JAX process
+    deadlocks the axon relay, so the probe child must exit first.
+    """
+    code = "import jax; jax.devices(); print('ok')"
+    for attempt in range(PROBE_ATTEMPTS):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=PROBE_TIMEOUT_S,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(10 * (attempt + 1))
+    return False
+
+
+def _start_watchdog() -> None:
+    def fire():
+        print(
+            _fail_json(
+                f"watchdog: no result within {WATCHDOG_S}s "
+                "(device backend stalled mid-run)"
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    t = threading.Timer(WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from __graft_entry__ import _flagship_config
     from ovmono3d_tpu.models.rcnn3d import build_model
 
@@ -119,4 +181,9 @@ def main():
 
 
 if __name__ == "__main__":
+    if not _probe_backend():
+        print(_fail_json("device backend unavailable (tunnel wedged); "
+                         "no measurement taken"), flush=True)
+        sys.exit(1)
+    _start_watchdog()
     main()

@@ -427,6 +427,56 @@ def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def box_head_losses(
+    box_cfg,
+    num_classes: int,
+    scores_logits: jax.Array,
+    box_deltas: jax.Array,
+    flat_classes: jax.Array,
+    flat_valid: jax.Array,
+    flat_fg: jax.Array,
+    flat_boxes: jax.Array,
+    matched_gt_boxes: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Fast R-CNN box-head losses (reference fast_rcnn.py:145-260).
+
+    loss_cls: softmax cross-entropy over ALL sampled proposals, mean
+    reduction (fast_rcnn.py:185). loss_reg: smooth-L1 on the per-class
+    (or class-agnostic) deltas of FG proposals vs encoded GT deltas,
+    summed then normalized by the TOTAL number of proposals R, not the
+    FG count (fast_rcnn.py:179, 186-187, 238-243). Padded slots are
+    excluded via `flat_valid`; the reference has no padding, so at full
+    validity the two reductions coincide.
+    """
+    log_probs = jax.nn.log_softmax(scores_logits, axis=-1)
+    ce = -jnp.take_along_axis(
+        log_probs, flat_classes[:, None], axis=-1
+    )[:, 0]
+    loss_cls = masked_mean(ce, flat_valid)
+
+    reg_targets = box_ops.get_deltas(
+        flat_boxes, matched_gt_boxes, box_cfg.bbox_reg_weights
+    )
+    n, c = flat_classes.shape[0], num_classes
+    if box_cfg.cls_agnostic_bbox_reg:
+        pred_reg = box_deltas
+    else:
+        cls_for_reg = jnp.minimum(flat_classes, c - 1)
+        pred_reg = jnp.take_along_axis(
+            box_deltas.reshape(n, c, 4),
+            cls_for_reg[:, None, None].repeat(4, -1),
+            axis=1,
+        )[:, 0]
+    reg_loss = smooth_l1(
+        pred_reg, reg_targets, box_cfg.smooth_l1_beta
+    ).sum(-1)
+    fg_f = flat_fg.astype(jnp.float32)
+    loss_reg = jnp.sum(reg_loss * fg_f) / jnp.maximum(
+        jnp.sum(flat_valid), 1.0
+    )
+    return loss_cls, loss_reg
+
+
 def cube_losses(
     cfg,
     dec: dict[str, jax.Array],
@@ -921,36 +971,17 @@ class RCNN3D(nn.Module):
         flat_valid = sampled["valid"].reshape(b * s)
         flat_fg = sampled["fg"].reshape(b * s)
 
-        log_probs = jax.nn.log_softmax(scores_logits, axis=-1)
-        ce = -jnp.take_along_axis(
-            log_probs, flat_classes[:, None], axis=-1
-        )[:, 0]
-        losses["box/cls"] = masked_mean(ce, flat_valid)
-
         matched_gt_boxes = jnp.take_along_axis(
             gt.boxes, sampled["gt_idx"][..., None], axis=1
         ).reshape(b * s, 4)
         flat_boxes = sampled["boxes"].reshape(b * s, 4)
-        reg_targets = box_ops.get_deltas(
-            flat_boxes, matched_gt_boxes, box_cfg.bbox_reg_weights
+        loss_cls, loss_reg = box_head_losses(
+            box_cfg, self.cfg.num_classes, scores_logits, box_deltas,
+            flat_classes, flat_valid, flat_fg, flat_boxes, matched_gt_boxes,
         )
-        c = self.cfg.num_classes
-        if box_cfg.cls_agnostic_bbox_reg:
-            pred_reg = box_deltas
-        else:
-            cls_for_reg = jnp.minimum(flat_classes, c - 1)
-            pred_reg = jnp.take_along_axis(
-                box_deltas.reshape(b * s, c, 4),
-                cls_for_reg[:, None, None].repeat(4, -1),
-                axis=1,
-            )[:, 0]
-        reg_loss = smooth_l1(
-            pred_reg, reg_targets, box_cfg.smooth_l1_beta
-        ).sum(-1)
+        losses["box/cls"] = loss_cls
+        losses["box/reg"] = loss_reg
         fg_f = flat_fg.astype(jnp.float32)
-        losses["box/reg"] = jnp.sum(reg_loss * fg_f) / jnp.maximum(
-            jnp.sum(flat_valid), 1.0
-        )
 
         # --- Cube head on FG sampled proposals (roi_heads.py:329-793) ---
         dec, Kb = self._run_cube(

@@ -1495,3 +1495,145 @@ def test_cube_decode_matches_reference(ref, priors_on, dims_func, z_type):
             np.asarray(dec[ours_k]), want, rtol=3e-4, atol=1e-5,
             err_msg=ours_k,
         )
+
+
+# ---------------------------------------------------------------------------
+# Fast R-CNN box-head losses vs the reference's own FastRCNNOutputs.losses
+# ---------------------------------------------------------------------------
+
+def _load_fast_rcnn_loss_methods():
+    """Extract FastRCNNOutputs.losses + .box_reg_loss (fast_rcnn.py:145-260)
+    as free functions taking `self` explicitly."""
+    path = Path(
+        "/root/reference/cubercnn/modeling/roi_heads/fast_rcnn.py"
+    )
+    if not path.exists():
+        pytest.skip("reference source not present")
+    tree = ast.parse(path.read_text())
+    cls = next(
+        n for n in tree.body
+        if isinstance(n, ast.ClassDef) and n.name == "FastRCNNOutputs"
+    )
+    fns = [m for m in cls.body
+           if isinstance(m, ast.FunctionDef)
+           and m.name in ("losses", "box_reg_loss")]
+    assert len(fns) == 2
+    import torch.nn.functional as F
+
+    def smooth_l1_loss(input, target, beta, reduction="none"):
+        # fvcore.nn.smooth_l1_loss semantics (beta==0 -> pure L1).
+        if beta < 1e-5:
+            loss = torch.abs(input - target)
+        else:
+            n = torch.abs(input - target)
+            loss = torch.where(
+                n < beta, 0.5 * n**2 / beta, n - 0.5 * beta
+            )
+        if reduction == "sum":
+            return loss.sum()
+        return loss
+
+    ns = {
+        "torch": torch,
+        "cat": torch.cat,
+        "cross_entropy": F.cross_entropy,
+        "smooth_l1_loss": smooth_l1_loss,
+        "giou_loss": None,
+        "nonzero_tuple": lambda t: torch.nonzero(t, as_tuple=True),
+        "_log_classification_stats": lambda *a, **k: None,
+    }
+    exec(compile(ast.Module(body=fns, type_ignores=[]), str(path),
+                 "exec"), ns)
+    return ns
+
+
+@pytest.mark.parametrize("beta,cls_agnostic", [(0.0, False), (0.5, False),
+                                               (0.0, True)])
+def test_box_head_losses_match_reference(beta, cls_agnostic):
+    """box_head_losses vs the reference's own losses()/box_reg_loss()
+    executed on identical logits/deltas/proposals (Box2BoxTransform
+    get_deltas shimmed with the standard detectron2 formula)."""
+    import dataclasses
+    import types
+
+    from ovmono3d_tpu.config import ROIBoxConfig
+    from ovmono3d_tpu.models.rcnn3d import box_head_losses
+
+    ns = _load_fast_rcnn_loss_methods()
+    rng = np.random.RandomState(11)
+    N, C = 96, 9  # proposals, foreground classes (bg index = C)
+    W = (10.0, 10.0, 5.0, 5.0)
+
+    classes = rng.randint(0, C + 1, N).astype(np.int64)
+    scores = (rng.randn(N, C + 1) * 2).astype(np.float32)
+    deltas = (rng.randn(N, 4 if cls_agnostic else C * 4) * 0.5).astype(
+        np.float32
+    )
+    boxes = np.zeros((N, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, 300, N)
+    boxes[:, 1] = rng.uniform(0, 200, N)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(10, 150, N)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(10, 150, N)
+    gt_boxes = boxes + rng.uniform(-8, 8, (N, 4)).astype(np.float32)
+    gt_boxes[:, 2] = np.maximum(gt_boxes[:, 2], gt_boxes[:, 0] + 5)
+    gt_boxes[:, 3] = np.maximum(gt_boxes[:, 3], gt_boxes[:, 1] + 5)
+
+    class _Box2Box:
+        def get_deltas(self, src, tgt):
+            # detectron2 Box2BoxTransform.get_deltas with weights W.
+            sw = src[:, 2] - src[:, 0]
+            sh = src[:, 3] - src[:, 1]
+            scx = src[:, 0] + 0.5 * sw
+            scy = src[:, 1] + 0.5 * sh
+            tw = tgt[:, 2] - tgt[:, 0]
+            th = tgt[:, 3] - tgt[:, 1]
+            tcx = tgt[:, 0] + 0.5 * tw
+            tcy = tgt[:, 1] + 0.5 * th
+            return torch.stack(
+                [W[0] * (tcx - scx) / sw, W[1] * (tcy - scy) / sh,
+                 W[2] * torch.log(tw / sw), W[3] * torch.log(th / sh)],
+                dim=1,
+            )
+
+    class _Proposals:
+        def __init__(self):
+            self.gt_classes = torch.from_numpy(classes)
+            self.proposal_boxes = types.SimpleNamespace(
+                tensor=torch.from_numpy(boxes)
+            )
+            self.gt_boxes = types.SimpleNamespace(
+                tensor=torch.from_numpy(gt_boxes)
+            )
+
+        def has(self, key):
+            return True
+
+    self_obj = types.SimpleNamespace(
+        num_classes=C, box_reg_loss_type="smooth_l1",
+        smooth_l1_beta=beta, loss_weight={},
+        box2box_transform=_Box2Box(),
+        box_reg_loss=None,
+    )
+    self_obj.box_reg_loss = types.MethodType(ns["box_reg_loss"], self_obj)
+    want = ns["losses"](
+        self_obj,
+        (torch.from_numpy(scores), torch.from_numpy(deltas)),
+        [_Proposals()],
+    )
+
+    cfg = dataclasses.replace(
+        ROIBoxConfig(), smooth_l1_beta=beta,
+        cls_agnostic_bbox_reg=cls_agnostic, bbox_reg_weights=W,
+    )
+    got_cls, got_reg = box_head_losses(
+        cfg, C, jnp.asarray(scores), jnp.asarray(deltas),
+        jnp.asarray(classes.astype(np.int32)),
+        jnp.ones(N, bool), jnp.asarray(classes < C),
+        jnp.asarray(boxes), jnp.asarray(gt_boxes),
+    )
+    np.testing.assert_allclose(
+        float(got_cls), float(want["BoxHead/loss_cls"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(got_reg), float(want["BoxHead/loss_box_reg"]), rtol=1e-5
+    )
