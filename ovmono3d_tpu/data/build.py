@@ -44,12 +44,18 @@ def repeat_factors_from_category_frequency(
 
 
 def dataset_balance_weights(dataset_ids: list[int]) -> np.ndarray:
-    """Equal-probability-per-dataset sampling weights (BALANCE_DATASETS,
-    build.py:100-163)."""
+    """Per-image dataset-balancing weights (BALANCE_DATASETS,
+    build.py:105-128): each dataset gets weight 1 - count/total,
+    normalized so the largest dataset's weight is 1; a single source is
+    left unweighted. Softer than equal-probability-per-dataset — the
+    reference's deliberate partial rebalance."""
     counts = Counter(dataset_ids)
-    return np.array(
-        [1.0 / (len(counts) * counts[d]) for d in dataset_ids]
-    )
+    if len(counts) <= 1:
+        return np.ones(len(dataset_ids))
+    total = sum(counts.values())
+    w = {d: 1.0 - c / total for d, c in counts.items()}
+    mn = min(w.values())
+    return np.array([w[d] / mn for d in dataset_ids])
 
 
 def build_train_iterator(

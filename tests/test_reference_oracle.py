@@ -1637,3 +1637,91 @@ def test_box_head_losses_match_reference(beta, cls_agnostic):
     np.testing.assert_allclose(
         float(got_reg), float(want["BoxHead/loss_box_reg"]), rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataloader weighting vs the reference's own build.py
+# ---------------------------------------------------------------------------
+
+_REF_BUILD = Path("/root/reference/cubercnn/data/build.py")
+
+
+def _synthetic_records(rng, n_img=400, n_cat=12, n_datasets=3):
+    sources = ["KITTI", "SUNRGBD", "ARKitScenes"][:n_datasets]
+    # skewed dataset sizes + skewed category frequencies
+    ds_of_img = rng.choice(n_datasets, n_img, p=[0.65, 0.25, 0.10])
+    records = []
+    for i in range(n_img):
+        n_ann = rng.randint(0, 6)
+        cats = rng.zipf(1.6, n_ann) % n_cat  # rare tail categories
+        anns = [{"category_id": int(c) if rng.rand() > 0.05 else -1}
+                for c in cats]
+        records.append(
+            {"dataset_id": int(ds_of_img[i]), "annotations": anns}
+        )
+    return records, sources
+
+
+def test_repeat_factors_match_reference():
+    """repeat_factors_from_category_frequency vs the reference's own
+    function (build.py:166-211) on identical records."""
+    if not _REF_BUILD.exists():
+        pytest.skip("reference source not present")
+    from collections import defaultdict
+
+    from ovmono3d_tpu.data.build import (
+        repeat_factors_from_category_frequency,
+    )
+
+    tree = ast.parse(_REF_BUILD.read_text())
+    fn = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+              and n.name == "repeat_factors_from_category_frequency")
+    ns = {"torch": torch, "math": math, "defaultdict": defaultdict}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), str(_REF_BUILD),
+                 "exec"), ns)
+
+    rng = np.random.RandomState(7)
+    records, _ = _synthetic_records(rng)
+    for thresh in (0.1, 0.5, 1.0):
+        want = ns["repeat_factors_from_category_frequency"](
+            records, thresh
+        ).numpy()
+        got = repeat_factors_from_category_frequency(records, thresh)
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=str(thresh))
+
+
+def test_dataset_balance_weights_match_reference():
+    """dataset_balance_weights vs the reference's BALANCE_DATASETS block
+    (build.py:105-128) ast-extracted from _train_loader_from_config and
+    executed on identical records."""
+    if not _REF_BUILD.exists():
+        pytest.skip("reference source not present")
+    from ovmono3d_tpu.data.build import dataset_balance_weights
+
+    tree = ast.parse(_REF_BUILD.read_text())
+    fn = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+              and n.name == "_train_loader_from_config")
+    blk = next(
+        s for s in ast.walk(fn)
+        if isinstance(s, ast.If) and isinstance(s.test, ast.Name)
+        and s.test.id == "balance_datasets"
+    )
+    seg = compile(ast.Module(body=blk.body, type_ignores=[]),
+                  str(_REF_BUILD), "exec")
+
+    rng = np.random.RandomState(8)
+    records, sources = _synthetic_records(rng)
+    ns = {
+        "torch": torch, "np": np,
+        "dataset_id_to_src": {i: s for i, s in enumerate(sources)},
+        "dataset": records,
+    }
+    exec(seg, ns)
+    want = ns["weights_per_img"].numpy()
+
+    got = dataset_balance_weights([r["dataset_id"] for r in records])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # single source -> unweighted (build.py:113-115)
+    one = dataset_balance_weights([0] * 10)
+    np.testing.assert_array_equal(one, np.ones(10))
