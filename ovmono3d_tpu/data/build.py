@@ -58,6 +58,17 @@ def dataset_balance_weights(dataset_ids: list[int]) -> np.ndarray:
     return np.array([w[d] / mn for d in dataset_ids])
 
 
+def subsample_records(records: list[dict], percentage: float) -> list[dict]:
+    """Seeded uniform TRAIN_SET_PERCENTAGE subsample, NOT a prefix —
+    records are concatenated per dataset, so a prefix would drop whole
+    sources (sample_by_percentage, reference build.py:30-34, 92-93)."""
+    if percentage >= 1.0:
+        return records
+    keep = int(len(records) * percentage)
+    idx = np.random.RandomState(42).permutation(len(records))[:keep]
+    return [records[i] for i in np.sort(idx)]
+
+
 def build_train_iterator(
     cfg: Config,
     records: list[dict],
@@ -69,9 +80,7 @@ def build_train_iterator(
     prefetch: int = 4,
 ) -> Iterator[dict]:
     """Infinite weighted-shuffle stream of fixed-shape train batches."""
-    if cfg.input.train_set_percentage < 1.0:
-        keep = int(len(records) * cfg.input.train_set_percentage)
-        records = records[:keep]
+    records = subsample_records(records, cfg.input.train_set_percentage)
 
     weights = np.ones(len(records))
     if cfg.datasets.balance_datasets:

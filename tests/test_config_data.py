@@ -276,3 +276,21 @@ def test_depth_plumbing(tmp_path):
     assert np.all(ex.depth[nh:] == 0) and np.all(ex.depth[:, nw:] == 0)
     batch = batch_examples([ex, ex])
     assert batch["depth"].shape == (2, S, S, 1)
+
+
+def test_subsample_records_uniform_across_sources():
+    """TRAIN_SET_PERCENTAGE takes a seeded uniform sample, not a prefix:
+    every concatenated source must survive (reference sample_by_percentage,
+    build.py:30-34, 92-93)."""
+    from ovmono3d_tpu.data.build import subsample_records
+
+    records = [{"dataset_id": d, "i": i}
+               for d in range(3) for i in range(200)]
+    sub = subsample_records(records, 0.25)
+    assert len(sub) == 150
+    per_src = {d: sum(r["dataset_id"] == d for r in sub) for d in range(3)}
+    assert all(v > 20 for v in per_src.values()), per_src
+    # deterministic across calls
+    again = subsample_records(records, 0.25)
+    assert [r["i"] for r in sub] == [r["i"] for r in again]
+    assert subsample_records(records, 1.0) is records
