@@ -294,3 +294,41 @@ def test_subsample_records_uniform_across_sources():
     again = subsample_records(records, 0.25)
     assert [r["i"] for r in sub] == [r["i"] for r in again]
     assert subsample_records(records, 1.0) is records
+
+
+def test_flip_pose_convention_corner_set_equivalence():
+    """Our mirror fix-up F@R@F (mapper._M1/_M2, F=diag(-1,1,1)) vs the
+    reference's diag(1,-1,-1) @ R @ diag(-1,-1,1)
+    (dataset_mapper.py:101-117 _M1/_M2): the two differ by a 180deg
+    rotation about the box's vertical axis, under which a cuboid is
+    symmetric — so the CORNER SET of any flipped box is identical and
+    every corner-set-based target (disentangled corners, chamfer, IoU3D,
+    NHD) is unchanged. This test proves the documented claim."""
+    import jax.numpy as jnp
+
+    from ovmono3d_tpu.data.mapper import _M1, _M2
+    from ovmono3d_tpu.utils.geometry import cuboid_corners
+
+    ref_m1 = np.diag([1.0, -1.0, -1.0])
+    ref_m2 = np.diag([-1.0, -1.0, 1.0])
+    rng = np.random.RandomState(0)
+    for _ in range(16):
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1.0
+        box = np.concatenate(
+            [rng.randn(3) + np.array([0.0, 0.0, 6.0]), rng.rand(3) + 0.1]
+        )
+        ours = np.asarray(
+            cuboid_corners(jnp.asarray(box), jnp.asarray(_M1 @ q @ _M2))
+        )
+        ref = np.asarray(
+            cuboid_corners(
+                jnp.asarray(box), jnp.asarray(ref_m1 @ q @ ref_m2)
+            )
+        )
+        # Equal as SETS of 8 points: every reference corner has exactly one
+        # coincident corner of ours (a permutation, not a deformation).
+        d = np.linalg.norm(ours[:, None] - ref[None], axis=-1)
+        assert (d.min(axis=0) < 1e-5).all()
+        assert (np.sort(d.argmin(axis=0)) == np.arange(8)).all()
