@@ -1138,3 +1138,257 @@ def test_pos_embed_resize_matches_torch_bicubic():
         )
         np.testing.assert_allclose(got[:, 0], table[:, 0], atol=0)
         np.testing.assert_allclose(got[:, 1:], want, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# CLIP visual tower (pre-LN + QuickGELU; reference clip.py:93-133)
+# ---------------------------------------------------------------------------
+
+
+def test_clip_vision_matches_hf_transformers():
+    """VisionTransformer (clip preset knobs) vs the official CLIPVisionModel
+    with hidden_act='quick_gelu' (what the 'openai' open_clip checkpoints the
+    reference loads use). Compares the pre-post_layernorm hidden state, which
+    is what the reference's manual block loop consumes (clip.py:93-133)."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from ovmono3d_tpu.models.vit import VisionTransformer
+    from ovmono3d_tpu.utils.checkpoint_convert import (
+        convert_clip_vit,
+        merge_into_params,
+    )
+
+    _seed_all(11)
+    cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=48, patch_size=16,
+        hidden_act="quick_gelu", attention_dropout=0.0, layer_norm_eps=1e-5,
+    )
+    hf = CLIPVisionModel(cfg).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+
+    rng = np.random.RandomState(12)
+    image = rng.rand(2, 48, 48, 3).astype(np.float32)
+    with torch.no_grad():
+        out = hf(
+            torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous(),
+            output_hidden_states=True,
+        )
+    want = out.hidden_states[-1].numpy()  # pre post_layernorm
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    # HF spells the embedding-side LayerNorm 'pre_layrnorm' (kept for ckpt
+    # compat in transformers); tolerate either spelling.
+    pre = ("vision_model.pre_layrnorm."
+           if "vision_model.pre_layrnorm.weight" in sd
+           else "vision_model.pre_layernorm.")
+    oc = {
+        "visual.class_embedding":
+            sd["vision_model.embeddings.class_embedding"],
+        "visual.positional_embedding":
+            sd["vision_model.embeddings.position_embedding.weight"],
+        "visual.conv1.weight":
+            sd["vision_model.embeddings.patch_embedding.weight"],
+        "visual.ln_pre.weight": sd[pre + "weight"],
+        "visual.ln_pre.bias": sd[pre + "bias"],
+    }
+    for i in range(2):
+        h = f"vision_model.encoder.layers.{i}."
+        o = f"visual.transformer.resblocks.{i}."
+        oc[o + "attn.in_proj_weight"] = np.concatenate([
+            sd[h + "self_attn.q_proj.weight"],
+            sd[h + "self_attn.k_proj.weight"],
+            sd[h + "self_attn.v_proj.weight"]], 0)
+        oc[o + "attn.in_proj_bias"] = np.concatenate([
+            sd[h + "self_attn.q_proj.bias"],
+            sd[h + "self_attn.k_proj.bias"],
+            sd[h + "self_attn.v_proj.bias"]], 0)
+        for src, dst in (
+            ("self_attn.out_proj.weight", "attn.out_proj.weight"),
+            ("self_attn.out_proj.bias", "attn.out_proj.bias"),
+            ("layer_norm1.weight", "ln_1.weight"),
+            ("layer_norm1.bias", "ln_1.bias"),
+            ("layer_norm2.weight", "ln_2.weight"),
+            ("layer_norm2.bias", "ln_2.bias"),
+            ("mlp.fc1.weight", "mlp.c_fc.weight"),
+            ("mlp.fc1.bias", "mlp.c_fc.bias"),
+            ("mlp.fc2.weight", "mlp.c_proj.weight"),
+            ("mlp.fc2.bias", "mlp.c_proj.bias"),
+        ):
+            oc[o + dst] = sd[h + src]
+
+    model = VisionTransformer(
+        patch_size=16, embed_dim=32, depth=2, num_heads=4, pretrain_grid=3,
+        layerscale=False, pre_ln=True, quick_gelu=True, norm_eps=1e-5,
+        use_depth_fusion=False, dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    params = merge_into_params(params, convert_clip_vit(oc), ("params",))
+    got = model.apply(params, jnp.asarray(image))
+    np.testing.assert_allclose(
+        np.asarray(got["last_feat"]).reshape(2, 9, 32), want[:, 1:],
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["cls"]), want[:, 0], atol=2e-5, rtol=1e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAE trunk (fixed 2D sin-cos position embeddings; reference mae.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mae_vit_matches_hf_transformers():
+    """VisionTransformer (mae preset knobs) vs the official ViTMAEModel at
+    mask_ratio=0 with identity shuffle noise. Proves our runtime sin-cos
+    position-table rebuild (sincos_pos_embed_2d) matches HF's
+    get_2d_sincos_pos_embed bit-for-bit semantics (reference mae.py:61-76
+    rebuilds the table the same way at the runtime grid)."""
+    from transformers import ViTMAEConfig, ViTMAEModel
+
+    from ovmono3d_tpu.models.vit import VisionTransformer
+    from ovmono3d_tpu.utils.checkpoint_convert import (
+        convert_mae_vit,
+        merge_into_params,
+    )
+
+    _seed_all(13)
+    cfg = ViTMAEConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=48, patch_size=16,
+        mask_ratio=0.0, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, layer_norm_eps=1e-12,
+    )
+    hf = ViTMAEModel(cfg).eval()
+    with torch.no_grad():
+        for name, prm in hf.named_parameters():
+            # position_embeddings is the fixed sin-cos table our model
+            # rebuilds in-graph — it must stay exact.
+            if "position_embeddings" not in name:
+                prm.add_(torch.randn_like(prm) * 0.05)
+
+    rng = np.random.RandomState(14)
+    image = rng.rand(2, 48, 48, 3).astype(np.float32)
+    # Identity shuffle: ascending noise keeps all 9 tokens in order.
+    noise = (torch.arange(9, dtype=torch.float32)[None].repeat(2, 1)) / 9.0
+    with torch.no_grad():
+        out = hf(
+            torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous(),
+            noise=noise, output_hidden_states=True,
+        )
+    want = out.hidden_states[-1].numpy()  # pre final layernorm
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    model = VisionTransformer(
+        patch_size=16, embed_dim=32, depth=2, num_heads=4, pretrain_grid=3,
+        layerscale=False, pos_sincos=True, norm_eps=1e-12,
+        use_depth_fusion=False, dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    params = merge_into_params(
+        params, convert_mae_vit(sd, prefix=""), ("params",)
+    )
+    got = model.apply(params, jnp.asarray(image))
+    np.testing.assert_allclose(
+        np.asarray(got["last_feat"]).reshape(2, 9, 32), want[:, 1:],
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["cls"]), want[:, 0], atol=2e-5, rtol=1e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# MiDaS trunk (plain ViT, learned pos embeds; reference midas_final.py)
+# ---------------------------------------------------------------------------
+
+
+def test_midas_trunk_matches_hf_vit():
+    """VisionTransformer (midas preset knobs: plain ViT, learned pos table,
+    eps 1e-6) vs the official transformers ViTModel — the same architecture
+    as the timm vit_large_patch16_384 inside the MiDaS DPT_Large checkpoint
+    the reference loads (midas_final.py:23-24), shrunk. Exercises
+    convert_midas_vit via the hub/timm fused-qkv key format."""
+    from transformers import ViTConfig, ViTModel
+
+    from ovmono3d_tpu.models.vit import VisionTransformer
+    from ovmono3d_tpu.utils.checkpoint_convert import (
+        convert_midas_vit,
+        merge_into_params,
+    )
+
+    _seed_all(15)
+    cfg = ViTConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=48, patch_size=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-6,
+    )
+    hf = ViTModel(cfg, add_pooling_layer=False).eval()
+    with torch.no_grad():
+        for prm in hf.parameters():
+            prm.add_(torch.randn_like(prm) * 0.05)
+
+    rng = np.random.RandomState(16)
+    image = rng.rand(2, 48, 48, 3).astype(np.float32)
+    with torch.no_grad():
+        out = hf(
+            torch.from_numpy(image.transpose(0, 3, 1, 2)).contiguous(),
+            output_hidden_states=True,
+        )
+    want = out.hidden_states[-1].numpy()  # pre final layernorm
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    hub = {
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "patch_embed.proj.weight":
+            sd["embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias":
+            sd["embeddings.patch_embeddings.projection.bias"],
+    }
+    for i in range(2):
+        h = f"encoder.layer.{i}."
+        o = f"blocks.{i}."
+        hub[o + "attn.qkv.weight"] = np.concatenate([
+            sd[h + "attention.attention.query.weight"],
+            sd[h + "attention.attention.key.weight"],
+            sd[h + "attention.attention.value.weight"]], 0)
+        hub[o + "attn.qkv.bias"] = np.concatenate([
+            sd[h + "attention.attention.query.bias"],
+            sd[h + "attention.attention.key.bias"],
+            sd[h + "attention.attention.value.bias"]], 0)
+        for src, dst in (
+            ("layernorm_before.weight", "norm1.weight"),
+            ("layernorm_before.bias", "norm1.bias"),
+            ("attention.output.dense.weight", "attn.proj.weight"),
+            ("attention.output.dense.bias", "attn.proj.bias"),
+            ("layernorm_after.weight", "norm2.weight"),
+            ("layernorm_after.bias", "norm2.bias"),
+            ("intermediate.dense.weight", "mlp.fc1.weight"),
+            ("intermediate.dense.bias", "mlp.fc1.bias"),
+            ("output.dense.weight", "mlp.fc2.weight"),
+            ("output.dense.bias", "mlp.fc2.bias"),
+        ):
+            hub[o + dst] = sd[h + src]
+
+    model = VisionTransformer(
+        patch_size=16, embed_dim=32, depth=2, num_heads=4, pretrain_grid=3,
+        layerscale=False, norm_eps=1e-6, pos_interp_offset=0.0,
+        use_depth_fusion=False, dtype=jnp.float32,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(image))
+    params = merge_into_params(
+        params, convert_midas_vit(hub, prefix=""), ("params",)
+    )
+    got = model.apply(params, jnp.asarray(image))
+    np.testing.assert_allclose(
+        np.asarray(got["last_feat"]).reshape(2, 9, 32), want[:, 1:],
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["cls"]), want[:, 0], atol=2e-5, rtol=1e-4
+    )
