@@ -131,9 +131,13 @@ def detect_open_vocabulary(
     tok: BertTokenizer,
     categories: list[str],
     topk: int = 100,
+    swin_rel_biases: dict | None = None,
 ):
     """End-to-end open-vocab detection for one image; returns padded numpy
-    detections in pixel coords of `image`."""
+    detections in pixel coords of `image`. Pass
+    swin.expand_rel_pos_biases(params['params']['backbone']) as
+    `swin_rel_biases` (computed once per loaded checkpoint) to hoist the
+    Swin bias gathers out of the forward (bit-identical)."""
     text = build_text_inputs(tok, categories)
     out = model.apply(
         params,
@@ -142,6 +146,7 @@ def detect_open_vocabulary(
         jnp.asarray(text["text_mask"]),
         jnp.asarray(text["text_self_mask"]),
         jnp.asarray(text["position_ids"]),
+        swin_rel_biases,
     )
     h, w = image.shape[:2]
     boxes, scores, classes, valid = postprocess_grounding(

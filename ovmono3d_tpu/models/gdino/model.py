@@ -160,8 +160,13 @@ class GroundingDINO(nn.Module):
         return self.feat_map(feat)
 
     def __call__(self, images, input_ids, text_mask, text_self_mask=None,
-                 text_position_ids=None):
+                 text_position_ids=None, swin_rel_biases=None):
         """images [B, H, W, 3] normalized; H, W multiples of 32.
+
+        swin_rel_biases: optional precomputed Swin rel-pos biases
+        (swin.expand_rel_pos_biases(params['params']['backbone'])) — a
+        bit-identical frozen-trunk fast path that hoists the per-block
+        bias-table gathers out of the forward.
 
         Returns dict(pred_logits [B, Q, max_text_len] raw, pred_boxes
         [B, Q, 4] cxcywh in [0,1]).
@@ -171,7 +176,7 @@ class GroundingDINO(nn.Module):
                                text_position_ids)
         T = txt.shape[1]
 
-        feats = self.backbone(images)
+        feats = self.backbone(images, swin_rel_biases)
         srcs = []
         shapes = []
         for i, key in enumerate(("s1", "s2", "s3")):

@@ -66,6 +66,32 @@ def _shift_region_ids(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
     return mask.astype(np.int32)
 
 
+def expand_rel_pos_biases(swin_params: dict, window: int = 12) -> dict:
+    """Hoist every block's relative-position-bias expansion out of the
+    forward: table [(2w-1)^2, H] -> [H, w^2, w^2] f32, computed ONCE per
+    loaded checkpoint (the Swin trunk is frozen at inference,
+    roi_heads_gdino.py:87-91). Pass the result as `rel_biases` to
+    SwinTransformer / GroundingDINO.__call__ — bit-identical outputs, with
+    the per-forward per-block gathers removed from the graph. Only consumed
+    by blocks whose effective window equals the table window (feature map
+    >= window, true for every stage at the 800/384-class resolutions);
+    smaller maps fall back to the in-graph expansion.
+
+    `swin_params`: the Swin param subtree (e.g.
+    params['params']['backbone'] of GroundingDINO)."""
+    idx = np.asarray(_rel_pos_index(window)).reshape(-1)
+    n = window * window
+    out = {}
+    for name, sub in swin_params.items():
+        if isinstance(sub, dict) and "attn" in sub \
+                and "rel_pos_bias" in sub["attn"]:
+            table = np.asarray(sub["attn"]["rel_pos_bias"])
+            out[name] = jnp.asarray(
+                table[idx].reshape(n, n, table.shape[-1]).transpose(2, 0, 1)
+            )
+    return out
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -74,10 +100,11 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, ids=None):
+    def __call__(self, x, ids=None, bias=None):
         """x: [num_windows*B, w*w, C]; ids: [num_windows, w*w] int32 region
         ids for the shifted-window mask (equal ids attend, else -1e9), or
-        None."""
+        None; bias: precomputed [H, w*w, w*w] rel-pos bias
+        (expand_rel_pos_biases) or None to expand the table in-graph."""
         Bw, N, C = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
@@ -90,9 +117,12 @@ class WindowAttention(nn.Module):
             ((2 * self.window - 1) ** 2, self.num_heads),
             jnp.float32,
         )
-        idx = _rel_pos_index(self.window, self.eff_window)
-        bias = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
-        out = window_attention(q, k, v, bias.transpose(2, 0, 1), ids)
+        if bias is None:
+            idx = _rel_pos_index(self.window, self.eff_window)
+            bias = table[idx.reshape(-1)].reshape(
+                N, N, self.num_heads
+            ).transpose(2, 0, 1)
+        out = window_attention(q, k, v, bias, ids)
         out = out.reshape(Bw, N, C).astype(self.dtype)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -108,8 +138,10 @@ class SwinBlock(nn.Module):
     debug_skip: tuple = ()
 
     @nn.compact
-    def __call__(self, x, hw):
-        """x: [B, H*W, C]; hw: static (H, W)."""
+    def __call__(self, x, hw, bias=None):
+        """x: [B, H*W, C]; hw: static (H, W); bias: precomputed
+        [H, w*w, w*w] rel-pos bias for the TABLE window (ignored when the
+        effective window shrinks below it)."""
         H, W = hw
         B, _, C = x.shape
         # Original Swin rule: if the resolution is not larger than the
@@ -151,7 +183,7 @@ class SwinBlock(nn.Module):
         h = WindowAttention(
             self.dim, self.num_heads, self.window, win, self.dtype,
             name="attn",
-        )(h, ids)
+        )(h, ids, bias if win == self.window else None)
         # reverse
         h = h.reshape(B, hp // win, wp // win, win, win, C)
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, hp, wp, C)
@@ -207,8 +239,11 @@ class SwinTransformer(nn.Module):
     debug_skip: tuple = ()
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> dict[str, jax.Array]:
-        """images: [B, H, W, 3] (normalized). H, W multiples of 32."""
+    def __call__(self, images: jax.Array,
+                 rel_biases: dict | None = None) -> dict[str, jax.Array]:
+        """images: [B, H, W, 3] (normalized). H, W multiples of 32.
+        rel_biases: optional {f'stage{si}_block{bi}': [H, w*w, w*w]} from
+        expand_rel_pos_biases (frozen-trunk inference fast path)."""
         B, H, W, _ = images.shape
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
                     dtype=self.dtype, name="patch_embed")(
@@ -230,7 +265,9 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype,
                     debug_skip=self.debug_skip,
                     name=f"stage{si}_block{bi}",
-                )(x, hw)
+                )(x, hw,
+                  None if rel_biases is None
+                  else rel_biases.get(f"stage{si}_block{bi}"))
             if si in self.out_indices:
                 feat = nn.LayerNorm(
                     epsilon=1e-5, dtype=jnp.float32, name=f"out_norm{si}"

@@ -87,6 +87,23 @@ class OVMono3DLift:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    def _swin_rel_biases(self):
+        """Precomputed Swin rel-pos biases for the current gdino_params
+        (swin.expand_rel_pos_biases — bit-identical frozen-trunk fast
+        path), recomputed if the params object is swapped (ckpt load)."""
+        from ovmono3d_tpu.models.gdino.swin import expand_rel_pos_biases
+
+        key = id(self.gdino_params)
+        cached = self._jit_cache.get("_rel_biases")
+        if cached is None or cached[0] != key:
+            biases = expand_rel_pos_biases(
+                self.gdino_params["params"]["backbone"],
+                window=self.gdino.swin_window,
+            )
+            self._jit_cache["_rel_biases"] = (key, biases)
+            return biases
+        return cached[1]
+
     @classmethod
     def build(cls, cfg: Config, tokenizer: BertTokenizer,
               rng: jax.Array | None = None, gdino_kwargs: dict | None = None,
@@ -208,6 +225,7 @@ class OVMono3DLift:
             jnp.asarray(text["text_mask"][:, :T]),
             jnp.asarray(text["text_self_mask"][:, :T, :T]),
             jnp.asarray(text["position_ids"][:, :T]),
+            self._swin_rel_biases(),
         )
         # pred_logits are padded to max_text_len by the model; the span
         # matrix is already full-length (token positions beyond T are

@@ -26,6 +26,7 @@ from ovmono3d_tpu.models.gdino.inference import (
     build_text_inputs,
     postprocess_grounding,
 )
+from ovmono3d_tpu.models.gdino.swin import expand_rel_pos_biases
 from ovmono3d_tpu.parallel.mesh import batch_sharding, replicated
 
 
@@ -44,10 +45,10 @@ def make_gdino_serving_fn(model, mesh, topk: int = 100):
         jax.jit,
         static_argnames=(),
         in_shardings=(repl, data, (repl, repl, repl, repl, repl, repl),
-                      data),
+                      data, repl),
         out_shardings=(data, data, data, data),
     )
-    def run(params, images, text, im_hw):
+    def run(params, images, text, im_hw, rel_biases):
         (input_ids, text_mask, self_mask, pos_ids, span_matrix,
          span_valid) = text
         B = images.shape[0]
@@ -57,6 +58,7 @@ def make_gdino_serving_fn(model, mesh, topk: int = 100):
             jnp.broadcast_to(text_mask, (B,) + text_mask.shape[1:]),
             jnp.broadcast_to(self_mask, (B,) + self_mask.shape[1:]),
             jnp.broadcast_to(pos_ids, (B,) + pos_ids.shape[1:]),
+            rel_biases,
         )
         return jax.vmap(
             lambda lg, bx, hw: postprocess_grounding(
@@ -103,6 +105,11 @@ def detect_open_vocabulary_batch(
     if run is None:
         run = make_gdino_serving_fn(model, mesh, topk=topk)
     data = batch_sharding(mesh)
+    # Hoist the frozen Swin trunk's rel-pos bias expansion out of the
+    # forward (bit-identical; swin.expand_rel_pos_biases docstring).
+    rel_biases = expand_rel_pos_biases(
+        params["params"]["backbone"], window=model.swin_window
+    )
     # device_put on the HOST arrays: each shard splits host-side and
     # uploads once — jnp.asarray first would commit the whole multi-MB
     # feed to device 0 and then reshard (two tunnel transfers).
@@ -111,6 +118,7 @@ def detect_open_vocabulary_batch(
         jax.device_put(np.asarray(images), data),
         text_args,
         jax.device_put(im_hw, data),
+        jax.device_put(rel_biases, replicated(mesh)),
     )
     return {
         "boxes": np.asarray(boxes)[:N],

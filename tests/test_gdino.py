@@ -211,6 +211,25 @@ def test_swin_tiny_shapes():
         assert np.all(np.isfinite(np.asarray(v)))
 
 
+def test_swin_hoisted_bias_bit_identical():
+    """expand_rel_pos_biases fast path == in-graph table expansion, bit for
+    bit (stages down to the effective-window fallback at the 2x2 map)."""
+    from ovmono3d_tpu.models.gdino.swin import expand_rel_pos_biases
+
+    model = SwinTransformer(
+        embed_dim=16, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8), window=4
+    )
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+    base = jax.jit(model.apply)(params, img)
+    biases = expand_rel_pos_biases(params["params"], window=4)
+    assert len(biases) == 5  # every block got a table
+    hoisted = jax.jit(model.apply)(params, img, biases)
+    for k in base:
+        np.testing.assert_array_equal(np.asarray(base[k]),
+                                      np.asarray(hoisted[k]))
+
+
 def test_bert_mask_isolation():
     model = BertEncoder(vocab_size=32, hidden=16, layers=1, heads=2,
                         intermediate=32, max_position=16)

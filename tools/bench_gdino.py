@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=1,
                     help="batch > 1 gives the serving-throughput number "
                     "(the reference evals GDINO at b1)")
+    ap.add_argument("--hoist-bias", action="store_true",
+                    help="precompute the Swin rel-pos biases outside the "
+                    "forward (expand_rel_pos_biases; bit-identical)")
     args = ap.parse_args()
 
     from ovmono3d_tpu.models.gdino.model import GroundingDINO
@@ -47,13 +50,24 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), img, ids, mask)
     print(f"init: {time.time()-t0:.1f}s")
 
+    if args.hoist_bias:
+        from ovmono3d_tpu.models.gdino.swin import expand_rel_pos_biases
+
+        biases = expand_rel_pos_biases(params["params"]["backbone"])
+        fn = lambda im, p, b: model.apply(p, im, ids, mask,
+                                          swin_rel_biases=b)
+        extra = (params, biases)
+    else:
+        fn = lambda im, p: model.apply(p, im, ids, mask)
+        extra = (params,)
     dt = bench_loop(
-        lambda im, p: model.apply(p, im, ids, mask),
+        fn,
         img,
         lambda out: out["pred_logits"][0, 0, 0],
         iters=10,
-        label=f"GDINO SwinB @{S}^2 b{B}",
-        args=(params,),
+        label=f"GDINO SwinB @{S}^2 b{B}"
+              + (" +hoist-bias" if args.hoist_bias else ""),
+        args=extra,
     )
     print(f"GDINO SwinB @{S}^2 b{B}: {dt*1e3:.1f} ms/step = "
           f"{B/dt:.2f} img/s/chip")
