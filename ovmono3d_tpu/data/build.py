@@ -43,19 +43,24 @@ def repeat_factors_from_category_frequency(
     return rep
 
 
-def dataset_balance_weights(dataset_ids: list[int]) -> np.ndarray:
+def dataset_balance_weights(sources: list) -> np.ndarray:
     """Per-image dataset-balancing weights (BALANCE_DATASETS,
-    build.py:105-128): each dataset gets weight 1 - count/total,
-    normalized so the largest dataset's weight is 1; a single source is
+    build.py:105-128): each SOURCE gets weight 1 - count/total,
+    normalized so the largest source's weight is 1; a single source is
     left unweighted. Softer than equal-probability-per-dataset — the
-    reference's deliberate partial rebalance."""
-    counts = Counter(dataset_ids)
+    reference's deliberate partial rebalance.
+
+    `sources` must be the per-image dataset SOURCE (the reference pools
+    dataset ids through dataset_id_to_src = info['source'],
+    train_net.py:534-539 + build.py:108-109 — e.g. two splits of KITTI
+    count as ONE group), not the raw per-json dataset_id."""
+    counts = Counter(sources)
     if len(counts) <= 1:
-        return np.ones(len(dataset_ids))
+        return np.ones(len(sources))
     total = sum(counts.values())
     w = {d: 1.0 - c / total for d, c in counts.items()}
     mn = min(w.values())
-    return np.array([w[d] / mn for d in dataset_ids])
+    return np.array([w[d] / mn for d in sources])
 
 
 def subsample_records(records: list[dict], percentage: float) -> list[dict]:
@@ -85,7 +90,7 @@ def build_train_iterator(
     weights = np.ones(len(records))
     if cfg.datasets.balance_datasets:
         weights *= dataset_balance_weights(
-            [r.get("dataset_id", 0) for r in records]
+            [r.get("source", r.get("dataset_id", 0)) for r in records]
         )
     if cfg.datasets.repeat_threshold > 0:
         weights *= repeat_factors_from_category_frequency(

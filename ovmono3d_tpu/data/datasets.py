@@ -140,6 +140,11 @@ def load_omni3d_json(
     for anno in data.get("annotations", []):
         annos_by_image.setdefault(anno["image_id"], []).append(anno)
 
+    # Dataset SOURCE (info['source'] in Omni3D jsons): pools multiple
+    # splits of one origin for dataset-balancing weights, exactly like the
+    # reference's dataset_id_to_src (train_net.py:534-539).
+    source = data.get("info", {}).get("source")
+
     records = []
     for img in data.get("images", []):
         K = np.asarray(img["K"], np.float64).reshape(3, 3)
@@ -150,6 +155,8 @@ def load_omni3d_json(
             "height": img["height"],
             "K": K.tolist(),
             "dataset_id": img.get("dataset_id", 0),
+            "source": (source if source is not None
+                       else img.get("dataset_id", 0)),
             "annotations": [],
         }
         for anno in annos_by_image.get(img["id"], []):

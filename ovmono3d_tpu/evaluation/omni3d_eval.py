@@ -382,23 +382,31 @@ class Omni3DEvaluator:
                     )
                 )
 
-            # NHD pairs, reference-exact (Omni3DevalWithNHD.evaluateImg,
+            # NHD pairs (Omni3DevalWithNHD.evaluateImg intent,
             # omni3d_evaluation.py:2380-2399): per detection (score order,
-            # maxDet-capped), the single best-IoU GT over ALL category GTs
-            # — ignored ones included, scanned ignore-last so a non-ignored
-            # GT wins exact ties — paired when IoU >= 0.5; one GT may pair
-            # with multiple detections (no one-to-one constraint). The
-            # reference re-collects the identical pairs once per area band,
-            # which leaves every reported MEAN unchanged; we collect once.
-            if self.mode == "3D" and len(d_sel) and len(g_sel):
-                g_order = np.argsort(gt_ignore_base, kind="mergesort")
-                iou_o = iou[:, g_order]
+            # maxDet-capped), the single best-IoU GT of the SAME category
+            # (the reference's gt list is _gts[imgId, catId] — out-of-vocab
+            # class -1 anns never appear there; its ignored in-vocab GTs
+            # do, scanned ignore-last so a non-ignored GT wins exact ties)
+            # — paired when IoU >= 0.5; one GT may pair with multiple
+            # detections (no one-to-one constraint). The reference
+            # re-collects the identical pairs once per area band, which
+            # leaves every reported MEAN unchanged; we collect once.
+            # NOTE: the reference AS SHIPPED collects zero pairs — a
+            # documented defect we do not replicate (PARITY.md, defect #4:
+            # its `ious[...][0]` row-slice makes every lookup raise and
+            # the blanket except skips all pairs).
+            g_cmask = g_classes[g_sel] == c
+            if self.mode == "3D" and len(d_sel) and g_cmask.any():
+                g_c = g_sel[g_cmask]
+                g_order = np.argsort(g_ignore_flags[g_c], kind="mergesort")
+                iou_o = iou[:, g_cmask][:, g_order]
                 best = iou_o.argmax(axis=1)
                 best_iou = iou_o[np.arange(len(d_sel)), best]
                 ok = best_iou >= NHD_IOU_THRESH
                 if ok.any():
                     d_idx = d_sel[ok]
-                    g_idx = g_sel[g_order[best[ok]]]
+                    g_idx = g_c[g_order[best[ok]]]
                     pc = np.asarray(pred["corners3d"])[d_idx]
                     gc = np.asarray(gt["corners3d"])[g_idx]
                     nhd = hungarian_corner_distance(pc, gc) / np.maximum(

@@ -78,7 +78,11 @@ def expand_rel_pos_biases(swin_params: dict, window: int = 12) -> dict:
     smaller maps fall back to the in-graph expansion.
 
     `swin_params`: the Swin param subtree (e.g.
-    params['params']['backbone'] of GroundingDINO)."""
+    params['params']['backbone'] of GroundingDINO).
+
+    Returns HOST (numpy) arrays (~31 MB for Swin-B) — callers must place
+    them on device ONCE (jnp.asarray / device_put) and reuse across calls;
+    passing the numpy dict to a jitted function re-uploads it per call."""
     idx = np.asarray(_rel_pos_index(window)).reshape(-1)
     n = window * window
     out = {}
@@ -86,7 +90,7 @@ def expand_rel_pos_biases(swin_params: dict, window: int = 12) -> dict:
         if isinstance(sub, dict) and "attn" in sub \
                 and "rel_pos_bias" in sub["attn"]:
             table = np.asarray(sub["attn"]["rel_pos_bias"])
-            out[name] = jnp.asarray(
+            out[name] = np.ascontiguousarray(
                 table[idx].reshape(n, n, table.shape[-1]).transpose(2, 0, 1)
             )
     return out

@@ -93,14 +93,19 @@ class OVMono3DLift:
         path), recomputed if the params object is swapped (ckpt load)."""
         from ovmono3d_tpu.models.gdino.swin import expand_rel_pos_biases
 
-        key = id(self.gdino_params)
         cached = self._jit_cache.get("_rel_biases")
-        if cached is None or cached[0] != key:
-            biases = expand_rel_pos_biases(
-                self.gdino_params["params"]["backbone"],
-                window=self.gdino.swin_window,
+        # `is` on the stored params object (NOT id(): holding only an int
+        # key would let CPython reuse the address after a ckpt swap and
+        # silently serve checkpoint A's biases with checkpoint B).
+        if cached is None or cached[0] is not self.gdino_params:
+            biases = jax.tree.map(
+                jnp.asarray,  # commit to device ONCE, reuse across calls
+                expand_rel_pos_biases(
+                    self.gdino_params["params"]["backbone"],
+                    window=self.gdino.swin_window,
+                ),
             )
-            self._jit_cache["_rel_biases"] = (key, biases)
+            self._jit_cache["_rel_biases"] = (self.gdino_params, biases)
             return biases
         return cached[1]
 

@@ -80,12 +80,17 @@ def detect_open_vocabulary_batch(
     mesh,
     topk: int = 100,
     run=None,
+    rel_biases=None,
 ):
     """Host-facing batched open-vocab detection over the mesh.
 
     Pads N to a multiple of the data-axis size, shards, runs the jitted
     program, unpads. Pass `run` (from make_gdino_serving_fn) to reuse the
-    compiled function across calls."""
+    compiled function across calls, and `rel_biases`
+    (expand_rel_pos_biases(params['params']['backbone']), device_put
+    replicated) to reuse the precomputed Swin biases — recomputing them
+    per call re-uploads ~31 MB through the tunnel, dwarfing the in-graph
+    gathers they replace."""
     n_data = mesh.shape["data"]
     N, S = images.shape[0], images.shape[1]
     pad = (-N) % n_data
@@ -105,11 +110,17 @@ def detect_open_vocabulary_batch(
     if run is None:
         run = make_gdino_serving_fn(model, mesh, topk=topk)
     data = batch_sharding(mesh)
-    # Hoist the frozen Swin trunk's rel-pos bias expansion out of the
-    # forward (bit-identical; swin.expand_rel_pos_biases docstring).
-    rel_biases = expand_rel_pos_biases(
-        params["params"]["backbone"], window=model.swin_window
-    )
+    if rel_biases is None:
+        # Hoist the frozen Swin trunk's rel-pos bias expansion out of the
+        # forward (bit-identical; swin.expand_rel_pos_biases docstring).
+        # Callers looping over batches should precompute + device_put this
+        # once and pass it in.
+        rel_biases = jax.device_put(
+            expand_rel_pos_biases(
+                params["params"]["backbone"], window=model.swin_window
+            ),
+            replicated(mesh),
+        )
     # device_put on the HOST arrays: each shard splits host-side and
     # uploads once — jnp.asarray first would commit the whole multi-MB
     # feed to device 0 and then reshard (two tunnel transfers).
@@ -118,7 +129,7 @@ def detect_open_vocabulary_batch(
         jax.device_put(np.asarray(images), data),
         text_args,
         jax.device_put(im_hw, data),
-        jax.device_put(rel_biases, replicated(mesh)),
+        rel_biases,
     )
     return {
         "boxes": np.asarray(boxes)[:N],

@@ -258,6 +258,39 @@ def test_matched_pair_metrics_allow_duplicate_gt():
     assert len(ev._errors["z_m"]) == 2
 
 
+def test_nhd_pairs_restricted_to_same_category():
+    """NHD pairing candidates are the SAME-category GTs only: the
+    reference's gt list is _gts[imgId, catId], where out-of-vocab (-1)
+    annotations never appear. A class-0 detection overlapping a -1 GT more
+    strongly than its true class-0 GT must still pair with the class-0 GT,
+    and a detection whose only overlap is a -1 GT contributes no pair."""
+    boxes = [(0, 0, 5), (0.4, 0, 5), (10, 0, 5)]  # cls0, cls-1, cls-1
+    gt = _gt(boxes)
+    gt["classes"] = np.array([0, -1, -1], np.int64)
+    gt["center"] = np.array([b[:3] for b in boxes], float)
+    gt["dims"] = np.ones((3, 3))
+    gt["pose"] = np.tile(np.eye(3), (3, 1, 1))
+
+    # det 0 sits ON the -1 GT (higher IoU there) but overlaps the class-0
+    # GT at IoU 1/4 >= NHD gate? (0.6 offset of unit cube -> IoU
+    # 0.4/1.6 = 0.25 < 0.5) -- use 0.3 offset: inter 0.7, union 1.3,
+    # IoU ~0.538 >= 0.5. det 1 overlaps ONLY the far -1 GT.
+    pb = [(0.3, 0, 5), (10, 0, 5)]
+    pred = _pred(pb, [0.9, 0.8])
+    pred["center"] = np.array([b[:3] for b in pb], float)
+    pred["dims"] = np.ones((2, 3))
+    pred["pose"] = np.tile(np.eye(3), (2, 1, 1))
+
+    ev = Omni3DEvaluator(num_classes=1, mode="3D")
+    ev.add_image(gt, pred)
+    # exactly one pair: det0 <-> the class-0 GT at (0,0,5)
+    assert len(ev._nhd_values) == 1
+    assert len(ev._errors["z_m"]) == 1
+    # the pair is with the TRUE class-0 GT: center error in x is 0.3
+    np.testing.assert_allclose(ev._errors["whl_m"], [0.0], atol=1e-9)
+    assert abs(ev._nhd_values[0]) > 0  # offset pair, nonzero NHD
+
+
 def test_out_of_band_unmatched_det_is_ignored_not_fp():
     """COCOeval dtIg: an unmatched detection whose own depth lies outside
     the band must not count as a false positive in that band — here a

@@ -1646,10 +1646,12 @@ def test_box_head_losses_match_reference(beta, cls_agnostic):
 _REF_BUILD = Path("/root/reference/cubercnn/data/build.py")
 
 
-def _synthetic_records(rng, n_img=400, n_cat=12, n_datasets=3):
-    sources = ["KITTI", "SUNRGBD", "ARKitScenes"][:n_datasets]
+def _synthetic_records(rng, n_img=400, n_cat=12, n_datasets=3,
+                       sources=None, p=None):
+    if sources is None:
+        sources = ["KITTI", "SUNRGBD", "ARKitScenes"][:n_datasets]
     # skewed dataset sizes + skewed category frequencies
-    ds_of_img = rng.choice(n_datasets, n_img, p=[0.65, 0.25, 0.10])
+    ds_of_img = rng.choice(n_datasets, n_img, p=p or [0.65, 0.25, 0.10])
     records = []
     for i in range(n_img):
         n_ann = rng.randint(0, 6)
@@ -1710,7 +1712,14 @@ def test_dataset_balance_weights_match_reference():
                   str(_REF_BUILD), "exec")
 
     rng = np.random.RandomState(8)
-    records, sources = _synthetic_records(rng)
+    # Two dataset ids share the KITTI source: the reference pools splits
+    # of one source into ONE balancing group (dataset_id_to_src,
+    # train_net.py:534-539) — ids 0 and 1 must be counted together.
+    records, sources = _synthetic_records(
+        rng, n_datasets=4,
+        sources=["KITTI", "KITTI", "SUNRGBD", "ARKitScenes"],
+        p=[0.45, 0.20, 0.25, 0.10],
+    )
     ns = {
         "torch": torch, "np": np,
         "dataset_id_to_src": {i: s for i, s in enumerate(sources)},
@@ -1719,7 +1728,9 @@ def test_dataset_balance_weights_match_reference():
     exec(seg, ns)
     want = ns["weights_per_img"].numpy()
 
-    got = dataset_balance_weights([r["dataset_id"] for r in records])
+    got = dataset_balance_weights(
+        [sources[r["dataset_id"]] for r in records]
+    )
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
     # single source -> unweighted (build.py:113-115)

@@ -53,7 +53,9 @@ def main():
     if args.hoist_bias:
         from ovmono3d_tpu.models.gdino.swin import expand_rel_pos_biases
 
-        biases = expand_rel_pos_biases(params["params"]["backbone"])
+        biases = jax.tree.map(
+            jnp.asarray, expand_rel_pos_biases(params["params"]["backbone"])
+        )
         fn = lambda im, p, b: model.apply(p, im, ids, mask,
                                           swin_rel_biases=b)
         extra = (params, biases)
