@@ -114,15 +114,22 @@ class Omni3DEvaluationHelper:
         for roll, key in (("omni3d_in", "AP3D_omni_in"),
                           ("omni3d_out", "AP3D_omni_out")):
             cats = get_omni3d_categories(roll)
-            sel = {c: ap for c, ap in per_cat.items() if c in cats}
-            if sel:
-                out[key] = float(np.mean(list(sel.values())))
+            # The reference reports the rollup ONLY when every category of
+            # the set was evaluated (len(set - categories) == 0, else NaN,
+            # omni3d_evaluation.py:553/567) — a partial mean would look
+            # comparable to published Omni3D_In/Out numbers but cover a
+            # different category set.
+            if cats.issubset(per_cat.keys()):
+                out[key] = float(np.mean([per_cat[c] for c in cats]))
 
-        # Novel easy/hard split (fixed category lists, L602-613).
+        # Novel easy/hard split (fixed category lists, L602-613; the
+        # reference gates on the full 22-novel-category set — we allow
+        # subsets but both splits are restricted to the declared NOVEL
+        # categories so base-category APs can never leak in).
         if self.novel_categories:
             easy = {
                 c: ap for c, ap in per_cat.items()
-                if c in EASY_NOVEL_CATEGORIES
+                if c in EASY_NOVEL_CATEGORIES and c in self.novel_categories
             }
             hard = {
                 c: ap for c, ap in per_cat.items()

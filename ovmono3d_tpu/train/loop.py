@@ -114,7 +114,18 @@ def train(
             last_ckpt_skipped = int(state.skipped)
             continue
 
-        if eval_fn is not None and eval_period > 0 and step % eval_period == 0:
+        # Current-step divergence flag (in-graph skip decision), only
+        # materialized at the sparse eval/checkpoint steps — reading it
+        # every iteration would serialize dispatch (see `step` note above).
+        def diverged_now() -> bool:
+            if cfg.model.stabilize <= 0:
+                return False
+            return float(metrics.get("skipped", 0.0)) > 0
+
+        if (eval_fn is not None and eval_period > 0
+                and step % eval_period == 0 and not diverged_now()):
+            # The reference evaluates only when the loss is not diverging
+            # (train_net.py:329-330).
             results = eval_fn(state)
             logger.info(
                 "in-train eval @ iter %d: %s", step,
@@ -123,9 +134,23 @@ def train(
             )
 
         if checkpointer is not None and step % period == 0:
-            checkpointer.save(jax.device_get(state))
-            last_ckpt_step = step
-            last_ckpt_skipped = int(state.skipped)
+            # "Do not bother checkpointing if there is potential for a
+            # diverging model" (train_net.py:346-349): skip the periodic
+            # save when the current step diverged or the skip fraction
+            # since the last checkpoint reached 0.5*STABILIZE — otherwise
+            # a restart could reload a poisoned checkpoint.
+            skipped_now = int(state.skipped) if cfg.model.stabilize > 0 else 0
+            frac = (
+                (skipped_now - last_ckpt_skipped)
+                / max(step - last_ckpt_step, 1)
+            )
+            if not diverged_now() and (
+                cfg.model.stabilize <= 0
+                or frac < 0.5 * cfg.model.stabilize
+            ):
+                checkpointer.save(jax.device_get(state))
+                last_ckpt_step = step
+                last_ckpt_skipped = skipped_now
 
         if step % 20 == 0:
             loss = float(metrics["total_loss"])
@@ -135,4 +160,9 @@ def train(
 
     if checkpointer is not None:
         checkpointer.save(jax.device_get(state), name="model_final")
+    # Release hook resources (flush trailing metrics, stop an open
+    # profiler trace window when max_iter < stop).
+    for hook in hooks or ():
+        if hasattr(hook, "close"):
+            hook.close()
     return state

@@ -50,6 +50,9 @@ class MetricsWriter:
         self._buffer.append((step, metrics))
         if step % self.period != 0:
             return
+        self._flush(step)
+
+    def _flush(self, step: int):
         scalars = {}
         for s, m in self._buffer:
             vals = {}
@@ -84,6 +87,10 @@ class MetricsWriter:
                 self.tb.flush()
 
     def close(self):
+        # Flush trailing sub-period steps (e.g. max_iter not a multiple of
+        # `period`) so the final loss values reach disk/TensorBoard.
+        if self._buffer:
+            self._flush(self._buffer[-1][0])
         self.jsonl.close()
 
 
@@ -96,18 +103,33 @@ class ProfilerHook:
         self.start = start
         self.stop = start + count
         self._active = False
+        self._done = False
 
     def __call__(self, step: int, state, metrics: dict, **_):
         import jax
 
-        if step == self.start and not self._active:
+        if step == self.start and not self._active and not self._done:
+            # _done guards a stabilization restart rewinding past `start`
+            # from opening a second, overlapping trace window.
             jax.profiler.start_trace(self.dir)
             self._active = True
             logger.info("profiler trace started -> %s", self.dir)
         elif step >= self.stop and self._active:
-            jax.profiler.stop_trace()
-            self._active = False
-            logger.info("profiler trace written -> %s", self.dir)
+            self._finish()
+
+    def _finish(self):
+        import jax
+
+        jax.profiler.stop_trace()
+        self._active = False
+        self._done = True
+        logger.info("profiler trace written -> %s", self.dir)
+
+    def close(self):
+        # Training may end (or crash) inside the trace window; an unclosed
+        # trace leaves the profile directory incomplete.
+        if self._active:
+            self._finish()
 
 
 class TrainVisHook:
@@ -152,7 +174,13 @@ class TrainVisHook:
 
         g3d = np.asarray(b["gt_boxes3d"][0])
         poses = np.asarray(b["gt_poses"][0])
-        for i in np.where(fg)[0]:
+        # 2D-only annotations (no center_cam) keep the mapper's default 3D
+        # row [0,0,1,1,1,1,0,0,0] — drawing it would put a bogus unit cube
+        # at the image origin. A real box can never hit the exact default
+        # (its projected center is a float from K @ center).
+        default_row = np.array([0, 0, 1, 1, 1, 1, 0, 0, 0], np.float32)
+        has3d = ~np.all(g3d == default_row, axis=-1)
+        for i in np.where(fg & has3d)[0]:
             u, v, z = g3d[i, :3]
             center = np.asarray(
                 backproject(jnp.asarray(K_net),

@@ -46,9 +46,13 @@ def warmup_multistep(
 def _is_norm_or_bias(path: tuple) -> tuple[bool, bool]:
     keys = [getattr(p, "key", str(p)).lower() for p in path]
     is_bias = keys[-1] == "bias"
+    # 'gamma' (DINOv2 LayerScale, models/vit.py) is deliberately NOT a norm
+    # key: the reference groups by module type (solver/build.py:33-35,
+    # isinstance(module, norm_module_types)) and LayerScale is a plain
+    # parameter there — it receives full WEIGHT_DECAY.
     is_norm = any(
         any(kw in k for kw in NORM_KEYWORDS) for k in keys[:-1]
-    ) or keys[-1] in ("scale", "gamma")
+    ) or keys[-1] == "scale"
     return is_norm, is_bias
 
 

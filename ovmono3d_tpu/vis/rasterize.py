@@ -64,21 +64,51 @@ def _tri_tile(p, pz, height, width):
     return y0, y1, x0, x1, zi, inside
 
 
-def _raster_triangles(verts2d, z, faces, height, width):
-    """Rasterize triangles into one z-buffer.
+_Z_NEAR = 1e-4
 
-    verts2d: [V, 2] pixel coords; z: [V] camera depth; faces: [F, 3].
-    Returns zbuf [H, W] (inf = empty).
+
+def _clip_tri_near(tri, z_near=_Z_NEAR):
+    """Clip one CAMERA-SPACE triangle [3, 3] against the near plane
+    z >= z_near (Sutherland–Hodgman), fanning the resulting polygon back
+    into triangles. A cuboid straddling the camera plane must still
+    rasterize its in-front portion (the reference's pytorch3d renderer
+    clips at its camera near plane); dropping any triangle with a
+    behind-camera vertex would zero the silhouette of substantially
+    visible objects. Returns 0, 1, or 2 triangles."""
+    res = []
+    for i in range(3):
+        a, b = tri[i], tri[(i + 1) % 3]
+        a_in, b_in = a[2] >= z_near, b[2] >= z_near
+        if a_in:
+            res.append(a)
+        if a_in != b_in:
+            t = (z_near - a[2]) / (b[2] - a[2])
+            res.append(a + t * (b - a))
+    if len(res) < 3:
+        return []
+    return [
+        np.stack([res[0], res[i], res[i + 1]])
+        for i in range(1, len(res) - 1)
+    ]
+
+
+def _raster_triangles(verts3d, K, faces, height, width):
+    """Rasterize camera-space triangles into one z-buffer.
+
+    verts3d: [V, 3] camera space; faces: [F, 3]. Each face is near-plane
+    clipped, projected, then rasterized. Returns zbuf [H, W] (inf = empty).
     """
     zbuf = np.full((height, width), np.inf, np.float64)
     for f in faces:
-        tile = _tri_tile(verts2d[f], z[f], height, width)
-        if tile is None:
-            continue
-        y0, y1, x0, x1, zi, inside = tile
-        sub = zbuf[y0:y1, x0:x1]
-        upd = inside & (zi < sub)
-        sub[upd] = zi[upd]
+        for tri in _clip_tri_near(verts3d[f]):
+            p2, z = _project(K, tri)
+            tile = _tri_tile(p2, z, height, width)
+            if tile is None:
+                continue
+            y0, y1, x0, x1, zi, inside = tile
+            sub = zbuf[y0:y1, x0:x1]
+            upd = inside & (zi < sub)
+            sub[upd] = zi[upd]
     return zbuf
 
 
@@ -107,8 +137,9 @@ def render_depth_map(K, verts, height, width, faces=CUBOID_FACES):
     depth_map = np.full((height, width), np.inf)
     depth_inds = np.zeros((height, width), np.int64)
     for i in range(n):
-        p2, z = _project(np.asarray(K, np.float64), verts[i])
-        zbuf = _raster_triangles(p2, z, faces, height, width)
+        zbuf = _raster_triangles(
+            verts[i], np.asarray(K, np.float64), faces, height, width
+        )
         silhouettes[i] = np.isfinite(zbuf)
         nearer = zbuf < depth_map
         depth_map = np.where(nearer, zbuf, depth_map)
@@ -183,24 +214,27 @@ def render_mesh_view(
     covered = np.zeros((height, width), bool)
     Kf = np.asarray(K, np.float64)
     for i in range(n):
-        p2, z = _project(Kf, verts[i])
         for f in faces:
-            # Face normal for flat shading.
+            # Face normal for flat shading (from the UNCLIPPED face).
             a, b, c = verts[i][f]
             nrm = np.cross(b - a, c - a)
             ln = np.linalg.norm(nrm)
             if ln < 1e-12:
                 continue
             intensity = 0.35 + 0.65 * abs(float(nrm @ light) / ln)
-            tile = _tri_tile(p2[f], z[f], height, width)
-            if tile is None:
-                continue
-            y0, y1, x0, x1, zi, inside = tile
-            sub = zbuf[y0:y1, x0:x1]
-            upd = inside & (zi < sub)
-            sub[upd] = zi[upd]
-            shade[y0:y1, x0:x1][upd] = colors[i % len(colors)] * intensity
-            covered[y0:y1, x0:x1] |= upd
+            for tri in _clip_tri_near(verts[i][f]):
+                p2, z = _project(Kf, tri)
+                tile = _tri_tile(p2, z, height, width)
+                if tile is None:
+                    continue
+                y0, y1, x0, x1, zi, inside = tile
+                sub = zbuf[y0:y1, x0:x1]
+                upd = inside & (zi < sub)
+                sub[upd] = zi[upd]
+                shade[y0:y1, x0:x1][upd] = (
+                    colors[i % len(colors)] * intensity
+                )
+                covered[y0:y1, x0:x1] |= upd
     out = image.astype(np.float64).copy()
     out[covered] = (
         alpha * shade[covered] + (1 - alpha) * out[covered]

@@ -99,3 +99,34 @@ def test_novel_easy_hard_split():
     res = helper.summarize_all()
     np.testing.assert_allclose(res["novel_easy_AP3D"], 100.0, atol=1e-5)
     np.testing.assert_allclose(res["novel_hard_AP3D"], 0.0, atol=1e-5)
+
+
+def test_novel_easy_excludes_base_categories():
+    """A BASE category whose name happens to be in the fixed easy-novel
+    list ('painting') must not leak into novel_easy_AP3D (the reference's
+    split runs over the novel set only, omni3d_evaluation.py:602-613)."""
+    names = ["painting", "board"]  # painting = BASE here, board = novel
+    helper = Omni3DEvaluationHelper(
+        2, names, novel_categories={"board"}
+    )
+    gt = _image([(0, 0, 5), (3, 0, 5)], [0, 1])
+    # painting perfect (AP 100), board missed (AP 0).
+    pred = _image([(0, 0, 5)], [0], [0.9])
+    helper.add_image("ds", gt, pred)
+    res = helper.summarize_all()
+    # board (the only novel easy category) was missed -> easy AP must be 0,
+    # NOT inflated by the base 'painting' at 100.
+    np.testing.assert_allclose(res["novel_easy_AP3D"], 0.0, atol=1e-5)
+    assert "novel_hard_AP3D" not in res  # no hard novel categories present
+
+
+def test_omni3d_rollups_require_full_category_set():
+    """AP3D_omni_in/out are reported only when EVERY category of the set
+    was evaluated (reference: len(set - categories) == 0 else NaN,
+    omni3d_evaluation.py:553/567) — a partial mean is not comparable."""
+    helper = Omni3DEvaluationHelper(2, ["car", "truck"])  # omni3d_out subset
+    gt = _image([(0, 0, 5)], [0])
+    helper.add_image("ds", gt, _image([(0, 0, 5)], [0], [0.9]))
+    res = helper.summarize_all()
+    assert "AP3D_omni_out" not in res
+    assert "AP3D_omni_in" not in res

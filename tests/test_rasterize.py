@@ -92,3 +92,25 @@ def test_pred_vs_gt_panels_shape():
     panel = pred_vs_gt_panels(img, K, gt, pred, class_names=["a", "b"],
                               prompted_ids={0})
     assert panel.shape == (128, 288, 3)
+
+
+def test_straddling_camera_plane_rasterizes_front_portion():
+    """A cuboid crossing z=0 (e.g. an ego-vehicle box with corners behind
+    the camera) must still rasterize its in-front portion via near-plane
+    clipping — the reference's pytorch3d renderer clips, it doesn't drop
+    whole triangles. Previously every face touching z<=0 was skipped and
+    the silhouette came back empty (visibility 0 for a dominant object)."""
+    # 4m-deep box centered at z=1.5: corners from z=-0.5 to z=3.5 (the
+    # corner template scales z by W — geometry.py:83); every face has a
+    # behind-camera vertex except front/back.
+    verts = _corners(0, 0, 1.5, w=4.0, h=1.0, l=1.0)[None]
+    assert (verts[0][:, 2] < 0).any() and (verts[0][:, 2] > 0).any()
+    sil, depth, inds = render_depth_map(K, verts, 128, 128)
+    area = sil[0].sum()
+    assert area > 1000, f"straddling box silhouette empty/tiny ({area} px)"
+    vis = estimate_visibility(K, verts, 128, 128)
+    np.testing.assert_allclose(vis[0], 1.0, atol=1e-6)  # alone in scene
+    # Shaded render covers pixels too.
+    img = np.zeros((128, 128, 3), np.uint8)
+    out = render_mesh_view(img, K, verts)
+    assert (out != 0).any()
