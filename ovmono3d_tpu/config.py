@@ -196,6 +196,10 @@ class DatasetConfig:
     oracle2d_files: dict[str, Any] = field(default_factory=dict)
     balance_datasets: bool = False
     repeat_threshold: float = 0.0
+    # DATALOADER.FILTER_EMPTY_ANNOTATIONS (detectron2 default True): drop
+    # training images whose annotations are all ignored/empty BEFORE
+    # balance/repeat weighting and sampling.
+    filter_empty_annotations: bool = True
 
 
 @dataclass(frozen=True)

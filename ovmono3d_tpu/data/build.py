@@ -8,6 +8,7 @@ the model's static-shape batch dict.
 """
 from __future__ import annotations
 
+import logging
 import math
 import queue
 import threading
@@ -15,6 +16,8 @@ from collections import Counter
 from typing import Iterator
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ovmono3d_tpu.config import Config
 from ovmono3d_tpu.data.mapper import batch_examples, map_example
@@ -86,6 +89,23 @@ def build_train_iterator(
 ) -> Iterator[dict]:
     """Infinite weighted-shuffle stream of fixed-shape train batches."""
     records = subsample_records(records, cfg.input.train_set_percentage)
+
+    if getattr(cfg.datasets, "filter_empty_annotations", True):
+        # detectron2 FILTER_EMPTY_ANNOTATIONS (reference build.py:84,
+        # default True): images with no non-ignored annotation leave the
+        # stream BEFORE weighting, so they neither produce all-negative
+        # batches nor skew balance/repeat-factor counts.
+        kept = [
+            r for r in records
+            if any(a.get("category_id", -1) >= 0
+                   for a in r.get("annotations", []))
+        ]
+        if len(kept) != len(records):
+            logger.info(
+                "filtered %d empty-annotation images (%d left)",
+                len(records) - len(kept), len(kept),
+            )
+        records = kept
 
     weights = np.ones(len(records))
     if cfg.datasets.balance_datasets:
@@ -160,10 +180,12 @@ def build_test_iterator(
             for r in padded
         ]
         if native_ok and all(im is not None for im in images):
-            # Fast path: native pixels + Python annotation geometry.
+            # Fast path: native pixels + Python annotation geometry
+            # (skip_pixels: the zero canvas below is overwritten by the
+            # native output, so don't resize/pad a full-res zero image).
             examples = [
                 map_example(r, cfg, image=None, is_train=False,
-                            max_oracle=max_oracle)
+                            max_oracle=max_oracle, skip_pixels=True)
                 for r in padded
             ]
             batch = batch_examples(examples)

@@ -107,9 +107,18 @@ def _choose_bbox2d(anno: dict, fs: FilterSettings):
             and not all(v == -1 for v in trunc)):
         return _xyxy_to_xywh(trunc)
     proj = anno.get("bbox2D_proj")
-    if proj is not None and proj[0] != -1:
+    if proj is not None:
+        # Used UNCONDITIONALLY when present (reference datasets.py:425-426
+        # has no -1 validity check on proj): an all -1 proj yields a
+        # degenerate XYWH box that the height filter marks ignore; our
+        # loader's w/h <= 0 drop removes it instead (a zero-area ignore
+        # region matches nothing in RPN IoA or eval, so behavior is
+        # unchanged).
         return _xyxy_to_xywh(proj)
     if anno.get("bbox") is not None:
+        # Synthetic-data convenience ONLY (plain COCO-style fixtures):
+        # real Omni3D annotations always carry bbox2D_proj, and the
+        # reference drops annotations without it (datasets.py:428-429).
         return anno["bbox"]
     return None
 
@@ -164,9 +173,11 @@ def load_omni3d_json(
             ignore = name.lower() in fs.ignore_names
             known = name in category_to_contiguous
             if not known and not ignore:
-                # Unknown categories become ignore regions (datasets.py:
-                # category -1 handling).
-                ignore = True
+                # Category neither in the vocabulary nor an ignore name:
+                # the reference DROPS the annotation entirely
+                # (datasets.py:409-411 `continue`), it does NOT become an
+                # ignore region.
+                continue
             ignore = ignore or is_ignore(anno, fs, img["height"])
 
             bbox2d = _choose_bbox2d(anno, fs)

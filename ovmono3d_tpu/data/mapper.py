@@ -82,12 +82,16 @@ def map_example(
     max_gt: int = 64,
     max_oracle: int = 64,
     rng: np.random.RandomState | None = None,
+    skip_pixels: bool = False,
 ) -> MappedExample:
     """Map one dataset record to fixed-shape arrays.
 
     `image`: [H, W, 3] uint8/float RGB; if None, a zero image is used (shape
     from the record — lets tests and benchmark drive the pipeline without
-    pixels on disk).
+    pixels on disk). `skip_pixels` keeps all geometry but emits a zero
+    canvas without resizing — for callers that overwrite the pixels with
+    the native preprocessing output (resizing a full-res zero image per
+    record is pure waste on that path).
     """
     H, W = record["height"], record["width"]
     if image is None:
@@ -100,15 +104,14 @@ def map_example(
     )
     max_size = cfg.input.max_size_test if not is_train else cfg.input.max_size_train
     nh, nw, scale = resize_shortest_edge((H, W), short, min(max_size, S))
-    resized = _resize_image(image.astype(np.float32), (nh, nw))
-
     flip = bool(is_train and cfg.input.random_flip and rng is not None
                 and rng.rand() < 0.5)
-    if flip:
-        resized = resized[:, ::-1]
-
     padded = np.zeros((S, S, 3), np.float32)
-    padded[:nh, :nw] = resized
+    if not skip_pixels:
+        resized = _resize_image(image.astype(np.float32), (nh, nw))
+        if flip:
+            resized = resized[:, ::-1]
+        padded[:nh, :nw] = resized
 
     K = np.asarray(record["K"], np.float64)
     ratio = 1.0 / scale  # original / network

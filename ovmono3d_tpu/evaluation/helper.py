@@ -98,6 +98,10 @@ class Omni3DEvaluationHelper:
         # Category-mean rollups — the reference's general_2D/3D_AP/AR
         # (mean of the per-category values, omni3d_evaluation.py:521-531),
         # a different aggregation than the joint mean in `overall`.
+        # Documented deviation: the reference averages over ALL declared
+        # categories, so one declared-but-dataless category poisons the
+        # whole rollup to NaN; we average the categories WITH data (equal
+        # on real Omni3D sets, where every declared category has GT).
         for key, table in (
             ("general_AP2D", out["per_category_AP2D"]),
             ("general_AR2D", out["per_category_AR2D"]),

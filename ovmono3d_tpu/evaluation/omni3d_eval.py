@@ -31,18 +31,23 @@ REC_THRS = np.linspace(0.0, 1.00, 101, endpoint=True)
 # when aRng[0] <= measure <= aRng[1]) — a boundary value (depth exactly 10,
 # area exactly 32^2) counts in BOTH adjacent bands, like the reference.
 DEPTH_BANDS = {
-    "all": (0.0, np.inf),
+    # Upper bounds are the reference's FINITE caps (Omni3DParams
+    # setDet3DParams areaRng [[0,1e5],[0,10],[10,35],[35,1e5]]): a
+    # degenerate measure beyond the cap (garbage predicted depth from
+    # random/early-training weights) is band-ignored there, not an FP.
+    "all": (0.0, 1e5),
     "near": (0.0, 10.0),
     "medium": (10.0, 35.0),
-    "far": (35.0, np.inf),
+    "far": (35.0, 1e5),
 }
 # 2D mode buckets by GT pixel area, the COCO convention the reference's 2D
-# params keep (Omni3DParams.setDet2DParams: 32^2 / 96^2 boundaries).
+# params keep (Omni3DParams.setDet2DParams: 32^2 / 96^2 boundaries,
+# 1e5^2 cap).
 AREA_BANDS_2D = {
-    "all": (0.0, np.inf),
+    "all": (0.0, 1e5**2),
     "small": (0.0, 32.0**2),
     "medium": (32.0**2, 96.0**2),
-    "large": (96.0**2, np.inf),
+    "large": (96.0**2, 1e5**2),
 }
 MAX_DETS = 100  # per-(image, category) cap applied BEFORE matching
 # Matched-pair IoU gate for NHD / disentangled-NHD / error stats
@@ -158,6 +163,22 @@ def hungarian_corner_distance(
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_pairwise_iou2d():
+    """Jit once at module scope: the eval loop calls this per image, and an
+    eager pairwise_iou dispatches ~6 ops per call (CLAUDE.md: eager
+    compiles per op; on the tunneled TPU each op also pays multi-ms
+    dispatch latency)."""
+    import jax
+
+    from ovmono3d_tpu.ops.iou2d import pairwise_iou
+
+    return jax.jit(pairwise_iou)
+
+
 def disentangled_nhd(pred: dict, gt: dict) -> dict[str, np.ndarray]:
     """Per-pair disentangled NHDs (omni3d_evaluation.py:2250-2290).
 
@@ -166,16 +187,20 @@ def disentangled_nhd(pred: dict, gt: dict) -> dict[str, np.ndarray]:
     with ONLY that component replaced by the prediction, then
     Hungarian-corner distance / GT diagonal.
     """
-    import jax.numpy as jnp
+    from ovmono3d_tpu.utils.geometry import CORNER_SIGNS
 
-    from ovmono3d_tpu.utils.geometry import cuboid_corners
+    signs = np.asarray(CORNER_SIGNS, np.float64)
 
     def corners(center, dims, pose):
-        box = np.concatenate([center, dims], axis=-1)
-        return np.asarray(
-            cuboid_corners(jnp.asarray(box, jnp.float32),
-                           jnp.asarray(pose, jnp.float32))
-        )
+        # Pure numpy mirror of utils.geometry.cuboid_corners (x scaled by
+        # L, y by H, z by W): this runs per matched pair per image in the
+        # eval loop — eager jnp here would pay per-op dispatch/compile.
+        dims = np.asarray(dims, np.float64)
+        scale = np.stack([dims[:, 2], dims[:, 1], dims[:, 0]], axis=-1)
+        local = signs[None] * scale[:, None, :]
+        local = np.einsum("nij,nkj->nki", np.asarray(pose, np.float64),
+                          local)
+        return local + np.asarray(center, np.float64)[:, None, :]
 
     gt_corners = corners(gt["center"], gt["dims"], gt["pose"])
     diag = np.maximum(corners_diag(gt_corners), 1e-8)
@@ -254,7 +279,6 @@ class Omni3DEvaluator:
         return max(8, 1 << int(np.ceil(np.log2(n))))
 
     def _iou_2d(self, det_boxes, gt_boxes):
-        from ovmono3d_tpu.ops.iou2d import pairwise_iou
         import jax.numpy as jnp
 
         D, G = len(det_boxes), len(gt_boxes)
@@ -265,7 +289,7 @@ class Omni3DEvaluator:
         db[:D] = np.asarray(det_boxes, np.float64)
         gb[:G] = np.asarray(gt_boxes, np.float64)
         return np.asarray(
-            pairwise_iou(jnp.asarray(db), jnp.asarray(gb))
+            _jitted_pairwise_iou2d()(jnp.asarray(db), jnp.asarray(gb))
         )[:D, :G]
 
     def _iou_3d(self, det_corners, gt_corners):
@@ -321,6 +345,21 @@ class Omni3DEvaluator:
         else:
             full_iou = np.zeros((len(d_classes), len(g_classes)))
 
+        # Proximity evaluation is defined on the GT *2D* boxes in BOTH
+        # modes ("evaluates detections in the proximity of the ground
+        # truth 2D boxes", omni3d_evaluation.py:1483-84): gating 3D mode
+        # on 3D IoU < 0.3 would ignore nearly every unmatched detection
+        # (3D IoU collapses with any depth error) and silently delete the
+        # FP stream from AP3D.
+        full_iou_prox = None
+        if self.eval_prox and len(d_classes) and len(g_classes):
+            full_iou_prox = (
+                full_iou if self.mode == "2D"
+                else self._iou_2d(
+                    np.asarray(pred["boxes2d"]), np.asarray(gt["boxes2d"])
+                )
+            )
+
         for c in range(self.num_classes):
             d_sel = np.where(d_classes == c)[0]
             g_sel = np.where((g_classes == c) | (g_classes == -1))[0]
@@ -333,11 +372,11 @@ class Omni3DEvaluator:
 
             det_far = None
             if self.eval_prox:
-                det_far = (
-                    iou.max(axis=1) < self.proximity_thresh
-                    if iou.shape[1]
-                    else np.ones(len(d_sel), bool)
-                )
+                if full_iou_prox is not None and len(g_sel):
+                    iou_prox = full_iou_prox[np.ix_(d_sel, g_sel)]
+                    det_far = iou_prox.max(axis=1) < self.proximity_thresh
+                else:
+                    det_far = np.ones(len(d_sel), bool)
             # Band measure: GT depth / det predicted depth in 3D mode,
             # GT / det box pixel areas in 2D mode (COCOeval 'area').
             if self.mode == "3D":

@@ -166,7 +166,7 @@ def _fake_json(tmp_path):
              "center_cam": [0.5, 0.1, 2.0], "dimensions": [0.1, 0.2, 0.1],
              "R_cam": np.eye(3).tolist(), "truncation": 0.995,  # ignored
              "visibility": 0.9, "valid3D": True},
-            {"image_id": 10, "category_id": 3,  # unknown class -> ignore
+            {"image_id": 10, "category_id": 3,  # unknown class -> dropped
              "bbox2D_trunc": [10, 10, 40, 40],
              "center_cam": [0, 0, 1.0], "dimensions": [1, 1, 1],
              "R_cam": np.eye(3).tolist(), "truncation": 0.0,
@@ -184,10 +184,11 @@ def test_load_omni3d_json(tmp_path):
     recs = load_omni3d_json(p, fs, {"chair": 0, "cup": 1})
     assert len(recs) == 1
     annos = recs[0]["annotations"]
-    assert len(annos) == 3
+    # The unknown-category annotation is DROPPED, not kept as an ignore
+    # region (reference datasets.py:409-411 `continue`).
+    assert len(annos) == 2
     assert annos[0]["category_id"] == 0 and not annos[0]["ignore"]
     assert annos[1]["category_id"] == -1  # truncation filter
-    assert annos[2]["category_id"] == -1  # unknown category
 
 
 def test_register_and_oracle_merge(tmp_path):
@@ -222,7 +223,9 @@ def test_map_example_shapes(tmp_path):
     S = cfg.model.backbone.square_pad
     assert ex.image.shape == (S, S, 3)
     assert ex.gt_boxes.shape == (8, 4)
-    assert ex.gt_valid.sum() == 3
+    # chair + truncation-ignored cup; the unknown-category anno was
+    # dropped at load (reference datasets.py:409-411).
+    assert ex.gt_valid.sum() == 2
     # First gt: box scaled by the resize factor.
     scale = 1.0 / ex.im_scale_ratio
     if not np.isclose(ex.gt_boxes[0][0], (640 - 150) * scale):  # maybe flipped

@@ -130,11 +130,13 @@ def test_hungarian_distance_permutation_invariant():
 
 
 def test_proximity_eval_ignores_far_detections():
-    """eval_prox: detections far from every GT are ignored, not FPs
-    (Omni3D proximity evaluation for non-exhaustive datasets)."""
+    """eval_prox: detections whose 2D box is far from every GT 2D box are
+    ignored, not FPs ("proximity of the ground truth 2D boxes",
+    omni3d_evaluation.py:1483-84 — for non-exhaustive datasets)."""
     gt = _gt([(0, 0, 5)])
-    # One perfect TP + one far high-scoring det.
+    # One perfect TP + one far high-scoring det whose 2D box is ALSO far.
     pred = _pred([(0, 0, 5), (50, 0, 5)], [0.5, 0.9])
+    pred["boxes2d"] = np.array([[0, 0, 10, 10], [500, 0, 510, 10]], float)
     ev = Omni3DEvaluator(num_classes=1, mode="3D")
     ev.add_image(gt, pred)
     np.testing.assert_allclose(ev.summarize()["AP3D"], 50.0, atol=0.1)
@@ -142,6 +144,20 @@ def test_proximity_eval_ignores_far_detections():
     ev_prox = Omni3DEvaluator(num_classes=1, mode="3D", eval_prox=True)
     ev_prox.add_image(gt, pred)
     np.testing.assert_allclose(ev_prox.summarize()["AP3D"], 100.0, atol=1e-5)
+
+
+def test_proximity_gate_is_2d_not_3d():
+    """In 3D mode the proximity gate must use 2D-box IoU: a detection at
+    the right 2D location but wrong depth (3D IoU ~ 0) is a REAL false
+    positive — gating on 3D IoU would silently ignore nearly every
+    unmatched detection and inflate AP3D."""
+    gt = _gt([(0, 0, 5)])
+    # Wrong-depth det shares the GT's 2D box (helper default [0,0,10,10]).
+    pred = _pred([(0, 0, 5), (0, 0, 15)], [0.5, 0.9])
+    ev_prox = Omni3DEvaluator(num_classes=1, mode="3D", eval_prox=True)
+    ev_prox.add_image(gt, pred)
+    # Higher-scoring wrong-depth det is an FP at every threshold -> AP 50.
+    np.testing.assert_allclose(ev_prox.summarize()["AP3D"], 50.0, atol=0.1)
 
 
 def _greedy_match_scalar(iou, gt_ignore, thresholds):
