@@ -54,7 +54,6 @@ def rpn_proposals_single(
     logits: jax.Array,        # [R] concat over levels
     deltas: jax.Array,        # [R, 4]
     anchors: jax.Array,       # [R, 4]
-    level_ids: jax.Array,     # [R]
     level_sizes: tuple[int, ...],
     im_hw: jax.Array,
     pre_nms_topk: int,
@@ -193,7 +192,7 @@ def label_anchors_single(
     fg_gt = gt.valid & (gt.classes >= 0)
     ign_gt = gt.valid & (gt.classes < 0)
 
-    matched_idx, labels, matched_iou_v = box_ops.match_anchors(
+    matched_idx, labels, matched_iou_v, iou_full = box_ops.match_anchors(
         anchors, gt.boxes, fg_gt, iou_thresholds, allow_low_quality=True
     )
     # IoU-weighted subsampling (rpn.py:275-328) with positive_fraction.
@@ -204,13 +203,17 @@ def label_anchors_single(
     pos_sampled, _ = box_ops.subsample_labels(
         key, labels, batch_size, positive_fraction, matched_iou_v
     )
-    # Best anchor per GT is always positive (rpn.py:71-84: applied after
-    # sampling, restricted to anchors the matcher already labeled 1).
-    iou_full = pairwise_iou(gt.boxes, anchors)
-    iou_full = jnp.where(fg_gt[:, None], iou_full, -1.0)
-    best_per_gt = jnp.max(iou_full, axis=1, keepdims=True)
-    is_best = (iou_full >= best_per_gt - 1e-7) & (best_per_gt > 0)
-    force_pos = jnp.any(is_best, axis=0) & (labels == 1)
+    # The SINGLE best anchor per GT survives sampling (rpn.py:71-84:
+    # best_ious_gt_ind from torch .max — FIRST index on exact ties —
+    # intersected with anchors the matcher already labeled 1, applied
+    # AFTER subsampling). `iou_full` is the matcher's own masked quality
+    # matrix (rows of invalid/ignore GTs are -1).
+    best_idx = jnp.argmax(iou_full, axis=1)            # [M], first on ties
+    gt_has_best = fg_gt & (jnp.max(iou_full, axis=1) > 0)
+    force_anchor = jnp.zeros(
+        anchors.shape[0], bool
+    ).at[best_idx].max(gt_has_best)
+    force_pos = force_anchor & (labels == 1)
     fg_mask = pos_sampled | force_pos
     del ign_gt  # ignore regions only affect the (unused) negative sample
 
@@ -334,9 +337,15 @@ def decode_cube(
     x = src_boxes[:, 0] + 0.5 * src_w + src_w * deltas_2d[:, 0]
     y = src_boxes[:, 1] + 0.5 * src_h + src_h * deltas_2d[:, 1]
 
-    if cfg.dims_priors_enabled and priors_dims is not None:
+    dims_prior_mean = None
+    if cfg.dims_priors_enabled:
+        # Assert like the cluster-bins path above: silently decoding
+        # prior-relative dims_norm with plain exp would be wrong by the
+        # per-class prior mean with no error raised.
+        assert priors_dims is not None, "dims_priors_enabled needs priors"
         pd = priors_dims[classes]
         mean, std = pd[:, 0], pd[:, 1]
+        dims_prior_mean = mean
         if cfg.dims_priors_func == "sigmoid":
             dims = geom.scaled_sigmoid(
                 dims_norm, jnp.clip(mean - 3 * std, 0.0), mean + 3 * std
@@ -415,6 +424,10 @@ def decode_cube(
         "deltas_2d": deltas_2d,
         "z_mean": z_mean,
         "z_std": z_std,
+        # Per-sample prior dim means (None without priors): the entangled
+        # dims loss trains dims_norm in PRIOR-NORMALIZED log space
+        # (roi_heads.py:645 log(gt/prior)).
+        "dims_prior_mean": dims_prior_mean,
     }
 
 
@@ -541,10 +554,18 @@ def cube_losses(
             axis=-1,
         )
         loss_xy = jnp.abs(dec["deltas_2d"] - gt_deltas).mean(-1)
-        # Dims: log-space l1 (priors variant folds the prior mean in).
-        loss_dims = jnp.abs(
-            dec["dims_norm"] - jnp.log(jnp.maximum(gt_dims, 1e-4))
-        ).mean(-1)
+        # Dims: log-space l1; with priors the target is PRIOR-NORMALIZED
+        # log(gt/prior) (roi_heads.py:644-649 cube_dims_gt_normspace) —
+        # dims_norm decodes as exp(.)*prior_mean, so the plain log(gt)
+        # target would converge wrong by the per-class prior mean.
+        gt_dims_safe = jnp.maximum(gt_dims, 1e-4)
+        if cfg.dims_priors_enabled and dec.get("dims_prior_mean") is not None:
+            dims_target = jnp.log(
+                gt_dims_safe / jnp.maximum(dec["dims_prior_mean"], 1e-4)
+            )
+        else:
+            dims_target = jnp.log(gt_dims_safe)
+        loss_dims = jnp.abs(dec["dims_norm"] - dims_target).mean(-1)
         # Pose: 1 - cos(relative angle) in allocentric space
         # (roi_heads.py:652-657).
         from ovmono3d_tpu.ops.rotation import so3_relative_angle
@@ -825,26 +846,20 @@ class RCNN3D(nn.Module):
         anchors = self._anchors(feats)
         level_sizes = tuple(a.shape[0] for a in anchors)
         anchors_cat = jnp.concatenate(anchors)
-        level_ids = jnp.concatenate(
-            [
-                jnp.full((s,), i, jnp.int32)
-                for i, s in enumerate(level_sizes)
-            ]
-        )
         logits_cat = jnp.concatenate(logits, axis=1)   # [B, R]
         deltas_cat = jnp.concatenate(deltas, axis=1)   # [B, R, 4]
-        return logits_cat, deltas_cat, anchors_cat, level_ids, level_sizes
+        return logits_cat, deltas_cat, anchors_cat, level_sizes
 
     def _detect_2d(self, feats, im_hw):
         rpn_cfg = self.cfg.rpn
         box_cfg = self.cfg.roi_box
-        logits, deltas, anchors, level_ids, level_sizes = self._rpn_forward(
+        logits, deltas, anchors, level_sizes = self._rpn_forward(
             feats
         )
 
         prop_boxes, prop_scores, prop_valid = jax.vmap(
             lambda lg, ld, hw: rpn_proposals_single(
-                lg, ld, anchors, level_ids, level_sizes, hw,
+                lg, ld, anchors, level_sizes, hw,
                 rpn_cfg.pre_nms_topk_test, rpn_cfg.post_nms_topk_test,
                 rpn_cfg.nms_thresh, rpn_cfg.min_box_size,
             )
@@ -903,7 +918,7 @@ class RCNN3D(nn.Module):
         b = image.shape[0]
         feats = self.features(image, depth)
 
-        logits, deltas, anchors, level_ids, level_sizes = self._rpn_forward(
+        logits, deltas, anchors, level_sizes = self._rpn_forward(
             feats
         )
 
@@ -939,7 +954,7 @@ class RCNN3D(nn.Module):
         # --- Proposals (train top-k) + append GT ---
         prop_boxes, prop_scores, prop_valid = jax.vmap(
             lambda lg, ld, hw: rpn_proposals_single(
-                lg, ld, anchors, level_ids, level_sizes, hw,
+                lg, ld, anchors, level_sizes, hw,
                 rpn_cfg.pre_nms_topk_train, rpn_cfg.post_nms_topk_train,
                 rpn_cfg.nms_thresh, rpn_cfg.min_box_size,
             )

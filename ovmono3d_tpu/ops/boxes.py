@@ -116,7 +116,9 @@ def match_anchors(
     """detectron2 Matcher semantics with (lo, hi) thresholds and labels
     (0, -1, 1); invalid GT rows are excluded.
 
-    Returns (matched_idx [N], labels [N] in {-1, 0, 1}, matched_iou [N]).
+    Returns (matched_idx [N], labels [N] in {-1, 0, 1}, matched_iou [N],
+    iou [M, N] — the masked quality matrix, so callers needing per-GT
+    argmax logic reuse it instead of rebuilding the O(M*N) matrix).
     Label 1 = positive (iou >= hi), 0 = negative (iou < lo), -1 = ignore.
     `allow_low_quality`: anchors that are the argmax for some GT are forced
     positive (reference rpn.py:71-84 uses its own variant of this).
@@ -138,7 +140,7 @@ def match_anchors(
         labels = jnp.where(force_pos, 1, labels)
 
     matched_iou = jnp.maximum(matched_iou, 0.0)
-    return matched_idx, labels, matched_iou
+    return matched_idx, labels, matched_iou, iou
 
 
 def subsample_labels(
@@ -190,19 +192,3 @@ def subsample_labels(
     neg_sampled = sample(k_neg, negative, w, num_neg_target)
     return pos_sampled, neg_sampled
 
-
-def mark_ignore_regions(
-    labels: jax.Array,
-    anchors: jax.Array,
-    ignore_boxes: jax.Array,
-    ignore_valid: jax.Array,
-    ioa_threshold: float,
-) -> jax.Array:
-    """Set label -1 for anchors overlapping ignore regions by IoA >= thresh
-    (reference rpn.py:93-105: pairwise_ioa(ignore_gt, anchors))."""
-    if ignore_boxes.shape[0] == 0:
-        return labels
-    ioa = pairwise_ioa(ignore_boxes, anchors)  # [I, N] over anchor areas
-    ioa = jnp.where(ignore_valid[:, None], ioa, 0.0)
-    hit = jnp.max(ioa, axis=0) >= ioa_threshold
-    return jnp.where(hit, -1, labels)

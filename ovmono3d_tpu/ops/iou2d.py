@@ -58,17 +58,3 @@ def matched_iou(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
     union = box_area(boxes1) + box_area(boxes2) - inter
     return jnp.where(union > 0, inter / jnp.maximum(union, _EPS), 0.0)
 
-
-def matched_giou(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
-    """Generalized IoU for aligned pairs (loss variant, fast_rcnn.py giou)."""
-    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
-    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
-    wh = jnp.maximum(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
-    union = box_area(boxes1) + box_area(boxes2) - inter
-    iou = jnp.where(union > 0, inter / jnp.maximum(union, _EPS), 0.0)
-    lt_c = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
-    rb_c = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
-    wh_c = jnp.maximum(rb_c - lt_c, 0.0)
-    enclosing = wh_c[..., 0] * wh_c[..., 1]
-    return iou - (enclosing - union) / jnp.maximum(enclosing, _EPS)

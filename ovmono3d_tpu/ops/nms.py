@@ -134,12 +134,20 @@ def batched_nms_mask(
     O(N^2) VPU reduction per iteration) — the right choice on TPU where the
     serial greedy loop would run thousands of sequential steps.
     """
-    # Offset each class into a disjoint coordinate range.
-    span = jnp.max(boxes) - jnp.min(boxes) + 1.0
+    # Offset each class into a disjoint coordinate range. The span must be
+    # computed over FINITE, VALID boxes only: slots below the score
+    # threshold carry arbitrary (possibly NaN/Inf under a diverged step)
+    # coordinates, and one non-finite value would poison span -> every
+    # shifted box NaN -> zero suppression for the whole image.
+    ok = jnp.isfinite(boxes).all(axis=-1)
+    if valid is not None:
+        ok = ok & valid
+    safe = jnp.where(ok[:, None], boxes, 0.0)
+    span = jnp.max(safe) - jnp.min(safe) + 1.0
     offsets = classes.astype(boxes.dtype) * span
-    shifted = boxes + offsets[:, None]
+    shifted = safe + offsets[:, None]
     fn = nms_mask_parallel if parallel else nms_mask
-    return fn(shifted, scores, iou_threshold, valid)
+    return fn(shifted, scores, iou_threshold, ok)
 
 
 def topk_after_nms(

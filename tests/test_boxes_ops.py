@@ -51,7 +51,7 @@ def test_match_anchors_thresholds():
     )
     gt = jnp.array([[0, 0, 10, 10], [52, 52, 62, 62]], jnp.float32)
     valid = jnp.ones(2, bool)
-    idx, labels, ious = match_anchors(
+    idx, labels, ious, _ = match_anchors(
         anchors, gt, valid, (0.3, 0.7), allow_low_quality=False
     )
     lab = np.asarray(labels)
@@ -61,7 +61,7 @@ def test_match_anchors_thresholds():
     assert lab[3] == 0          # IoU 0 -> background
     assert np.asarray(idx)[0] == 0 and np.asarray(idx)[2] == 1
     # Low-quality matches force the best anchor per GT positive.
-    _, labels_lq, _ = match_anchors(
+    _, labels_lq, _, _ = match_anchors(
         anchors, gt, valid, (0.3, 0.7), allow_low_quality=True
     )
     assert np.asarray(labels_lq)[2] == 1
@@ -71,7 +71,7 @@ def test_match_anchors_ignores_invalid_gt():
     anchors = jnp.array([[0, 0, 10, 10]], jnp.float32)
     gt = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
     valid = jnp.array([False, True])
-    idx, labels, _ = match_anchors(anchors, gt, valid, (0.3, 0.7))
+    idx, labels, _, _ = match_anchors(anchors, gt, valid, (0.3, 0.7))
     assert np.asarray(idx)[0] == 1  # matched to the valid row
 
 

@@ -154,3 +154,35 @@ def test_per_group_nms_equals_joint_batched():
         )
         per_group[sel] = keep
     np.testing.assert_array_equal(per_group, joint)
+
+
+def test_batched_nms_nonfinite_box_does_not_poison_span():
+    """A single NaN/Inf box among the candidates must not disable NMS for
+    the whole image: the class-offset span is computed over FINITE valid
+    boxes only (a NaN span would shift every box to NaN -> all IoUs 0 ->
+    zero suppression -> duplicate detections returned as valid)."""
+    import numpy as np
+    from ovmono3d_tpu.ops.nms import batched_nms_mask
+
+    boxes = jnp.asarray(np.array([
+        [0, 0, 10, 10],
+        [0.5, 0, 10.5, 10],      # overlaps box 0 (IoU ~0.9), same class
+        [np.nan, 0, 10, 10],     # poisoned slot
+        [100, 100, 110, 110],    # disjoint, other class
+    ], np.float32))
+    scores = jnp.asarray([0.9, 0.8, 0.95, 0.7])
+    classes = jnp.asarray([0, 0, 0, 1], jnp.int32)
+    valid = jnp.asarray([True, True, True, True])
+    keep = np.asarray(
+        batched_nms_mask(boxes, scores, classes, 0.5, valid)
+    )
+    assert keep[0] and not keep[1], "duplicate must be suppressed"
+    assert not keep[2], "non-finite box must not be kept"
+    assert keep[3]
+
+    # Same with the poisoned slot marked invalid (the usual padding case).
+    valid2 = jnp.asarray([True, True, False, True])
+    keep2 = np.asarray(
+        batched_nms_mask(boxes, scores, classes, 0.5, valid2)
+    )
+    assert list(keep2) == [True, False, False, True]

@@ -1100,6 +1100,36 @@ def test_cube_losses_entangled_match_reference(ref, z_type):
     _compare_cube_losses(ref_losses, cube_losses(cfg, **ours_inputs))
 
 
+def test_cube_losses_entangled_priors_match_reference(ref):
+    """dims_priors_enabled=True entangled dims loss: the reference trains
+    dims_norm toward PRIOR-NORMALIZED log(gt/prior_dims)
+    (roi_heads.py:644-647 cube_dims_gt_normspace) — vs our cube_losses fed
+    the same per-sample prior means through dec['dims_prior_mean']."""
+    import dataclasses
+
+    from ovmono3d_tpu.config import CubeHeadConfig
+    from ovmono3d_tpu.models.rcnn3d import cube_losses
+
+    flags = dict(
+        disentangled_loss=False, chamfer_pose=True, dims_priors_enabled=True,
+        allocentric_pose=True, z_type="direct", inverse_z_weight=False,
+        use_confidence=1.0, virtual_depth=True, **_LOSS_WEIGHT_FLAGS,
+    )
+    rng = np.random.RandomState(21)
+    torch_ns, ours_inputs = _cube_loss_data(rng, 24)
+    prior_mean = rng.uniform(0.3, 2.5, (24, 3)).astype(np.float32)
+    torch_ns["prior_dims"] = torch.from_numpy(prior_mean)
+    ours_inputs["dec"]["dims_prior_mean"] = jnp.asarray(prior_mean)
+    ref_losses = _run_reference_cube_losses(ref, flags, torch_ns)
+
+    cfg = dataclasses.replace(
+        CubeHeadConfig(), disentangled_loss=False, chamfer_pose=True,
+        allocentric_pose=True, z_type="direct", use_confidence=1.0,
+        dims_priors_enabled=True, **_LOSS_WEIGHT_FLAGS,
+    )
+    _compare_cube_losses(ref_losses, cube_losses(cfg, **ours_inputs))
+
+
 # ---------------------------------------------------------------------------
 # Fast R-CNN inference vs the reference's own fast_rcnn.py
 # ---------------------------------------------------------------------------
