@@ -29,6 +29,11 @@ import jax.numpy as jnp
 
 from ovmono3d_tpu.utils.geometry import cuboid_corners
 
+# Small-matrix geometry must not run through TPU's default bf16 matmul
+# passes (CLAUDE.md / ops/rotation.py pattern): box extents are EXTREMA of
+# rotated points, so per-point ~0.3% bf16 noise biases them outward.
+_PREC = jax.lax.Precision.HIGHEST
+
 # Corner ordering of the reference's gen_8corners (ovmono3d_geo.py:106-113).
 _CORNER_FLAGS = jnp.array(
     [
@@ -77,7 +82,9 @@ def pca_yaw(points: jax.Array, mask: jax.Array) -> jax.Array:
     mean = _masked_mean(xz, w)
     centered = (xz - mean) * w[..., None]
     flat = centered.reshape(-1, 2)
-    cov = flat.T @ flat / jnp.maximum(jnp.sum(w), 1e-6)
+    cov = jnp.matmul(flat.T, flat, precision=_PREC) / jnp.maximum(
+        jnp.sum(w), 1e-6
+    )
     # Leading eigenvector of a symmetric 2x2 matrix (closed form).
     a, b, d = cov[0, 0], cov[0, 1], cov[1, 1]
     theta = 0.5 * jnp.arctan2(2 * b, a - d)
@@ -85,7 +92,7 @@ def pca_yaw(points: jax.Array, mask: jax.Array) -> jax.Array:
     # verify by comparing projected variances and flip if needed.
     v = jnp.array([jnp.cos(theta), jnp.sin(theta)])
     v_perp = jnp.array([-v[1], v[0]])
-    var_v = v @ cov @ v
+    var_v = v @ cov @ v          # 2-vectors: reductions, not MXU matmuls
     var_p = v_perp @ cov @ v_perp
     v = jnp.where(var_v >= var_p, v, v_perp)
     return jnp.arctan2(v[1], v[0])
@@ -106,27 +113,35 @@ def _voxel_density_keep(
     """
     # Quantize to voxel coords; 10 bits per axis packed into one int32
     # (points are mean-centered upstream, so +-512 voxels ~ +-5 m at the
-    # initial eps=0.01 — outliers beyond that clip to the border voxel).
-    q = jnp.clip(
-        jnp.floor(points / eps).astype(jnp.int32) + 512, 0, 1023
-    )
+    # initial eps=0.01). Points OUTSIDE the grid are treated as outliers
+    # (never core, excluded from the count table): clipping them to the
+    # border cell would pool every far-away sparse point into one
+    # artificial "dense" voxel that survives the filter.
+    q_raw = jnp.floor(points / eps).astype(jnp.int32) + 512
+    in_range = jnp.all((q_raw >= 0) & (q_raw <= 1023), axis=-1)
+    valid = mask & in_range
+    q = jnp.clip(q_raw, 0, 1023)
 
     def pack(qc):
         return qc[:, 0] * (1 << 20) + qc[:, 1] * (1 << 10) + qc[:, 2]
 
     sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
-    ids = jnp.where(mask, pack(q), sentinel)
+    ids = jnp.where(valid, pack(q), sentinel)
     sorted_ids = jnp.sort(ids)
     counts = jnp.zeros(ids.shape, jnp.int32)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
                 nq = q + jnp.array([dx, dy, dz], jnp.int32)
-                nid = pack(jnp.clip(nq, 0, 1023))
+                nok = jnp.all((nq >= 0) & (nq <= 1023), axis=-1)
+                # Out-of-grid neighbor cells can't alias a real border
+                # cell: -1 never appears in the table.
+                nid = jnp.where(nok, pack(jnp.clip(nq, 0, 1023)),
+                                jnp.int32(-1))
                 left = jnp.searchsorted(sorted_ids, nid, side="left")
                 right = jnp.searchsorted(sorted_ids, nid, side="right")
                 counts = counts + (right - left).astype(jnp.int32)
-    return mask & (counts >= min_count)
+    return valid & (counts >= min_count)
 
 
 def robust_extent_mask(
@@ -177,7 +192,7 @@ def fit_box_from_mask_depth(
     centered = flat_pts - offset
     yaw = pca_yaw(centered, flat_m)
     R_align = heading_to_rotmat(-yaw)
-    aligned = centered @ R_align.T + offset
+    aligned = jnp.matmul(centered, R_align.T, precision=_PREC) + offset
 
     # Density filter on MEAN-CENTERED coordinates: DBSCAN is translation-
     # invariant, and the voxel grid's +-512-cell range (~5 m at eps=0.01)
@@ -200,9 +215,11 @@ def fit_box_from_mask_depth(
     )
     corners = base[None, :] + _CORNER_FLAGS * extent[None, :]
     corners = corners - offset
-    corners = corners @ heading_to_rotmat(yaw).T + offset
+    corners = jnp.matmul(
+        corners, heading_to_rotmat(yaw).T, precision=_PREC
+    ) + offset
     # Back to camera frame (undo the open3d flip).
-    corners_cam = corners @ _FLIP
+    corners_cam = jnp.matmul(corners, _FLIP, precision=_PREC)
 
     center = jnp.mean(corners_cam, axis=0)
     # dims per reference get_dims ordering -> (w, h, l) = (|c0-c4|, |c0-c3|,
@@ -217,17 +234,25 @@ def fit_box_from_mask_depth(
     template = cuboid_corners(jnp.concatenate([center, dims]))
     A = corners_cam - center
     B = template - center
-    U, _, Vt = jnp.linalg.svd(A.T @ B, full_matrices=True)
+    U, _, Vt = jnp.linalg.svd(
+        jnp.matmul(A.T, B, precision=_PREC), full_matrices=True
+    )
     det = jnp.linalg.det(U @ Vt)
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(jnp.sign(det))
     R = U @ D @ Vt
 
     fitted_corners = cuboid_corners(jnp.concatenate([center, dims]), R)
+    # Empty effective mask (no pixel with mask>0.5 AND depth>0): mins/maxs
+    # are +-1e9 sentinels and everything downstream is garbage — flag it
+    # and zero the outputs so callers can't silently export it.
+    ok = jnp.sum(keep) > 0
+    eye = jnp.eye(3, dtype=R.dtype)
     return {
-        "center": center,
-        "dims": dims,
-        "pose": R,
-        "corners": fitted_corners,
-        "yaw": yaw,
+        "center": jnp.where(ok, center, 0.0),
+        "dims": jnp.where(ok, dims, 0.0),
+        "pose": jnp.where(ok, R, eye),
+        "corners": jnp.where(ok, fitted_corners, 0.0),
+        "yaw": jnp.where(ok, yaw, 0.0),
         "num_points": jnp.sum(keep),
+        "valid": ok,
     }

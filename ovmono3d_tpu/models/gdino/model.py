@@ -242,8 +242,13 @@ class GroundingDINO(nn.Module):
         mem_masked = jnp.where(prop_valid[None, :, None], memory, 0.0)
         out_mem = self.enc_output_norm(self.enc_output(mem_masked))
         txt_masked = jnp.where(text_mask[..., None], text, 0.0)
+        # HIGHEST: the default f32 matmul runs bf16 passes on TPU;
+        # ~0.4% logit error reorders the top-900 query selection near ties
+        # (inference.py pins the downstream span matmul for the same
+        # reason). [S,C]x[C,T] is tiny — exactness is free.
         enc_logits = jnp.einsum(
             "bsc,btc->bst", out_mem, txt_masked,
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         enc_logits = jnp.where(
@@ -297,8 +302,12 @@ class GroundingDINO(nn.Module):
         out_boxes = jax.nn.sigmoid(
             self.bbox_head(hs) + inverse_sigmoid(ref_in)
         )
+        # HIGHEST like the encoder logits above: these scores feed the
+        # 0.001 box_threshold through sigmoid+span-sum — bf16-pass noise
+        # flips borderline detections vs the reference.
         logits = jnp.einsum(
             "bqc,btc->bqt", hs, jnp.where(text_mask[..., None], text, 0.0),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         logits = jnp.where(text_mask[:, None, :], logits, -1e9)

@@ -39,7 +39,35 @@ class BertTokenizer:
             return True
         return unicodedata.category(ch).startswith("P")
 
+    @staticmethod
+    def _is_cjk(cp: int) -> bool:
+        # BasicTokenizer._is_chinese_char ranges (bert-base tokenization).
+        return (
+            0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+        )
+
     def _basic(self, text: str) -> list[str]:
+        # BasicTokenizer._clean_text: drop NUL/replacement/control chars,
+        # map all whitespace to ' '; then _tokenize_chinese_chars: every
+        # CJK ideograph becomes its own token.
+        cleaned = []
+        for ch in text:
+            cp = ord(ch)
+            if cp in (0, 0xFFFD) or (
+                unicodedata.category(ch).startswith("C")
+                and not ch.isspace()
+            ):
+                continue
+            if self._is_cjk(cp):
+                cleaned.append(" " + ch + " ")
+            elif ch.isspace():
+                cleaned.append(" ")
+            else:
+                cleaned.append(ch)
+        text = "".join(cleaned)
         text = text.lower().strip()
         text = unicodedata.normalize("NFD", text)
         text = "".join(
@@ -63,7 +91,12 @@ class BertTokenizer:
             out.append(word)
         return out
 
+    # WordpieceTokenizer default (bert-base-uncased).
+    MAX_INPUT_CHARS_PER_WORD = 100
+
     def _wordpiece(self, word: str) -> list[int]:
+        if len(word) > self.MAX_INPUT_CHARS_PER_WORD:
+            return [self.unk]
         if word in self.vocab:
             return [self.vocab[word]]
         ids = []

@@ -72,7 +72,6 @@ class OVMono3DLift:
     # roi_heads_gdino.py:147). None = legacy longest-side-to-canvas rule.
     gdino_min_size: int | None = None
     gdino_max_size: int | None = None
-    max_detections: int = 100
     # 2D-stage slots: the reference keeps EVERY box passing threshold+NMS
     # (roi_heads_gdino.py:252-257, no cap); 300 slots let the final ranking
     # happen on the fused sqrt(s2d*conf) score downstream instead of
@@ -190,7 +189,10 @@ class OVMono3DLift:
             scale = min(scale, S / max(h, w))
         else:
             scale = S / max(h, w)
-        nh, nw = int(round(h * scale)), int(round(w * scale))
+        # round-half-UP like detectron2's int(x + 0.5) (and the mapper's
+        # resize_shortest_edge) — Python's banker's round() disagrees at
+        # exact .5 products, shifting the GDINO canvas content by a pixel.
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
         nh, nw = min(nh, S), min(nw, S)
         resized = cv2.resize(image.astype(np.float32) / 255.0, (nw, nh))
         canvas = np.zeros((S, S, 3), np.float32)
@@ -277,16 +279,15 @@ class OVMono3DLift:
         canvas = np.zeros((S, S, 3), np.float32)
         canvas[:nh, :nw] = resized
 
-        n = self.max_detections
-        boxes = np.zeros((n, 4), np.float32)
-        m = min(n, len(det2d["boxes"]))
-        boxes[:m] = det2d["boxes"][:m] * scale
-        classes = np.zeros((n,), np.int32)
-        classes[:m] = det2d["classes"][:m]
-        scores = np.zeros((n,), np.float32)
-        scores[:m] = det2d["scores"][:m]
-        valid = np.zeros((n,), bool)
-        valid[:m] = det2d["valid"][:m]
+        # Lift EVERY 2D slot (the reference keeps every box passing
+        # threshold+NMS, roi_heads_gdino.py:252-257 — no cap): truncating
+        # to max_detections here would pre-rank by 2D score and drop boxes
+        # whose fused sqrt(s2d*conf) score belongs in the final ranking,
+        # defeating detect_topk's purpose (see its field comment).
+        boxes = np.asarray(det2d["boxes"], np.float32) * scale
+        classes = np.asarray(det2d["classes"], np.int32)
+        scores = np.asarray(det2d["scores"], np.float32)
+        valid = np.asarray(det2d["valid"], bool)
 
         depth_t = None
         if depth is not None:

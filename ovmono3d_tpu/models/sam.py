@@ -36,7 +36,12 @@ class RandomFourierPE(nn.Module):
             (2, self.num_feats),
             jnp.float32,
         )
-        x = (2.0 * coords - 1.0) @ mat * (2.0 * jnp.pi)
+        # HIGHEST: small-matrix geometry (CLAUDE.md rule) — TPU's default
+        # bf16 matmul passes would add ~0.4% phase error before sin/cos,
+        # shifting every positional encoding vs the torch reference.
+        x = jnp.matmul(
+            2.0 * coords - 1.0, mat, precision=jax.lax.Precision.HIGHEST
+        ) * (2.0 * jnp.pi)
         return jnp.concatenate([jnp.sin(x), jnp.cos(x)], axis=-1)
 
 

@@ -993,6 +993,10 @@ def test_tokenizer_matches_hf_bert_tokenizer(tmp_path):
         "café books , x-yz .",           # accents, punct splits
         "unknownword . chair.laptop",         # UNK + glued punctuation
         "  chair   laptop  ",                 # whitespace runs
+        "x" * 120 + " . chair",               # >100-char word -> [UNK]
+        "chair\x00lap�top",              # control/replacement chars
+        "椅子 chair 桌",                      # CJK chars split per-char
+        "chair\tlaptop\nbooks",               # tab/newline whitespace
     ]
     for text in captions:
         want = hf.encode(text)                 # [CLS] ... [SEP]

@@ -39,7 +39,10 @@ def test_full_predict(pipeline):
     image = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
     K = default_focal_K(96, 128)
     det = pipeline.predict(image, K, ["chair", "cup"])
-    n = pipeline.max_detections
+    # Every 2D slot is lifted (reference keeps every box past
+    # threshold+NMS; final ranking happens on the fused score). The slot
+    # count is detect_topk capped by the detector's query count.
+    n = min(pipeline.detect_topk, pipeline.gdino.num_queries)
     assert det.boxes.shape == (n, 4)
     assert det.corners3d.shape == (n, 8, 3)
     for leaf in jax.tree.leaves(det):

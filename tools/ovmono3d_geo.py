@@ -376,6 +376,11 @@ def main():
                     jnp.asarray(mask_img, jnp.float32),
                     jnp.asarray(depth_map), jnp.asarray(K),
                 )
+                if not bool(np.asarray(out["valid"])):
+                    # Empty effective mask (SAM produced nothing usable /
+                    # no positive depth inside it) — exporting the
+                    # flagged-invalid zeros would pollute the eval JSON.
+                    continue
                 preds.append({
                     "category_id": det["category_id"],
                     "score": det["score"],
