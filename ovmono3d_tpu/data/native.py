@@ -91,6 +91,14 @@ def preprocess_batch_native(
         return None
     b = len(images)
     images = [np.ascontiguousarray(im, dtype=np.uint8) for im in images]
+    for im in images:
+        # The C kernel walks the buffer with channels=3 (preproc.cc): a
+        # grayscale/RGBA image would read out of bounds (segfault) or
+        # misinterleave pixels silently.
+        if im.ndim != 3 or im.shape[2] != 3:
+            raise ValueError(
+                f"native preprocess needs HWC RGB uint8, got {im.shape}"
+            )
     ptrs = (ctypes.c_void_p * b)(
         *[im.ctypes.data_as(ctypes.c_void_p) for im in images]
     )

@@ -110,8 +110,15 @@ def make_train_step(model: RCNN3D, tx: optax.GradientTransformation,
         # folding an exploded loss in would raise the bar and let the next
         # diverged step slip through.
         safe_total = jnp.where(loss_finite, total, 0.0)
+        # Do NOT initialize the EMA from a non-finite first loss: ema would
+        # become 0 (losing the -1 'uninitialized' sentinel), and since the
+        # EMA is frozen on skipped steps, every later finite step would
+        # trip `total > 4 * 0.02 * L` and training would silently skip
+        # forever. Keep the sentinel until a finite loss initializes it.
         ema = jnp.where(
-            state.loss_ema < 0, 2.0 * safe_total, state.loss_ema
+            (state.loss_ema < 0) & loss_finite,
+            2.0 * safe_total,
+            state.loss_ema,
         )
         exploded = (ema > 0) & (total > TOLERANCE * ema)
         skip = (~grads_finite) | (~loss_finite) | (

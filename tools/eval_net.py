@@ -69,10 +69,13 @@ def make_run_fn(model):
     import jax
 
     @jax.jit
-    def run(params, batch):
+    def run(params, batch, depth=None):
+        # `depth`: prompt-depth [B, h, w, 1] for use_depth_fusion trunks —
+        # dropping it would silently evaluate the model without an input
+        # it was trained with.
         return model.apply(
             params, batch["image"], batch["K"], batch["im_hw"],
-            batch["im_scale_ratio"], None,
+            batch["im_scale_ratio"], depth,
             oracle_boxes=batch["oracle_boxes"],
             oracle_classes=batch["oracle_classes"],
             oracle_scores=batch["oracle_scores"],
@@ -125,7 +128,13 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
     n_done = 0
     dumped = []
     collected = []
-    it = iter(build_test_iterator(cfg, records, batch_size, image_loader))
+    # Oracle slots must hold the full 100-det protocol (the default
+    # max_oracle=64 would truncate oracle JSONs in FILE order, silently
+    # dropping detections 65-100 from AP).
+    it = iter(build_test_iterator(
+        cfg, records, batch_size, image_loader,
+        max_oracle=max(64, cfg.test.detections_per_image),
+    ))
     while True:
         t0 = time.perf_counter()
         nxt = next(it, None)
@@ -147,7 +156,8 @@ def evaluate_dataset(cfg, model, params, records, image_loader, batch_size,
             }
         else:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        det = run(params, batch)
+        depth = batch.pop("depth", None)
+        det = run(params, batch, depth)
         det = jax.device_get(det)
         t_compute += time.perf_counter() - t0
         if time.perf_counter() - t_mark > 10.0 and n_done:
@@ -483,7 +493,16 @@ def main():
             from ovmono3d_tpu.config import oracle2d_file
 
             oracle_path = oracle2d_file(cfg.datasets, name, mode)
-            if cfg.test.oracle2d and oracle_path:
+            if cfg.test.oracle2d:
+                if not oracle_path:
+                    # Fail HERE with the dataset named — otherwise the run
+                    # dies much later with a bare KeyError('oracle_boxes')
+                    # inside the jit trace.
+                    raise ValueError(
+                        f"test.oracle2d is set but datasets.oracle2d_files"
+                        f"[{cfg.datasets.oracle2d_eval_mode!r}][{mode!r}] "
+                        f"has no entry for dataset {name!r}"
+                    )
                 recs = merge_oracle2d(recs, oracle_path)
             datasets[name] = recs
         image_loader = default_image_loader(cfg.datasets.data_root)

@@ -320,8 +320,12 @@ def main():
             ]
             helper = Omni3DEvaluationHelper(cfg.model.num_classes,
                                             class_names)
+            # Pass the ON-DEVICE params: device_get would pull the whole
+            # tree host-side and re-upload it through the size-capped
+            # tunnel on every eval batch (params aren't donated until the
+            # next train step, so sharing them is safe).
             evaluate_dataset(
-                cfg, model, jax.device_get(state.params), eval_records,
+                cfg, model, state.params, eval_records,
                 image_loader, batch_size, helper, "in_train_eval",
                 run=eval_run_fn,
             )
