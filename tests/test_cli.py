@@ -269,6 +269,19 @@ def test_eval_predictions_offline(monkeypatch, capsys, tmp_path):
     assert "offline predictions" in out
     assert "100.0" in out or "100.00" in out  # perfect AP somewhere
 
+    # An EMPTY predictions file must score 0, not skip the image: the
+    # dataset drives iteration, so absent images count as missed GT
+    # (reference evaluate_predictions_from_file semantics).
+    pf_empty = tmp_path / "preds_empty.json"
+    pf_empty.write_text("[]")
+    monkeypatch.setattr(sys, "argv", [
+        "eval_predictions.py", "--predictions", str(pf_empty),
+        "--dataset-json", str(ds), "--categories", "chair",
+    ])
+    eval_predictions.main()
+    out2 = capsys.readouterr().out
+    assert "100.0" not in out2
+
 
 def test_generate_oracle2d_cli(monkeypatch, tmp_path):
     """generate_oracle2d --synthetic writes per-dataset detection JSONs in

@@ -160,6 +160,35 @@ def test_skip_on_nonfinite_batch(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_nan_first_step_does_not_poison_ema(setup):
+    """A non-finite loss on the FIRST step must leave the EMA at the -1
+    'uninitialized' sentinel: initializing it to 0 would make every later
+    finite loss trip `total > 4 * ema` (and, with the EMA frozen on
+    skipped steps, training would silently skip forever)."""
+    cfg, model, params, tx, batch = setup
+    mesh = make_mesh()
+    step_fn = shard_train_step(
+        make_train_step(model, tx, cfg.model.stabilize), mesh, donate=False
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(5))
+    bad = dict(batch)
+    bad["image"] = batch["image"].at[0, 0, 0, 0].set(jnp.nan)
+    state1, m1 = step_fn(state, shard_batch(mesh, bad))
+    assert float(m1["skipped"]) == 1.0
+    assert float(state1.loss_ema) < 0  # sentinel preserved
+
+    # The next FINITE step must train normally (not be flagged exploded).
+    state2, m2 = step_fn(state1, shard_batch(mesh, batch))
+    assert float(m2["skipped"]) == 0.0
+    assert float(state2.loss_ema) > 0
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state1.params),
+                        jax.tree.leaves(state2.params))
+    )
+    assert changed
+
+
 def test_restart_restores_initial_state_and_rebuilds_iterator():
     """Divergence before any checkpoint must restore the INITIAL state (not
     keep diverged weights) and pull a fresh data stream
