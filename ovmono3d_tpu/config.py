@@ -190,6 +190,12 @@ class DatasetConfig:
     modal_2d_boxes: bool = False
     trunc_2d_boxes: bool = True
     data_root: str = "datasets"     # base dir for Omni3D jsons/images
+    # Directory of per-image prompt-depth .npz files (key 'depth', named
+    # <image stem>.npz) for depth-fusion models — the reference hard-codes
+    # its objectron_depth dir (dataset_mapper.py:21-22,38-45); empty = no
+    # prompt depth. Missing files fall back to no depth per image, like
+    # the reference's zeros fallback (dataset_mapper.py:57-58).
+    depth_dir: str = ""
     oracle2d_eval_mode: str = "target_aware"  # target_aware | previous_metric
     # Two-level reference layout {eval_mode: {base|novel: {dataset: path}}}
     # (reference config.py:41-76); a flat {dataset: path} is also accepted.

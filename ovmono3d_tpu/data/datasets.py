@@ -227,6 +227,21 @@ def simple_register(
     }
 
 
+def attach_depth_files(records: list[dict], depth_dir: str | Path) -> None:
+    """Point each record at its prompt-depth .npz (datasets.depth_dir).
+
+    Mirrors the reference's depth-path rule — depth_dir + image basename +
+    '.npz', key 'depth' (dataset_mapper.py:38-45) — as a record field the
+    mapper consumes (mapper.py:129-137). Records whose file is absent get
+    no depth, matching the reference's read-error fallback
+    (dataset_mapper.py:57-58)."""
+    depth_dir = Path(depth_dir)
+    for rec in records:
+        p = depth_dir / (Path(rec["file_name"]).stem + ".npz")
+        if p.exists():
+            rec["depth_file"] = str(p)
+
+
 def get_dataset(name: str) -> list[dict]:
     if name not in _DATASET_REGISTRY:
         raise KeyError(

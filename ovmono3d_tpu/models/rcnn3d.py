@@ -741,8 +741,13 @@ class RCNN3D(nn.Module):
         strides = self.feature_strides
 
         def pool_one(boxes_i, *maps_i):
+            # DEFAULT (single bf16-pass) matmuls: the pooled features feed
+            # bf16 FC heads, so HIGHEST's 6-pass f32 contraction buys no
+            # end-to-end accuracy here and costs ~25% of the train step
+            # (the [N,7,H]x[H,W,256] pooling einsums dominate at b8/896^2).
             return multilevel_roi_align(
-                list(maps_i), strides, boxes_i, resolution, sampling_ratio
+                list(maps_i), strides, boxes_i, resolution, sampling_ratio,
+                precision=jax.lax.Precision.DEFAULT,
             )
 
         pooled = jax.vmap(pool_one)(boxes, *maps)  # [B, N, R, R, C]

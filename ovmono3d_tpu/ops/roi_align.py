@@ -44,13 +44,15 @@ def _interp_matrix(
     return w.mean(axis=2).astype(dtype)  # average the S samples per bin
 
 
-@partial(jax.jit, static_argnames=("resolution", "sampling_ratio", "stride"))
+@partial(jax.jit, static_argnames=(
+    "resolution", "sampling_ratio", "stride", "precision"))
 def roi_align(
     feat: jax.Array,
     boxes: jax.Array,
     stride: int,
     resolution: int = 7,
     sampling_ratio: int = 2,
+    precision: jax.lax.Precision | None = None,
 ) -> jax.Array:
     """ROIAlignV2 on one feature map — separable-matmul formulation.
 
@@ -70,6 +72,13 @@ def roi_align(
       stride: feature stride (image px per feature cell).
       resolution: output R (R x R bins).
       sampling_ratio: S samples per bin side (S*S per bin).
+      precision: matmul precision for the two contractions. None (default)
+        = torchvision-exact: HIGHEST for f32 feats (TPU's default f32
+        matmul uses bf16 passes, which would round the interpolation
+        weights), DEFAULT for bf16. Hot model paths whose pooled features
+        feed bf16 heads pass Precision.DEFAULT explicitly — HIGHEST runs
+        the big [N,R,H]x[H,W,C] contraction in 6 passes and cost the train
+        step ~25% before rcnn3d.py opted out (round-3 regression).
     Returns:
       [N, R, R, C] pooled features.
     """
@@ -96,11 +105,10 @@ def roi_align(
     Ry = _interp_matrix(ys, H, feat.dtype)  # [N, R, H]
     Rx = _interp_matrix(xs, W, feat.dtype)  # [N, R, W]
 
-    # Pin HIGHEST for f32: TPU's default f32 matmul uses bf16 passes, which
-    # would round the interpolation weights and break the torchvision-exact
-    # numerics this op claims (same rule as deformable.py's f32 sampler).
-    prec = (jax.lax.Precision.HIGHEST if feat.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if feat.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    prec = precision
     t = jnp.einsum(
         "nih,hwc->niwc", Ry, feat, preferred_element_type=jnp.float32,
         precision=prec,
@@ -141,6 +149,7 @@ def multilevel_roi_align(
     sampling_ratio: int = 2,
     canonical_size: float = 224.0,
     canonical_level: int = 4,
+    precision: jax.lax.Precision | None = None,
 ) -> jax.Array:
     """Multi-level ROIAlign with dense level selection.
 
@@ -158,7 +167,8 @@ def multilevel_roi_align(
     )
     out = None
     for li, (feat, stride) in enumerate(zip(feats, strides)):
-        pooled = roi_align(feat, boxes, stride, resolution, sampling_ratio)
+        pooled = roi_align(feat, boxes, stride, resolution, sampling_ratio,
+                           precision=precision)
         sel = (levels == (min_level + li))[:, None, None, None]
         out = jnp.where(sel, pooled, out) if out is not None else pooled * sel
     return out

@@ -32,14 +32,12 @@ class MetricsWriter:
         )
         self.tb = None
         if use_tensorboard:
-            try:
-                import tensorflow as tf
+            # Pure-Python event-file writer (train/tb_writer.py) — the
+            # reference's default_writers TB sink (train_net.py:153)
+            # without a tensorflow dependency.
+            from ovmono3d_tpu.train.tb_writer import TBEventWriter
 
-                self.tb = tf.summary.create_file_writer(
-                    str(self.dir / "tb")
-                )
-            except Exception as e:  # pragma: no cover
-                logger.warning("tensorboard writer unavailable: %s", e)
+            self.tb = TBEventWriter(self.dir / "tb")
         self._last_flush = time.time()
         self._buffer: list[tuple[int, dict]] = []
 
@@ -79,12 +77,8 @@ class MetricsWriter:
         )
         logger.info("iter %d (%.2f it/s) %s", step, rate, headline)
         if self.tb is not None:
-            import tensorflow as tf
-
-            with self.tb.as_default():
-                for k, v in scalars.items():
-                    tf.summary.scalar(k, v, step=step)
-                self.tb.flush()
+            self.tb.add_scalars(step, scalars)
+            self.tb.flush()
 
     def close(self):
         # Flush trailing sub-period steps (e.g. max_iter not a multiple of
@@ -92,6 +86,8 @@ class MetricsWriter:
         if self._buffer:
             self._flush(self._buffer[-1][0])
         self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
 
 
 class ProfilerHook:

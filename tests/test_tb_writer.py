@@ -1,0 +1,80 @@
+"""Pure-Python TensorBoard event writer: framing, proto, CRC goldens.
+
+The writer replaces the reference's default_writers TB sink
+(/root/reference/tools/train_net.py:153) without a tensorflow dependency,
+so these tests pin the format against published constants instead of a TF
+round-trip: the CRC32C test vectors are the RFC 3720 / google crc32c
+reference values, and the proto layout is checked by a full write->parse
+round trip (read_events verifies both masked CRCs of every record).
+"""
+from __future__ import annotations
+
+import glob
+import struct
+
+from ovmono3d_tpu.train.tb_writer import (
+    TBEventWriter,
+    _masked_crc,
+    crc32c,
+    read_events,
+)
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 B.4 / google/crc32c test values.
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"a") == 0xC1D04330
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+
+
+def test_masked_crc_matches_tfrecord_rule():
+    # masked = rotr15(crc) + 0xa282ead8 (mod 2^32) — check one value by
+    # explicit arithmetic so the implementation can't drift.
+    crc = crc32c(b"123456789")
+    expect = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    assert _masked_crc(b"123456789") == expect
+
+
+def test_write_read_roundtrip(tmp_path):
+    w = TBEventWriter(tmp_path)
+    w.add_scalars(1, {"loss": 2.5, "lr": 0.02})
+    w.add_scalars(7, {"loss": 1.25})
+    w.add_scalars(8, {})  # no-op
+    w.close()
+
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = read_events(files[0])
+    assert [s for s, _ in events] == [1, 7]
+    assert events[0][1]["loss"] == 2.5
+    assert abs(events[0][1]["lr"] - 0.02) < 1e-7  # f32 storage
+    assert events[1][1] == {"loss": 1.25}
+
+
+def test_file_header_is_brain_event_v2(tmp_path):
+    w = TBEventWriter(tmp_path)
+    w.close()
+    (path,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    raw = open(path, "rb").read()
+    (length,) = struct.unpack_from("<Q", raw, 0)
+    payload = raw[12:12 + length]
+    assert b"brain.Event:2" in payload
+
+
+def test_metrics_writer_tb_integration(tmp_path):
+    from ovmono3d_tpu.train.metrics import MetricsWriter
+
+    mw = MetricsWriter(tmp_path, period=2, use_tensorboard=True)
+    mw(1, None, {"total_loss": 3.0})
+    mw(2, None, {"total_loss": 2.0})
+    mw(3, None, {"total_loss": 1.0})
+    mw.close()  # flushes the trailing step-3 record
+
+    (path,) = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    events = read_events(path)
+    steps = [s for s, _ in events]
+    assert steps == [2, 3]
+    assert events[0][1]["total_loss"] == 2.0
+    assert events[1][1]["total_loss"] == 1.0

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""End-to-end open-vocabulary LIFT benchmark on one TPU chip.
+
+The pipeline users actually run (reference demo protocol,
+/root/reference/demo/demo.py:31-118): original image -> GroundingDINO
+open-vocab 2D detection on the square canvas -> square-pad RCNN trunk +
+cube head lifting of every surviving box -> 3D cuboids, via
+`OVMono3DLift.predict` (models/ovmono3d.py:311).
+
+Unlike bench.py / bench_gdino.py (single jitted graphs timed with the
+chained-dependency protocol), predict() crosses the host twice per image
+(detect postprocess -> numpy -> lift feed), so the honest metric is
+wall-clock per image over many sequential calls: p50 and mean, after
+warmup of both jit specializations. Prints ONE JSON line like bench.py.
+
+Reference anchor: the demo pipeline shares GDINO's GPU cost profile —
+BASELINE.md records 4.6 img/s for GDINO-SwinB detection alone on the
+reference GPU, with the cube lift adding trunk+heads on top; no official
+end-to-end number is published, so vs_baseline uses the GDINO anchor.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ovmono3d_jax_cache")
+
+REF_GPU_IMG_PER_S = 4.6  # BASELINE.md GDINO anchor (detect stage alone)
+
+# The reference demo's example vocabulary scale: coco_examples labels.json
+# prompts ~10-30 categories per image.
+CATEGORIES = [
+    "chair", "table", "sofa", "bed", "television", "laptop", "keyboard",
+    "mouse", "bottle", "cup", "bowl", "book", "clock", "vase", "potted plant",
+    "lamp", "cabinet", "refrigerator", "oven", "sink",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--image-hw", type=int, nargs=2, default=(480, 640),
+                    help="original image size fed to the pipeline")
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship_config
+    from ovmono3d_tpu.models.gdino.tokenizer import BertTokenizer
+    from ovmono3d_tpu.models.ovmono3d import OVMono3DLift, default_focal_K
+
+    cfg = _flagship_config(square_pad=896)
+
+    # Word-level fallback vocab over the prompt words (random-weight bench;
+    # real runs ship bert vocab with the checkpoint) — same construction as
+    # tools/demo.py's no-vocab path.
+    words = sorted({w for c in CATEGORIES for w in c.lower().split()})
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, ".": 4}
+    for w in words:
+        vocab[w] = len(vocab)
+    tok = BertTokenizer(vocab)
+
+    t0 = time.time()
+    pipe = OVMono3DLift.build(cfg, tok)
+    print(f"init: {time.time() - t0:.1f}s", flush=True)
+
+    h, w = args.image_hw
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    K = default_focal_K(h, w)
+
+    print("[compiling] detect_2d + lift_3d", flush=True)
+    t0 = time.time()
+    for _ in range(args.warmup):
+        det = pipe.predict(image, K, CATEGORIES)
+        jax.block_until_ready(det)
+    print(f"warmup: {time.time() - t0:.1f}s", flush=True)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        det = pipe.predict(image, K, CATEGORIES)
+        jax.block_until_ready(det)
+        times.append(time.perf_counter() - t0)
+    times = np.array(times)
+
+    # Stage split (separately timed; predict() itself is the headline).
+    det_times, lift_times = [], []
+    for _ in range(max(args.iters // 3, 5)):
+        t0 = time.perf_counter()
+        det2d = pipe.detect_2d(image, CATEGORIES)
+        det_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out = pipe.lift_3d(image, K, det2d)
+        jax.block_until_ready(out)
+        lift_times.append(time.perf_counter() - t0)
+
+    p50 = float(np.percentile(times, 50))
+    mean = float(times.mean())
+    img_per_s = 1.0 / p50
+    print(
+        f"lift e2e @{h}x{w} (gdino {pipe.gdino_size}^2, rcnn "
+        f"{cfg.model.backbone.square_pad}^2, {len(CATEGORIES)} cats): "
+        f"p50 {p50 * 1e3:.1f} ms, mean {mean * 1e3:.1f} ms | stages: "
+        f"detect p50 {np.percentile(det_times, 50) * 1e3:.1f} ms, "
+        f"lift p50 {np.percentile(lift_times, 50) * 1e3:.1f} ms",
+        flush=True,
+    )
+    print(json.dumps({
+        "metric": "ovmono3d_lift_e2e_openvocab_img_per_s",
+        "value": round(img_per_s, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_s / REF_GPU_IMG_PER_S, 3),
+        "p50_latency_ms": round(p50 * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--no-stop-gradient", action="store_true",
                     help="keep apply_freeze but skip the stop_gradient "
                          "mask (measures the dead trunk-backward cost)")
+    ap.add_argument("--unfreeze", action="store_true",
+                    help="train the trunk too (backbone.freeze=False + "
+                         "backbone.remat: the full-backward path OOMs "
+                         "without rematerialization)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_config
@@ -54,8 +58,17 @@ def main():
     from tools.train_net import synthetic_records
 
     cfg = _flagship_config(square_pad=896)
+    if args.unfreeze:
+        import dataclasses
+
+        bb = dataclasses.replace(
+            cfg.model.backbone, freeze=False, remat=True)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backbone=bb))
     B = args.batch_size
-    print("devices:", jax.devices(), "batch", B, flush=True)
+    print("devices:", jax.devices(), "batch", B,
+          "frozen" if cfg.model.backbone.freeze else "unfrozen+remat",
+          flush=True)
 
     model = build_model(cfg.model)
     records = synthetic_records(B * 2, cfg.model.num_classes)
@@ -103,7 +116,8 @@ def main():
 
     best = min(round_time() for _ in range(args.rounds))
     n_dev = mesh.shape["data"]
-    print(f"train step @896^2 b{B} over {n_dev} device(s): "
+    tag = "frozen" if cfg.model.backbone.freeze else "unfrozen+remat"
+    print(f"train step ({tag}) @896^2 b{B} over {n_dev} device(s): "
           f"{best*1e3:.1f} ms = {B/best:.2f} img/s total, "
           f"{B/best/n_dev:.2f} img/s/chip", flush=True)
 

@@ -335,6 +335,7 @@ def main():
     from ovmono3d_tpu.config import load_config
     from ovmono3d_tpu.data.build import default_image_loader
     from ovmono3d_tpu.data.datasets import (
+        attach_depth_files,
         filter_settings_from_cfg,
         get_dataset,
         merge_oracle2d,
@@ -504,6 +505,9 @@ def main():
                         f"has no entry for dataset {name!r}"
                     )
                 recs = merge_oracle2d(recs, oracle_path)
+            if (cfg.datasets.depth_dir
+                    and cfg.model.backbone.use_depth_fusion):
+                attach_depth_files(recs, cfg.datasets.depth_dir)
             datasets[name] = recs
         image_loader = default_image_loader(cfg.datasets.data_root)
         if mode == "novel":

@@ -39,7 +39,10 @@ def parse_args():
                     help="train on generated data (smoke test)")
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
-    ap.add_argument("--tensorboard", action="store_true")
+    # Default ON like the reference's default_writers (train_net.py:153
+    # always includes a TensorBoard sink); pure-Python writer, no TF dep.
+    ap.add_argument("--tensorboard", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--trunk-ckpt", default=None,
                     help="torch trunk checkpoint: CNN (DLA model-zoo / "
                          "torchvision layouts) or foundation ViT (hub "
@@ -131,6 +134,7 @@ def main():
         default_image_loader,
     )
     from ovmono3d_tpu.data.datasets import (
+        attach_depth_files,
         filter_settings_from_cfg,
         get_dataset,
         simple_register,
@@ -166,6 +170,8 @@ def main():
             json_path = Path(cfg.datasets.data_root) / "Omni3D" / f"{name}.json"
             simple_register(name, json_path, fs, cat_map)
             records.extend(get_dataset(name))
+        if cfg.datasets.depth_dir and cfg.model.backbone.use_depth_fusion:
+            attach_depth_files(records, cfg.datasets.depth_dir)
         image_loader = default_image_loader(cfg.datasets.data_root)
     logger.info("train records: %d", len(records))
 
