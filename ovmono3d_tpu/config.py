@@ -283,6 +283,10 @@ def _coerce(value: Any, like: Any) -> Any:
     if isinstance(like, tuple):
         if isinstance(value, str):
             value = [v for v in value.strip("()[]").split(",") if v.strip()]
+        elif not isinstance(value, (list, tuple)):
+            # scalar override of a tuple field (e.g. the YAML parse of
+            # `input.min_size_train=96`) -> a 1-tuple, like yacs.
+            value = [value]
         elem = like[0] if like else value[0] if value else None
         if elem is not None and not isinstance(elem, (tuple, list)):
             return tuple(type(elem)(v) for v in value)

@@ -209,14 +209,61 @@ class OVMono3DLift:
                 "classes": np.zeros((self.detect_topk,), np.int32),
                 "valid": np.zeros((self.detect_topk,), bool),
             }
+        dev, scale = self._detect_2d_device(image, categories)
+        return {
+            "boxes": np.asarray(dev["boxes"]) / scale,
+            "scores": np.asarray(dev["scores"]),
+            "classes": np.asarray(dev["classes"]),
+            "valid": np.asarray(dev["valid"]),
+        }
+
+    def _detect_fn(self, params, tensor, input_ids, text_mask, self_mask,
+                   pos_ids, biases, span_matrix, span_valid):
+        """Forward + postprocess as ONE jittable graph: running
+        postprocess_grounding eagerly dispatched each op over the tunnel
+        (the parallel-NMS while_loop alone is dozens of round-trips) and
+        cost ~300 ms/image of the e2e pipeline (tools/bench_lift.py found
+        it).
+
+        pred_logits are padded to max_text_len by the model; the span
+        matrix is already full-length (token positions beyond the text
+        bucket are masked to -1e9 logits -> sigmoid ~ 0, and their span
+        entries are zero anyway). pred_boxes are normalized to the PADDED
+        square; rescaled here with the padded size — division by the
+        content resize scale to original pixels happens on host."""
+        out = self.gdino.apply(
+            params, tensor, input_ids, text_mask, self_mask, pos_ids,
+            biases,
+        )
+        return postprocess_grounding(
+            out["pred_logits"][0],
+            out["pred_boxes"][0],
+            span_matrix,
+            span_valid,
+            jnp.asarray([self.gdino_size, self.gdino_size], jnp.float32),
+            topk=self.detect_topk,
+        )
+
+    def _detect_2d_device(self, image: np.ndarray, categories: list[str]):
+        """detect_2d, but the outputs stay ON DEVICE (boxes in gdino-canvas
+        pixels) so predict() can feed them straight to the lift graph
+        without a host round trip — on the tunneled TPU the detect->lift
+        host sync costs a full readback+upload+dispatch-latency cycle.
+        Returns (dict of device arrays, gdino content scale)."""
+        if not categories:
+            z = jnp.zeros((self.detect_topk,))
+            return {
+                "boxes": jnp.zeros((self.detect_topk, 4), jnp.float32),
+                "scores": z.astype(jnp.float32),
+                "classes": jnp.zeros((self.detect_topk,), jnp.int32),
+                "valid": jnp.zeros((self.detect_topk,), bool),
+            }, 1.0
         tensor, scale = self._prep_gdino_image(image)
         # Text runs at the smallest power-of-two bucket >= the caption
         # length (one jit specialization per bucket), mirroring the
         # reference's actual-caption-length execution (roi_heads_gdino.py:
         # 176-181). One tokenization: build at full max_text_len, read the
         # true length off text_mask, slice the model inputs to the bucket.
-        # (Measured: T=32 -> 256 costs only ~1 ms of the 119 ms forward —
-        # semantics more than perf.)
         full = self.gdino.max_text_len
         text = build_text_inputs(self.tokenizer, categories, max_len=full,
                                  max_phrases=max(64, len(categories)))
@@ -225,7 +272,8 @@ class OVMono3DLift:
         while T < n_tok and T < full:
             T *= 2
         T = min(T, full)
-        out = self._jitted("gdino", self.gdino.apply)(
+        boxes, scores, classes, valid = self._jitted("gdino_detect",
+                                                     self._detect_fn)(
             self.gdino_params,
             jnp.asarray(tensor),
             jnp.asarray(text["input_ids"][:, :T]),
@@ -233,38 +281,15 @@ class OVMono3DLift:
             jnp.asarray(text["text_self_mask"][:, :T, :T]),
             jnp.asarray(text["position_ids"][:, :T]),
             self._swin_rel_biases(),
-        )
-        # pred_logits are padded to max_text_len by the model; the span
-        # matrix is already full-length (token positions beyond T are
-        # masked to -1e9 logits -> sigmoid ~ 0, and their span entries are
-        # zero anyway).
-        # pred_boxes are normalized to the PADDED square; rescale with the
-        # padded size then divide by the resize scale to original pixels.
-        boxes, scores, classes, valid = postprocess_grounding(
-            out["pred_logits"][0],
-            out["pred_boxes"][0],
             jnp.asarray(text["span_matrix"]),
             jnp.asarray(text["span_valid"]),
-            jnp.asarray(
-                [self.gdino_size, self.gdino_size], jnp.float32
-            ),
-            topk=self.detect_topk,
         )
-        return {
-            "boxes": np.asarray(boxes) / scale,
-            "scores": np.asarray(scores),
-            "classes": np.asarray(classes),
-            "valid": np.asarray(valid),
-        }
+        return {"boxes": boxes, "scores": scores, "classes": classes,
+                "valid": valid}, scale
 
-    def lift_3d(
-        self,
-        image: np.ndarray,
-        K: np.ndarray,
-        det2d: dict,
-        depth: np.ndarray | None = None,
-    ) -> Detections:
-        """Cube-branch lifting of given 2D detections (original px coords)."""
+    def _prep_lift_canvas(self, image: np.ndarray):
+        """Shortest-edge resize + top-left square pad for the cube model.
+        Returns (canvas [S, S, 3] f32 raw-pixel, (nh, nw), scale)."""
         from ovmono3d_tpu.data.mapper import resize_shortest_edge
 
         import cv2
@@ -278,35 +303,71 @@ class OVMono3DLift:
         resized = cv2.resize(image.astype(np.float32), (nw, nh))
         canvas = np.zeros((S, S, 3), np.float32)
         canvas[:nh, :nw] = resized
+        return canvas, (nh, nw), scale
 
-        # Lift EVERY 2D slot (the reference keeps every box passing
-        # threshold+NMS, roi_heads_gdino.py:252-257 — no cap): truncating
-        # to max_detections here would pre-rank by 2D score and drop boxes
-        # whose fused sqrt(s2d*conf) score belongs in the final ranking,
-        # defeating detect_topk's purpose (see its field comment).
-        boxes = np.asarray(det2d["boxes"], np.float32) * scale
-        classes = np.asarray(det2d["classes"], np.int32)
-        scores = np.asarray(det2d["scores"], np.float32)
-        valid = np.asarray(det2d["valid"], bool)
+    def _lift_fn(self, params, canvas, K, hw, ratio, depth, boxes,
+                 classes, scores, valid, box_scale):
+        """Jittable lift graph; `boxes * box_scale` happens IN-GRAPH so
+        detect outputs can flow device-to-device (predict() never syncs
+        between the two stages — on the tunneled TPU the intermediate
+        readback+upload+dispatch cycle is pure latency)."""
+        return self.rcnn.apply(
+            params, canvas, K, hw, ratio, depth,
+            oracle_boxes=boxes[None] * box_scale,
+            oracle_classes=classes[None],
+            oracle_scores=scores[None],
+            oracle_valid=valid[None],
+        )
 
+    def _lift_canvas_det(self, canvas, hw, scale, K, boxes, classes,
+                         scores, valid, box_scale,
+                         depth: np.ndarray | None = None) -> Detections:
+        """Run the jitted lift graph on a prepared canvas. `boxes` may be
+        device arrays (fused predict path) or numpy; coordinates are
+        boxes * box_scale in CANVAS pixels.
+
+        Lifts EVERY 2D slot (the reference keeps every box passing
+        threshold+NMS, roi_heads_gdino.py:252-257 — no cap): truncating
+        to max_detections here would pre-rank by 2D score and drop boxes
+        whose fused sqrt(s2d*conf) score belongs in the final ranking,
+        defeating detect_topk's purpose (see its field comment)."""
+        nh, nw = hw
         depth_t = None
         if depth is not None:
             depth_t = jnp.asarray(depth, jnp.float32)[None, ..., None]
-
-        det = self._jitted("rcnn", self.rcnn.apply)(
+        det = self._jitted("rcnn_lift", self._lift_fn)(
             self.rcnn_params,
             jnp.asarray(canvas)[None],
             jnp.asarray(K, jnp.float32)[None],
             jnp.asarray([[nh, nw]], jnp.int32),
             jnp.asarray([1.0 / scale], jnp.float32),
             depth_t,
-            oracle_boxes=jnp.asarray(boxes)[None],
-            oracle_classes=jnp.asarray(classes)[None],
-            oracle_scores=jnp.asarray(scores)[None],
-            oracle_valid=jnp.asarray(valid)[None],
+            jnp.asarray(boxes, jnp.float32),
+            jnp.asarray(classes, jnp.int32),
+            jnp.asarray(scores, jnp.float32),
+            jnp.asarray(valid, bool),
+            jnp.asarray(box_scale, jnp.float32),
         )
         return jax.tree.map(lambda x: x[0] if x is not None else None, det,
                             is_leaf=lambda x: x is None)
+
+    def lift_3d(
+        self,
+        image: np.ndarray,
+        K: np.ndarray,
+        det2d: dict,
+        depth: np.ndarray | None = None,
+    ) -> Detections:
+        """Cube-branch lifting of given 2D detections (original px coords)."""
+        canvas, hw, scale = self._prep_lift_canvas(image)
+        return self._lift_canvas_det(
+            canvas, hw, scale, K,
+            np.asarray(det2d["boxes"], np.float32),
+            np.asarray(det2d["classes"], np.int32),
+            np.asarray(det2d["scores"], np.float32),
+            np.asarray(det2d["valid"], bool),
+            box_scale=scale, depth=depth,
+        )
 
     def predict(
         self,
@@ -315,9 +376,18 @@ class OVMono3DLift:
         categories: list[str],
         depth: np.ndarray | None = None,
     ) -> Detections:
-        """Full pipeline: prompts -> 2D open-vocab boxes -> 3D cuboids."""
-        det2d = self.detect_2d(image, categories)
-        return self.lift_3d(image, K, det2d, depth)
+        """Full pipeline: prompts -> 2D open-vocab boxes -> 3D cuboids.
+
+        The detect outputs stay on device and feed the lift graph
+        directly (boxes rescaled in-graph by lift_scale/gdino_scale) —
+        the two dispatches pipeline with no intermediate host sync."""
+        dev, gscale = self._detect_2d_device(image, categories)
+        canvas, hw, lscale = self._prep_lift_canvas(image)
+        return self._lift_canvas_det(
+            canvas, hw, lscale, K,
+            dev["boxes"], dev["classes"], dev["scores"], dev["valid"],
+            box_scale=lscale / gscale, depth=depth,
+        )
 
 
 def default_focal_K(h: int, w: int) -> np.ndarray:

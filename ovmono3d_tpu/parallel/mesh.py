@@ -41,7 +41,9 @@ def shard_batch(mesh: Mesh, batch):
     )
 
 
-def init_multihost(coordinator: str | None = None):
+def init_multihost(coordinator: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None):
     """Initialize jax.distributed for multi-host training (the reference's
     detectron2 `launch(num_machines, machine_rank, dist_url)` equivalent,
     SURVEY.md §2.2). No-op when no coordinator is given or when the
@@ -51,7 +53,12 @@ def init_multihost(coordinator: str | None = None):
     and makes jax.distributed.initialize raise — and swallowing that error
     would silently run an N-host job as N independent single-host jobs
     (duplicated eval, no gradient sync). Probe the distributed client's own
-    state instead, and let a too-late call FAIL loudly."""
+    state instead, and let a too-late call FAIL loudly.
+
+    `num_processes`/`process_id` are required for manual (non-cluster)
+    launches — detectron2's launch() passes the equivalent
+    num_machines/machine_rank; in managed clusters (SLURM etc.) JAX
+    auto-detects them and they can stay None."""
     if coordinator is None:
         return
     from jax._src import distributed as _dist
@@ -60,7 +67,11 @@ def init_multihost(coordinator: str | None = None):
         return  # already initialized
     import jax
 
-    jax.distributed.initialize(coordinator_address=coordinator)
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def process_shard(records: list, process_index: int | None = None,

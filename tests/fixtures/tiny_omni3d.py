@@ -1,0 +1,196 @@
+"""Tiny on-disk Omni3D-schema dataset for CLI end-to-end tests.
+
+Generates the exact directory layout the CLIs consume from
+`datasets.data_root` (reference datasets/ tree):
+
+    root/Omni3D/TinyDS_train.json    6 images, Omni3D annotation schema
+    root/Omni3D/TinyDS_test.json     4 images
+    root/TinyDS/images/*.png         real image files (loaded by
+                                     default_image_loader)
+    root/depth/*.npz                 prompt-depth maps (datasets.depth_dir)
+    root/oracle_TinyDS_test.json     GT-derived oracle 2D detections
+                                     (COCO det list, XYWH)
+
+The JSONs exercise every loader filter field (reference
+datasets.py:321-447): bbox2D_trunc / bbox2D_proj fallback / bbox2D_tight,
+truncation and visibility thresholds, valid3D, behind_camera, an
+unknown-category annotation (must be DROPPED, not kept as ignore), and a
+train image whose annotations are all ignored (FILTER_EMPTY_ANNOTATIONS
+drop). Geometry is consistent: bbox2D is the projection of the cuboid
+footprint through K, so oracle-GT evaluation is clean.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+W, H = 64, 48
+F = 60.0
+K = [[F, 0.0, W / 2.0], [0.0, F, H / 2.0], [0.0, 0.0, 1.0]]
+CATEGORIES = [{"id": 1, "name": "chair"}, {"id": 2, "name": "cup"},
+              {"id": 3, "name": "alien"}]  # 'alien' is out-of-vocabulary
+CATEGORY_NAMES = ("chair", "cup")
+
+
+def _project_box(center, dims):
+    """Axis-aligned cuboid -> projected 2D XYXY box (identity pose)."""
+    x, y, z = center
+    w3d, h3d, l3d = dims  # Omni3D order (w, h, l)
+    u = F * x / z + W / 2.0
+    v = F * y / z + H / 2.0
+    bw = F * w3d / z
+    bh = F * h3d / z
+    return [u - bw / 2, v - bh / 2, u + bw / 2, v + bh / 2]
+
+
+def _anno(image_id, cat_id, center, dims, box_field="bbox2D_trunc",
+          **over):
+    box = _project_box(center, dims)
+    a = {
+        "image_id": image_id,
+        "category_id": cat_id,
+        box_field: box,
+        "center_cam": list(center),
+        "dimensions": list(dims),
+        "R_cam": np.eye(3).tolist(),
+        "truncation": 0.1,
+        "visibility": 0.9,
+        "valid3D": True,
+        "behind_camera": False,
+    }
+    a.update(over)
+    return a
+
+
+def _images(split, n, id0):
+    return [
+        {
+            "id": id0 + i,
+            "width": W,
+            "height": H,
+            "K": K,
+            "file_path": f"TinyDS/images/{split}_{i:02d}.png",
+            "dataset_id": 7,
+        }
+        for i in range(n)
+    ]
+
+
+def _train_annotations():
+    rng = np.random.RandomState(3)
+    annos = []
+    # Images 0-4: one or two clean fg objects each (ids 0..5).
+    for i in range(5):
+        z = 2.0 + 0.4 * i
+        annos.append(_anno(i, 1, (0.2, 0.1, z), (0.5, 0.9, 0.5)))
+        if i % 2 == 0:
+            annos.append(_anno(i, 2, (-0.3, -0.1, z * 0.8),
+                               (0.2, 0.25, 0.2)))
+    # Image 0 extras exercising each filter:
+    annos += [
+        # unknown category -> DROPPED at load (datasets.py:409-411)
+        _anno(0, 3, (0.0, 0.0, 2.0), (0.4, 0.4, 0.4)),
+        # truncation >= 0.99 -> ignore region
+        _anno(0, 1, (0.5, 0.2, 2.5), (0.5, 0.8, 0.5), truncation=0.995),
+        # visibility <= 0.01 -> ignore region
+        _anno(0, 2, (-0.4, 0.2, 3.0), (0.2, 0.3, 0.2), visibility=0.0),
+        # valid3D False -> ignore region
+        _anno(0, 1, (0.1, -0.2, 2.2), (0.5, 0.9, 0.5), valid3D=False),
+        # bbox2D_proj-only annotation (no trunc field): proj fallback used
+        _anno(1, 2, (0.3, 0.15, 2.4), (0.2, 0.25, 0.2),
+              box_field="bbox2D_proj"),
+        # bbox2D_tight present alongside trunc (trunc wins by default)
+        {**_anno(2, 1, (-0.2, 0.05, 3.0), (0.5, 0.9, 0.5)),
+         "bbox2D_tight": _project_box((-0.2, 0.05, 3.0),
+                                      (0.45, 0.85, 0.45))},
+        # behind_camera -> ignore region
+        _anno(3, 1, (0.0, 0.0, 2.8), (0.5, 0.9, 0.5), behind_camera=True),
+    ]
+    # Image 5: ONLY ignored annotations -> FILTER_EMPTY_ANNOTATIONS drop.
+    annos.append(_anno(5, 1, (0.0, 0.0, 2.0), (0.5, 0.9, 0.5),
+                       truncation=0.999))
+    del rng
+    return annos
+
+
+def _test_annotations(id0):
+    annos = []
+    for i in range(4):
+        z = 2.2 + 0.5 * i
+        annos.append(_anno(id0 + i, 1, (0.15, 0.05, z), (0.5, 0.9, 0.5)))
+        if i % 2 == 1:
+            annos.append(_anno(id0 + i, 2, (-0.25, -0.05, z * 0.9),
+                               (0.2, 0.25, 0.2)))
+    # one eval-time ignore (visibility between loader 0.01 and test 0.5)
+    annos.append(_anno(id0, 2, (-0.35, 0.15, 2.8), (0.2, 0.3, 0.2),
+                       visibility=0.3))
+    return annos
+
+
+def build_dataset(root: Path) -> dict:
+    """Write the dataset under `root`; returns useful paths/counts."""
+    import cv2
+
+    root = Path(root)
+    (root / "Omni3D").mkdir(parents=True, exist_ok=True)
+    (root / "TinyDS" / "images").mkdir(parents=True, exist_ok=True)
+    (root / "depth").mkdir(parents=True, exist_ok=True)
+
+    train_imgs = _images("train", 6, 0)
+    test_imgs = _images("test", 4, 100)
+    train = {
+        "info": {"source": "TinyDS"},
+        "categories": CATEGORIES,
+        "images": train_imgs,
+        "annotations": _train_annotations(),
+    }
+    test = {
+        "info": {"source": "TinyDS"},
+        "categories": CATEGORIES,
+        "images": test_imgs,
+        "annotations": _test_annotations(100),
+    }
+    (root / "Omni3D" / "TinyDS_train.json").write_text(json.dumps(train))
+    (root / "Omni3D" / "TinyDS_test.json").write_text(json.dumps(test))
+
+    rng = np.random.RandomState(0)
+    for img in train_imgs + test_imgs:
+        arr = rng.randint(0, 256, (H, W, 3), dtype=np.uint8)
+        assert cv2.imwrite(str(root / img["file_path"]), arr)
+    # Depth maps for HALF the images (the others exercise the
+    # missing-file fallback, reference dataset_mapper.py:57-58).
+    for img in (train_imgs + test_imgs)[::2]:
+        stem = Path(img["file_path"]).stem
+        np.savez(root / "depth" / f"{stem}.npz",
+                 depth=np.full((H, W), 2.5, np.float32))
+
+    # GT-derived oracle detections for the test split (COCO det list,
+    # XYWH, CONTIGUOUS category ids, score 1.0) — the reference's
+    # ORACLE2D_FILES GT-oracle protocol must score AP2D = 100.
+    cat_contig = {c["name"]: i for i, c in enumerate(CATEGORIES[:2])}
+    oracle = []
+    for a in _test_annotations(100):
+        if a.get("visibility", 1.0) <= 0.5:
+            continue  # eval-time ignore: not an oracle detection
+        name = {c["id"]: c["name"] for c in CATEGORIES}[a["category_id"]]
+        if name not in cat_contig:
+            continue
+        x1, y1, x2, y2 = a["bbox2D_trunc"]
+        oracle.append({
+            "image_id": a["image_id"],
+            "bbox": [x1, y1, x2 - x1, y2 - y1],
+            "category_id": cat_contig[name],
+            "score": 1.0,
+        })
+    oracle_path = root / "oracle_TinyDS_test.json"
+    oracle_path.write_text(json.dumps(oracle))
+
+    return {
+        "root": root,
+        "oracle": oracle_path,
+        "n_train_images": len(train_imgs),
+        "n_test_images": len(test_imgs),
+        "category_names": CATEGORY_NAMES,
+    }

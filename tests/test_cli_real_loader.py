@@ -1,0 +1,151 @@
+"""CLI end-to-end through the REAL JSON loader (not synthetic_records).
+
+Round-2 VERDICT gap: every CLI e2e test used `synthetic_records`, which
+bypasses the JSON parse -> filter -> mapper seam (reference flow
+datasets.py:321-447 -> dataset_mapper.py:21-77 -> train). This drives
+train_net -> eval_net -> eval_predictions over the committed tiny
+Omni3D-schema dataset (tests/fixtures/tiny_omni3d.py): real image files
+through default_image_loader, real depth .npz through datasets.depth_dir,
+every loader filter field exercised, oracle-GT evaluation asserting
+AP2D = 100 end to end.
+"""
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+import numpy as np
+import pytest
+
+from fixtures.tiny_omni3d import CATEGORY_NAMES, build_dataset
+
+TINY = [
+    "model.backbone.embed_dim=64",
+    "model.backbone.depth=2",
+    "model.backbone.num_heads=2",
+    "model.backbone.pretrain_grid=8",
+    "model.backbone.out_channels=64",
+    "model.backbone.square_pad=112",
+    "model.roi_box.fc_dim=64",
+    "model.roi_box.batch_size_per_image=32",
+    "model.rpn.pre_nms_topk_train=128",
+    "model.rpn.post_nms_topk_train=128",
+    "model.rpn.pre_nms_topk_test=128",
+    "model.rpn.post_nms_topk_test=64",
+    "model.rpn.batch_size_per_image=64",
+    "model.cube.fc_dim=64",
+    "model.num_classes=2",
+    "model.max_detections=16",
+    "input.min_size_train=96",
+    "input.max_size_train=112",
+    "input.min_size_test=96",
+    "input.max_size_test=112",
+    f"datasets.category_names={','.join(CATEGORY_NAMES)}",
+]
+
+
+@pytest.fixture(scope="module")
+def tinyds(tmp_path_factory):
+    return build_dataset(tmp_path_factory.mktemp("tiny_omni3d"))
+
+
+def _data_args(tinyds):
+    return [
+        f"datasets.data_root={tinyds['root']}",
+        f"datasets.depth_dir={tinyds['root'] / 'depth'}",
+    ]
+
+
+def test_real_loader_train_eval_offline_roundtrip(monkeypatch, capsys,
+                                                  tmp_path, tinyds):
+    from tools import eval_net, eval_predictions, train_net
+
+    out_dir = tmp_path / "out"
+    # ---- train through load_omni3d_json + mapper + image/depth files
+    monkeypatch.setattr(sys, "argv", [
+        "train_net.py", "--max-iter", "3", "--batch-size", "8",
+        *TINY, *_data_args(tinyds),
+        "datasets.train=TinyDS_train",
+        "test.eval_period=0",
+        "solver.checkpoint_period=3",
+        f"output_dir={out_dir}",
+    ])
+    train_net.main()
+    assert (out_dir / "model_recent").exists()
+    assert (out_dir / "priors.npz").exists()
+    metrics = [json.loads(l) for l in
+               (out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert metrics, "no metrics flushed"
+    assert np.isfinite(metrics[-1]["total_loss"]), "training diverged"
+    # The real loader kept 5 usable training images (image 5 is dropped by
+    # FILTER_EMPTY_ANNOTATIONS); priors were computed from REAL annos.
+    priors = np.load(out_dir / "priors.npz")
+    assert np.all(priors["dims"][:, 0] > 0)
+
+    # ---- oracle-GT eval through the same loader: AP2D must be 100
+    dump = tmp_path / "preds"
+    monkeypatch.setattr(sys, "argv", [
+        "eval_net.py", "--batch-size", "4",
+        "--checkpoint", str(out_dir / "model_recent"),
+        "--dump-predictions", str(dump),
+        *TINY, *_data_args(tinyds),
+        "datasets.test_base=TinyDS_test",
+        "test.cat_mode=base",
+        "test.oracle2d=true",
+        "datasets.oracle2d_files.target_aware.base.TinyDS_test="
+        f"{tinyds['oracle']}",
+        f"output_dir={tmp_path / 'eval_out'}",
+    ])
+    eval_net.main()
+    out = capsys.readouterr().out
+    assert re.search(r"AP2D\s*\| 100\.00", out), out
+
+    # ---- offline re-evaluation of the dumped predictions
+    dump_file = f"{dump}_TinyDS_test.json"
+    preds = json.load(open(dump_file))
+    assert {p["image_id"] for p in preds} <= {100, 101, 102, 103}
+    assert any(p["instances"] for p in preds)
+    monkeypatch.setattr(sys, "argv", [
+        "eval_predictions.py",
+        "--predictions", dump_file,
+        "--dataset-json", str(tinyds["root"] / "Omni3D" / "TinyDS_test.json"),
+        "--categories", ",".join(CATEGORY_NAMES),
+    ])
+    eval_predictions.main()
+    out = capsys.readouterr().out
+    assert re.search(r"AP2D\s*\| 100\.00", out), out
+
+
+def test_real_loader_filters_applied(tinyds):
+    """The committed fixture exercises every loader filter: verify the
+    parsed records directly (the CLI test above asserts the training/eval
+    behavior; this pins WHY image 5 drops and which annos are ignores)."""
+    from ovmono3d_tpu.data.datasets import (
+        FilterSettings,
+        attach_depth_files,
+        load_omni3d_json,
+    )
+
+    fs = FilterSettings(category_names=CATEGORY_NAMES)
+    cat_map = {n: i for i, n in enumerate(CATEGORY_NAMES)}
+    recs = load_omni3d_json(
+        tinyds["root"] / "Omni3D" / "TinyDS_train.json", fs, cat_map)
+    assert len(recs) == 6
+    by_id = {r["image_id"]: r for r in recs}
+    # Image 0: 2 fg + 3 ignores (trunc/vis/valid3D); alien DROPPED.
+    a0 = by_id[0]["annotations"]
+    assert sum(a["category_id"] >= 0 for a in a0) == 2
+    assert sum(a["category_id"] == -1 for a in a0) == 3
+    assert all(a["category"] != "alien" for a in a0)
+    # Image 1: chair + the proj-fallback cup both survived.
+    assert sum(a["category_id"] >= 0 for a in by_id[1]["annotations"]) == 2
+    # Image 3: behind_camera ignore present.
+    assert any(a["category_id"] == -1 for a in by_id[3]["annotations"])
+    # Image 5: only-ignored annos (the CLI's FILTER_EMPTY_ANNOTATIONS
+    # equivalent drops it from training).
+    assert all(a["category_id"] == -1 for a in by_id[5]["annotations"])
+    # Depth files attach for exactly the even-indexed images.
+    attach_depth_files(recs, tinyds["root"] / "depth")
+    with_depth = {r["image_id"] for r in recs if "depth_file" in r}
+    assert with_depth == {0, 2, 4}
