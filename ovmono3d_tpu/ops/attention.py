@@ -223,6 +223,292 @@ def flash_attention(
     return out[:, :n]
 
 
+def _flash_kernel_single_lse(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                             *, scale: float):
+    """_flash_kernel_single + per-row log2 softmax denominator.
+
+    The backward kernels reconstruct p = exp2(min(s2 + mask, 0) - lse)
+    bit-identically from this lse (= log2 of the clamped-softmax
+    denominator l); emitting it costs one [bq] write."""
+    in_dtype = q_ref.dtype
+    q = (
+        q_ref[0].astype(jnp.float32) * (scale * _LOG2E)
+    ).astype(in_dtype)
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = jnp.minimum(s + mask_ref[0][None, :], 0.0)
+    p = jnp.exp2(s)
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    o = jax.lax.dot_general(
+        p.astype(in_dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0] = jnp.log2(l)[:, 0]
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         mask_ref, dq_ref, *, scale: float):
+    """dq for one (batch*head, q-block) program; whole K/V in VMEM.
+
+    p is reconstructed with the forward's exact clamped-softmax math
+    (min(s2 + mask, 0), exp2, saved log2-denominator), so gradients match
+    differentiating the forward. ds = p * (dp - delta) holds in NATURAL
+    log units (the ln2 of d exp2/ds2 cancels against s2's log2e factor),
+    hence dq = scale * ds @ k with no log2 residue.
+    """
+    in_dtype = q_ref.dtype
+    q2 = (
+        q_ref[0].astype(jnp.float32) * (scale * _LOG2E)
+    ).astype(in_dtype)                                         # [bq, D]
+    s = jax.lax.dot_general(
+        q2, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [bq, n_kv]
+    s = jnp.minimum(s + mask_ref[0][None, :], 0.0)
+    p = jnp.exp2(s - lse_ref[0][:, None])                      # [bq, n_kv]
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [bq, n_kv]
+    ds = p * (dp - delta_ref[0][:, None])
+    dq = jax.lax.dot_general(
+        ds.astype(in_dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = (scale * dq).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          mask_ref, dk_ref, dv_ref, *, scale: float):
+    """dk/dv for one (batch*head, kv-block) program; whole Q/dO in VMEM.
+
+    Padded q rows carry lse=+1e30 (p -> 0) and zero do/delta, so they
+    contribute nothing; padded kv columns only produce dk/dv rows that the
+    caller slices off."""
+    in_dtype = q_ref.dtype
+    q_raw = q_ref[0]                                           # [n_q, D]
+    q2 = (
+        q_raw.astype(jnp.float32) * (scale * _LOG2E)
+    ).astype(in_dtype)
+    s = jax.lax.dot_general(
+        q2, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [n_q, bk]
+    s = jnp.minimum(s + mask_ref[0][None, :], 0.0)
+    p = jnp.exp2(s - lse_ref[0][:, None])                      # [n_q, bk]
+    dv = jax.lax.dot_general(
+        p.astype(in_dtype), do_ref[0], (((0,), (0,)), ((), ())),
+    )                                                          # [bk, D]
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [n_q, bk]
+    ds = p * (dp - delta_ref[0][:, None])
+    dk = jax.lax.dot_general(
+        ds.astype(in_dtype), q_raw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [bk, D]
+    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "clamp_c", "interpret")
+)
+def flash_attention_fwd_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 384,
+    clamp_c: float = 50.0,
+    interpret: bool = False,
+):
+    """Forward flash attention that ALSO returns the per-row log2 softmax
+    denominator (residual for the Pallas backward). Single-KV-block
+    clamped path only (N <= 6144 — every trunk shape); same exactness
+    window as _flash_kernel_single."""
+    b, n, h, d = q.shape
+    scale = 1.0 / (d**0.5)
+    n_kv = -(-n // 128) * 128
+    assert n <= 6144, "fwd_lse is single-KV-block only"
+    n_q = -(-n // block_q) * block_q
+    qp = jnp.pad(q, ((0, 0), (0, n_q - n), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_kv - n), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_kv - n), (0, 0), (0, 0)))
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qb, kb, vb = to_bh(qp), to_bh(kp), to_bh(vp)
+    mask = jnp.where(
+        jnp.arange(n_kv) < n, -clamp_c * _LOG2E, _NEG_INF
+    ).astype(jnp.float32)[None]
+
+    grid = (b * h, n_q // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_single_lse, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, d), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, d), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv), lambda bh, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, i: (bh, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n_q), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_q * n_kv * d,
+            bytes_accessed=(2 * b * h * n_q * d + 2 * b * h * n_kv * d) * 2,
+            transcendentals=b * h * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(qb, kb, vb, mask)
+    o = out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)[:, :n]
+    return o, lse  # lse stays [b*h, n_q] (backward-internal layout)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "clamp_c", "interpret")
+)
+def flash_attention_bwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    lse: jax.Array,     # [b*h, n_q] from flash_attention_fwd_lse
+    do: jax.Array,
+    block_q: int = 256,
+    block_k: int = 256,
+    clamp_c: float = 50.0,
+    interpret: bool = False,
+):
+    """Pallas flash-attention backward (dq, dk, dv), FlashAttention-2
+    split: a dq kernel over (bh, q-blocks) with whole K/V in VMEM, and a
+    dk/dv kernel over (bh, kv-blocks) with whole Q/dO in VMEM. Avoids the
+    XLA fallback's materialized [B, H, N, N] probability/gradient tensors
+    (6.8 GB per trunk block at b8/N4224 — the dominant cost of the
+    unfrozen-trunk train step)."""
+    b, n, h, d = q.shape
+    scale = 1.0 / (d**0.5)
+    n_q_lse = lse.shape[1]
+    n_q = -(-n // block_q) * block_q
+    n_q = max(n_q, n_q_lse)
+    n_kv = -(-n // block_k) * block_k
+
+    def to_bh(x, n_pad):
+        x = jnp.pad(
+            x, ((0, 0), (0, n_pad - x.shape[1]), (0, 0), (0, 0))
+        )
+        return x.transpose(0, 2, 1, 3).reshape(b * h, n_pad, d)
+
+    qb = to_bh(q, n_q)
+    kb = to_bh(k, n_kv)
+    vb = to_bh(v, n_kv)
+    dob = to_bh(do, n_q)
+    ob = to_bh(o, n_q)
+    # delta = rowsum(do * o): cheap elementwise outside the kernels.
+    delta = jnp.sum(
+        dob.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1
+    )                                                       # [bh, n_q]
+    # lse padded with +inf -> p = 0 for padded q rows.
+    lse_p = jnp.pad(
+        lse, ((0, 0), (0, n_q - n_q_lse)), constant_values=1e30
+    )
+    lse_p = jnp.where(
+        jnp.arange(n_q)[None] < n, lse_p, 1e30
+    )
+    mask = jnp.where(
+        jnp.arange(n_kv) < n, -clamp_c * _LOG2E, _NEG_INF
+    ).astype(jnp.float32)[None]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(b * h, n_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, d), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, d), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, i: (bh, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, i: (bh, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv), lambda bh, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_q, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * n_q * n_kv * d,
+            bytes_accessed=(3 * b * h * n_q * d + 2 * b * h * n_kv * d) * 2,
+            transcendentals=b * h * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(qb, kb, vb, dob, lse_p, delta, mask)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(b * h, n_kv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, n_q, d), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_q, d), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_q), lambda bh, j: (bh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_q), lambda bh, j: (bh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda bh, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_kv, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n_kv, d), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * n_q * n_kv * d,
+            bytes_accessed=(3 * b * h * n_q * d + 4 * b * h * n_kv * d) * 2,
+            transcendentals=b * h * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(qb, kb, vb, dob, lse_p, delta, mask)
+
+    def from_bh(x, n_pad):
+        return x.reshape(b, h, n_pad, d).transpose(0, 2, 1, 3)[:, :n]
+
+    return from_bh(dq, n_q), from_bh(dk, n_kv), from_bh(dv, n_kv)
+
+
 def _env_clamp() -> float | None:
     """OVMONO3D_ATTN_CLAMP: '' / unset -> 50 (default clamped single-pass
     kernel), 'none' -> online-softmax kernel (numerically unconditional),
@@ -248,12 +534,24 @@ def _attention_autoselect(q, k, v):
 
 
 def _attn_fwd(q, k, v):
-    return _attention_autoselect(q, k, v), (q, k, v)
+    clamp = _env_clamp()
+    if (jax.default_backend() == "tpu" and clamp is not None
+            and q.shape[1] <= 6144):
+        # Flash forward WITH the log2-denominator residual: the Pallas
+        # backward reconstructs p blockwise instead of materializing the
+        # [B, H, N, N] probability/gradient tensors the XLA fallback
+        # needs (6.8 GB per trunk block at b8/N4224).
+        o, lse = flash_attention_fwd_lse(q, k, v, clamp_c=clamp)
+        return o, (q, k, v, o, lse)
+    return _attention_autoselect(q, k, v), (q, k, v, None, None)
 
 
 def _attn_bwd(res, g):
+    q, k, v, o, lse = res
+    if lse is not None:
+        return flash_attention_bwd(q, k, v, o, lse, g,
+                                   clamp_c=_env_clamp())
     # Differentiate the XLA reference path (identical math).
-    q, k, v = res
     _, vjp = jax.vjp(attention_xla, q, k, v)
     return vjp(g)
 
