@@ -54,6 +54,27 @@ def main():
     )
     total = float(np.sum(rows))
 
+    # A jitted computation over a GLOBAL mesh spanning both processes:
+    # batch mean of a data-sharded array (the DP gradient-psum pattern of
+    # parallel/train_step.py) — XLA inserts the cross-process collective.
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n_global = jax.device_count()
+    local = np.arange(
+        pid * 2, pid * 2 + 2, dtype=np.float32
+    )[:, None] * np.ones((1, 8), np.float32)  # rows pid*2, pid*2+1
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local, (n_global, 8)
+    )
+    mean = jax.jit(
+        lambda x: jnp.mean(x),
+        in_shardings=NamedSharding(mesh, P("data")),
+        out_shardings=NamedSharding(mesh, P()),
+    )(garr)
+    global_mean = float(jax.device_get(mean))  # rows 0..3 -> mean 1.5
+
     Path(out_path).write_text(json.dumps({
         "process_id": pid,
         "n_local_devices": jax.local_device_count(),
@@ -61,6 +82,7 @@ def main():
         "shard_ids": [r["image_id"] for r in shard],
         "gathered": gathered,
         "allgather_sum": total,
+        "global_mean": global_mean,
     }))
 
 

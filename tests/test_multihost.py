@@ -85,6 +85,9 @@ def test_two_process_shard_and_gather(tmp_path):
         assert res["shard_ids"] == list(range(pid, 7, 2))
         # allgather crossed the boundary: sum of (1,1) and (2,2).
         assert res["allgather_sum"] == 6.0
+        # jitted global-mesh reduction (the DP gradient-psum pattern):
+        # rows 0..3 over 4 global devices -> mean 1.5 on every host.
+        assert res["global_mean"] == 1.5
 
     # gather_objects: both hosts see the SAME concatenated list — process
     # 0's shard (+0) then process 1's (+100), like the reference's
