@@ -191,6 +191,14 @@ class LayerNormBf16Out(nn.Module):
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,),
                           jnp.float32)
+        # NOTE: a Pallas fused LN (ops/layernorm.py) was built and measured
+        # against this path: STANDALONE both run at HBM bandwidth
+        # (0.016-0.018 ms at [8,4097,768] bf16), and wiring the kernel in
+        # made the b8 train step SLOWER (222.9 vs 217.1 ms) by breaking
+        # XLA's surrounding fusions — the 2.31 ms "convert_reduce_fusion"
+        # entries in the step profile are stall/fusion attribution, not LN
+        # cost. Keep the inline math; the kernel stays available for
+        # shapes XLA mishandles.
         xf = x.astype(jnp.float32)
         mean = xf.mean(-1, keepdims=True)
         var = jnp.square(xf - mean).mean(-1, keepdims=True)

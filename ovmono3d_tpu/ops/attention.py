@@ -246,7 +246,11 @@ def _flash_kernel_single_lse(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (o / l).astype(o_ref.dtype)
-    lse_ref[0] = jnp.log2(l)[:, 0]
+    # lse is [bh, 1, n_q] (stats ride a size-1 sublane dim: Mosaic
+    # requires the last two block dims divisible by (8, 128) or equal to
+    # the array dims — a [1, block_q] block of a [bh, n_q] array fails
+    # the sublane rule).
+    lse_ref[0, 0] = jnp.log2(l)[:, 0]
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -268,12 +272,12 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32,
     )                                                          # [bq, n_kv]
     s = jnp.minimum(s + mask_ref[0][None, :], 0.0)
-    p = jnp.exp2(s - lse_ref[0][:, None])                      # [bq, n_kv]
+    p = jnp.exp2(s - lse_ref[0, 0][:, None])                   # [bq, n_kv]
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                          # [bq, n_kv]
-    ds = p * (dp - delta_ref[0][:, None])
+    ds = p * (dp - delta_ref[0, 0][:, None])
     dq = jax.lax.dot_general(
         ds.astype(in_dtype), k_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -298,16 +302,17 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         preferred_element_type=jnp.float32,
     )                                                          # [n_q, bk]
     s = jnp.minimum(s + mask_ref[0][None, :], 0.0)
-    p = jnp.exp2(s - lse_ref[0][:, None])                      # [n_q, bk]
+    p = jnp.exp2(s - lse_ref[0, 0][:, None])                   # [n_q, bk]
     dv = jax.lax.dot_general(
         p.astype(in_dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )                                                          # [bk, D]
     dv_ref[0] = dv.astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                          # [n_q, bk]
-    ds = p * (dp - delta_ref[0][:, None])
+    ds = p * (dp - delta_ref[0, 0][:, None])
     dk = jax.lax.dot_general(
         ds.astype(in_dtype), q_raw, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -364,12 +369,12 @@ def flash_attention_fwd_lse(
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, i: (bh, i),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n_q, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, n_q), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 1, n_q), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n_q * n_kv * d,
@@ -379,7 +384,7 @@ def flash_attention_fwd_lse(
         interpret=interpret,
     )(qb, kb, vb, mask)
     o = out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)[:, :n]
-    return o, lse  # lse stays [b*h, n_q] (backward-internal layout)
+    return o, lse  # lse stays [b*h, 1, n_q] (backward-internal layout)
 
 
 @functools.partial(
@@ -390,7 +395,7 @@ def flash_attention_bwd(
     k: jax.Array,
     v: jax.Array,
     o: jax.Array,
-    lse: jax.Array,     # [b*h, n_q] from flash_attention_fwd_lse
+    lse: jax.Array,     # [b*h, 1, n_q] from flash_attention_fwd_lse
     do: jax.Array,
     block_q: int = 256,
     block_k: int = 256,
@@ -405,7 +410,7 @@ def flash_attention_bwd(
     unfrozen-trunk train step)."""
     b, n, h, d = q.shape
     scale = 1.0 / (d**0.5)
-    n_q_lse = lse.shape[1]
+    n_q_lse = lse.shape[2]
     n_q = -(-n // block_q) * block_q
     n_q = max(n_q, n_q_lse)
     n_kv = -(-n // block_k) * block_k
@@ -422,15 +427,17 @@ def flash_attention_bwd(
     dob = to_bh(do, n_q)
     ob = to_bh(o, n_q)
     # delta = rowsum(do * o): cheap elementwise outside the kernels.
+    # Stat arrays ride a size-1 sublane dim [bh, 1, n] (Mosaic block rule
+    # — see _flash_kernel_single_lse).
     delta = jnp.sum(
         dob.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1
-    )                                                       # [bh, n_q]
+    )[:, None]                                              # [bh, 1, n_q]
     # lse padded with +inf -> p = 0 for padded q rows.
     lse_p = jnp.pad(
-        lse, ((0, 0), (0, n_q - n_q_lse)), constant_values=1e30
+        lse, ((0, 0), (0, 0), (0, n_q - n_q_lse)), constant_values=1e30
     )
     lse_p = jnp.where(
-        jnp.arange(n_q)[None] < n, lse_p, 1e30
+        jnp.arange(n_q)[None, None] < n, lse_p, 1e30
     )
     mask = jnp.where(
         jnp.arange(n_kv) < n, -clamp_c * _LOG2E, _NEG_INF
@@ -448,9 +455,9 @@ def flash_attention_bwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, i: (bh, i),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, i: (bh, i),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_kv), lambda bh, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -478,9 +485,9 @@ def flash_attention_bwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_q, d), lambda bh, j: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_q), lambda bh, j: (bh, 0),
+            pl.BlockSpec((1, 1, n_q), lambda bh, j: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_q), lambda bh, j: (bh, 0),
+            pl.BlockSpec((1, 1, n_q), lambda bh, j: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k), lambda bh, j: (0, j),
                          memory_space=pltpu.VMEM),

@@ -120,7 +120,7 @@ def test_flash_fwd_lse_matches_flash():
                                atol=1e-5, rtol=1e-5)
     # lse = log2 of the clamped softmax denominator: rebuilding the
     # normalized probs from it must reproduce the XLA softmax output.
-    assert lse.shape == (B * H, 192)  # padded to the block_q grid
+    assert lse.shape == (B * H, 1, 192)  # padded to the block_q grid
 
 
 def test_flash_backward_matches_xla_grads_f32():
