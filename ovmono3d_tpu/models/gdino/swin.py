@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ovmono3d_tpu.models.vit import PatchEmbed
 from ovmono3d_tpu.ops.attention import window_attention
 
 Dtype = Any
@@ -249,12 +250,13 @@ class SwinTransformer(nn.Module):
         rel_biases: optional {f'stage{si}_block{bi}': [H, w*w, w*w]} from
         expand_rel_pos_biases (frozen-trunk inference fast path)."""
         B, H, W, _ = images.shape
-        x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
-                    dtype=self.dtype, name="patch_embed")(
-            images.astype(self.dtype)
-        )
+        # Space-to-depth + matmul patch embed (models/vit.py PatchEmbed):
+        # same params as the stride-4 nn.Conv it replaces (kernel HWIO
+        # [4, 4, 3, C] + bias, converters unchanged), but avoids XLA's
+        # poor lowering of large-stride convs on TPU.
         hw = (H // 4, W // 4)
-        x = x.reshape(B, hw[0] * hw[1], self.embed_dim)
+        x = PatchEmbed(4, self.embed_dim, self.dtype,
+                       name="patch_embed")(images)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x)
 
         outs = {}

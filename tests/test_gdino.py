@@ -230,6 +230,28 @@ def test_swin_hoisted_bias_bit_identical():
                                       np.asarray(hoisted[k]))
 
 
+def test_swin_patch_embed_matches_conv():
+    """The space-to-depth patch embed == the stride-4 nn.Conv it replaced,
+    on the SAME params (kernel HWIO [4, 4, 3, C] + bias — converter layout
+    unchanged). f32 compute so the comparison is exact up to accumulation
+    order; bf16 end-to-end numerics stay covered by the HF crossval tests."""
+    import flax.linen as nn
+
+    from ovmono3d_tpu.models.vit import PatchEmbed
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+    pe = PatchEmbed(4, 24, dtype=jnp.float32)
+    params = pe.init(jax.random.PRNGKey(1), img)
+    conv = nn.Conv(24, (4, 4), strides=(4, 4), dtype=jnp.float32)
+    ref = conv.apply(params, img)   # identical param tree {kernel, bias}
+    got = pe.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref).reshape(2, 16, 24), rtol=1e-5,
+        atol=1e-5,
+    )
+
+
 def test_bert_mask_isolation():
     model = BertEncoder(vocab_size=32, hidden=16, layers=1, heads=2,
                         intermediate=32, max_position=16)

@@ -30,11 +30,21 @@ def main():
     ap.add_argument("--hoist-bias", action="store_true",
                     help="precompute the Swin rel-pos biases outside the "
                     "forward (expand_rel_pos_biases; bit-identical)")
+    ap.add_argument("--size", type=int, default=800,
+                    help="square input side (896 = the e2e lift canvas)")
+    ap.add_argument("--mm-max-size", type=int, default=None,
+                    help="override deformable._MATMUL_MAX_SIZE_BF16 (A/B "
+                    "the one-hot-matmul/gather level dispatch, e.g. the "
+                    "56^2 level that appears at 896^2)")
     args = ap.parse_args()
 
     from ovmono3d_tpu.models.gdino.model import GroundingDINO
 
-    S = 800
+    if args.mm_max_size is not None:
+        from ovmono3d_tpu.models.gdino import deformable
+        deformable._MATMUL_MAX_SIZE_BF16 = args.mm_max_size
+
+    S = args.size
     B = args.batch_size
     model = GroundingDINO()
     img = jnp.asarray(
