@@ -87,8 +87,16 @@ def deformable_attention_core(
 #   the single-pass bf16 matmul also flips the 50^2 level
 #   (gather 11.6 -> 8.0 ms; 25^2 -> 4.7, 13^2 -> 3.5). The 100^2 level
 #   stays gather (18.3 ms vs 30.6 matmul: row-traffic-bound).
+# The bf16 bound sits at the measured cost crossover, not at the biggest
+# level seen in one config: at 896^2 (the e2e lift canvas, where the /16
+# level is 56^2 = 3136) the whole GDINO forward runs 135.1 ms with 56^2 on
+# the gather path vs 106.9 ms on the matmul path (-21%, bench_gdino.py
+# --size 896 --mm-max-size A/B, round 3). Extrapolating the per-position
+# scaling of both paths from the 2500/10000 measurements puts the
+# crossover near ~66^2; 4100 keeps every level up to 64^2 on the matmul
+# side with margin below the crossover.
 _MATMUL_MAX_SIZE = 1024
-_MATMUL_MAX_SIZE_BF16 = 2500
+_MATMUL_MAX_SIZE_BF16 = 4100
 
 
 def _bilinear_matmul(v: jax.Array, x: jax.Array, y: jax.Array,
