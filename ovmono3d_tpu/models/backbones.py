@@ -112,6 +112,7 @@ class ViTSFPBackbone(nn.Module):
         self.vit = VisionTransformer(
             use_depth_fusion=fuse,
             remat=self.cfg.remat,
+            remat_policy=self.cfg.remat_policy,
             name="vit",
             **preset,
         )

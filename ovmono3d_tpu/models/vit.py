@@ -390,6 +390,8 @@ class VisionTransformer(nn.Module):
                                    # backbone skips it like the reference's
                                    # DINOBackbone, Depth-Pro consumes it)
     remat: bool = False            # rematerialize blocks in backward
+    remat_policy: str = "full"     # full | dots (save dot outputs, recompute
+                                   # only elementwise — less recompute, more HBM)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -468,10 +470,19 @@ class VisionTransformer(nn.Module):
                 # unfrozen-trunk training fits larger batches. Skipped for
                 # the rel-pos variant (its static (h, w) arg would be
                 # traced by the lifted transform).
-                block_cls = (
-                    nn.remat(Block)
-                    if self.remat and not self.use_rel_pos else Block
-                )
+                if self.remat and not self.use_rel_pos:
+                    # "dots" keeps every MXU output (qkv/proj/fc1/fc2) in
+                    # HBM and recomputes only the cheap elementwise tail —
+                    # ~50 MB/block @b8 896^2 per dot vs the full policy's
+                    # forward-again recompute.
+                    policy = (
+                        jax.checkpoint_policies
+                        .dots_with_no_batch_dims_saveable
+                        if self.remat_policy == "dots" else None
+                    )
+                    block_cls = nn.remat(Block, policy=policy)
+                else:
+                    block_cls = Block
                 x = block_cls(
                     self.embed_dim,
                     self.num_heads,

@@ -231,13 +231,21 @@ def test_remat_matches_plain():
             return jnp.sum(out["p3"].astype(jnp.float32) ** 2)
         return jax.jit(jax.value_and_grad(f))(params)
 
-    (v, g), (v_r, g_r) = loss(model), loss(model_r)
+    cfg_d = dataclasses.replace(cfg, remat=True, remat_policy="dots")
+    model_d = build_backbone(cfg_d)
+
+    (v, g), (v_r, g_r), (v_d, g_d) = (
+        loss(model), loss(model_r), loss(model_d))
     np.testing.assert_allclose(float(v), float(v_r), rtol=1e-6)
+    np.testing.assert_allclose(float(v), float(v_d), rtol=1e-6)
     # The trunk computes in bf16; the recompute schedule changes fusion /
     # reassociation, so gradients agree only to bf16 noise (~1%), not
     # bitwise. Guard against real divergence (sign/scale), not rounding.
-    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+    for a, b, c in zip(jax.tree.leaves(g), jax.tree.leaves(g_r),
+                       jax.tree.leaves(g_d)):
         a = np.asarray(a, np.float64)
-        b = np.asarray(b, np.float64)
         scale = np.abs(a).max() + 1e-12
-        np.testing.assert_allclose(a / scale, b / scale, atol=0.02)
+        np.testing.assert_allclose(
+            a / scale, np.asarray(b, np.float64) / scale, atol=0.02)
+        np.testing.assert_allclose(
+            a / scale, np.asarray(c, np.float64) / scale, atol=0.02)

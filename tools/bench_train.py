@@ -39,6 +39,10 @@ def main():
                     help="train the trunk too (backbone.freeze=False + "
                          "backbone.remat: the full-backward path OOMs "
                          "without rematerialization)")
+    ap.add_argument("--remat-policy", default="full",
+                    choices=("full", "dots"),
+                    help="with --unfreeze: checkpoint policy A/B — 'dots' "
+                         "saves MXU outputs, recomputes only elementwise")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_config
@@ -62,7 +66,8 @@ def main():
         import dataclasses
 
         bb = dataclasses.replace(
-            cfg.model.backbone, freeze=False, remat=True)
+            cfg.model.backbone, freeze=False, remat=True,
+            remat_policy=args.remat_policy)
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, backbone=bb))
     B = args.batch_size
