@@ -31,10 +31,12 @@ class BackboneConfig:
     freeze: bool = True             # reference freezes the trunk (train_net.py:431-434)
     remat: bool = False             # jax.checkpoint the trunk blocks (HBM<->FLOPs
                                     # trade for unfrozen-trunk training)
-    remat_policy: str = "full"      # full | dots — "dots" saves MXU (dot) outputs
-                                    # and recomputes only elementwise ops in the
-                                    # backward (jax.checkpoint_policies
-                                    # .dots_with_no_batch_dims_saveable)
+    remat_policy: str = "full"      # full | dots | dots_attn — "dots" saves MXU
+                                    # (dot) outputs and recomputes only elementwise
+                                    # ops in the backward (jax.checkpoint_policies
+                                    # .dots_with_no_batch_dims_saveable);
+                                    # "dots_attn" additionally saves the flash-
+                                    # attention out/lse residuals (no fwd re-run)
     out_channels: int = 256         # FPN/SFP channels
     scale_factors: tuple[float, ...] = (2.0, 1.0, 0.5)
     square_pad: int = 896           # fixed input side (MODEL.FPN.SQUARE_PAD)

@@ -474,12 +474,22 @@ class VisionTransformer(nn.Module):
                     # "dots" keeps every MXU output (qkv/proj/fc1/fc2) in
                     # HBM and recomputes only the cheap elementwise tail —
                     # ~50 MB/block @b8 896^2 per dot vs the full policy's
-                    # forward-again recompute.
-                    policy = (
-                        jax.checkpoint_policies
-                        .dots_with_no_batch_dims_saveable
-                        if self.remat_policy == "dots" else None
-                    )
+                    # forward-again recompute. "dots_attn" additionally
+                    # saves the flash-attention out/lse residuals
+                    # (checkpoint_name tags in ops/attention.py), removing
+                    # the per-block forward-kernel re-run from the backward
+                    # (~63 MB/block more HBM).
+                    cp = jax.checkpoint_policies
+                    if self.remat_policy == "dots":
+                        policy = cp.dots_with_no_batch_dims_saveable
+                    elif self.remat_policy == "dots_attn":
+                        policy = cp.save_from_both_policies(
+                            cp.dots_with_no_batch_dims_saveable,
+                            cp.save_only_these_names(
+                                "flash_attn_out", "flash_attn_lse"),
+                        )
+                    else:
+                        policy = None
                     block_cls = nn.remat(Block, policy=policy)
                 else:
                     block_cls = Block

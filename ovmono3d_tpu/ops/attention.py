@@ -24,6 +24,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -549,6 +550,12 @@ def _attn_fwd(q, k, v):
         # [B, H, N, N] probability/gradient tensors the XLA fallback
         # needs (6.8 GB per trunk block at b8/N4224).
         o, lse = flash_attention_fwd_lse(q, k, v, clamp_c=clamp)
+        # Under jax.checkpoint with a save_only_these_names-style policy
+        # (backbone.remat_policy="dots_attn"), these tags let the trunk
+        # backward reuse the flash forward's out/lse residuals instead of
+        # re-running the forward kernel per block (~5.5 ms/block @b8 896^2).
+        o = checkpoint_name(o, "flash_attn_out")
+        lse = checkpoint_name(lse, "flash_attn_lse")
         return o, (q, k, v, o, lse)
     return _attention_autoselect(q, k, v), (q, k, v, None, None)
 

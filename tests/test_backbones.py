@@ -231,7 +231,9 @@ def test_remat_matches_plain():
             return jnp.sum(out["p3"].astype(jnp.float32) ** 2)
         return jax.jit(jax.value_and_grad(f))(params)
 
-    cfg_d = dataclasses.replace(cfg, remat=True, remat_policy="dots")
+    # "dots_attn" degenerates to "dots" on CPU (the flash checkpoint_name
+    # tags only exist on the TPU path) but must still construct and match.
+    cfg_d = dataclasses.replace(cfg, remat=True, remat_policy="dots_attn")
     model_d = build_backbone(cfg_d)
 
     (v, g), (v_r, g_r), (v_d, g_d) = (

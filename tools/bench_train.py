@@ -40,7 +40,7 @@ def main():
                          "backbone.remat: the full-backward path OOMs "
                          "without rematerialization)")
     ap.add_argument("--remat-policy", default="full",
-                    choices=("full", "dots"),
+                    choices=("full", "dots", "dots_attn"),
                     help="with --unfreeze: checkpoint policy A/B — 'dots' "
                          "saves MXU outputs, recomputes only elementwise")
     args = ap.parse_args()

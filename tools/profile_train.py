@@ -4,7 +4,11 @@
 Same protocol/aggregation as tools/profile_oracle.py, driving the full
 RCNN3D train step (frozen trunk, all losses, optax update, in-graph
 stabilization) at the flagship training shape (896^2, b8) the way
-tools/bench_train.py does. Usage: python tools/profile_train.py [logdir].
+tools/bench_train.py does.
+
+Usage: python tools/profile_train.py [logdir] [--unfreeze]
+[--remat-policy full|dots] — --unfreeze traces the unfrozen-trunk path
+(backbone.freeze=False + remat), the bench_train --unfreeze configuration.
 """
 from __future__ import annotations
 
@@ -21,7 +25,16 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/ovmono3d_jax_cache")
 
 
 def main():
-    logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/train_trace"
+    argv = [a for a in sys.argv[1:]]
+    unfreeze = "--unfreeze" in argv
+    if unfreeze:
+        argv.remove("--unfreeze")
+    remat_policy = "full"
+    if "--remat-policy" in argv:
+        i = argv.index("--remat-policy")
+        remat_policy = argv[i + 1]
+        del argv[i:i + 2]
+    logdir = argv[0] if argv else "/tmp/train_trace"
     from __graft_entry__ import _flagship_config
     from ovmono3d_tpu.data.build import build_train_iterator
     from ovmono3d_tpu.models.rcnn3d import build_model
@@ -40,6 +53,14 @@ def main():
     from tools.train_net import synthetic_records
 
     cfg = _flagship_config(square_pad=896)
+    if unfreeze:
+        import dataclasses
+
+        bb = dataclasses.replace(
+            cfg.model.backbone, freeze=False, remat=True,
+            remat_policy=remat_policy)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backbone=bb))
     B = 8
     model = build_model(cfg.model)
     records = synthetic_records(B * 2, cfg.model.num_classes)
