@@ -321,6 +321,63 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                            mask_ref, dq_ref, dk_ref, dv_ref, *,
+                            scale: float):
+    """dq + dk + dv for one (batch*head, kv-block) program.
+
+    Fuses the dq/dkv pair: the s = qk^T and dp = do v^T contractions are
+    computed ONCE per tile instead of once per kernel (5 matmuls total vs
+    the split pair's 7 — measured 21.6 ms/layer -> see bench_flash_bwd
+    --fused). dq accumulates across kv-block grid steps into a revisited
+    f32 output block (standard Mosaic accumulate pattern: the block index
+    is constant in j, so the buffer stays in VMEM and is written back once
+    at the last step); the caller casts to the input dtype.
+
+    Padding: padded q rows carry lse=+1e30 (p -> 0) and zero do/delta, so
+    they contribute nothing to dk/dv and their dq rows are sliced off by
+    the caller; padded kv columns are masked to -inf (p = 0, ds = 0) so
+    they add nothing to dq and only produce dk/dv rows the caller drops.
+    """
+    j = pl.program_id(1)
+    in_dtype = q_ref.dtype
+    q_raw = q_ref[0]                                           # [n_q, D]
+    q2 = (
+        q_raw.astype(jnp.float32) * (scale * _LOG2E)
+    ).astype(in_dtype)
+    s = jax.lax.dot_general(
+        q2, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [n_q, bk]
+    s = jnp.minimum(s + mask_ref[0][None, :], 0.0)
+    p = jnp.exp2(s - lse_ref[0, 0][:, None])                   # [n_q, bk]
+    dv = jax.lax.dot_general(
+        p.astype(in_dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [bk, D]
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [n_q, bk]
+    ds = (p * (dp - delta_ref[0, 0][:, None])).astype(in_dtype)
+    dk = jax.lax.dot_general(
+        ds, q_raw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [bk, D]
+    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
+    dq_part = jax.lax.dot_general(
+        ds, k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # [n_q, D]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    dq_ref[0] += scale * dq_part
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "clamp_c", "interpret")
 )
@@ -389,7 +446,8 @@ def flash_attention_fwd_lse(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "clamp_c", "interpret")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "clamp_c", "fused", "interpret"),
 )
 def flash_attention_bwd(
     q: jax.Array,
@@ -401,14 +459,20 @@ def flash_attention_bwd(
     block_q: int = 256,
     block_k: int = 256,
     clamp_c: float = 50.0,
+    fused: bool = True,
     interpret: bool = False,
 ):
-    """Pallas flash-attention backward (dq, dk, dv), FlashAttention-2
-    split: a dq kernel over (bh, q-blocks) with whole K/V in VMEM, and a
-    dk/dv kernel over (bh, kv-blocks) with whole Q/dO in VMEM. Avoids the
-    XLA fallback's materialized [B, H, N, N] probability/gradient tensors
+    """Pallas flash-attention backward (dq, dk, dv). Avoids the XLA
+    fallback's materialized [B, H, N, N] probability/gradient tensors
     (6.8 GB per trunk block at b8/N4224 — the dominant cost of the
-    unfrozen-trunk train step)."""
+    unfrozen-trunk train step).
+
+    fused=True (default): ONE kernel over (bh, kv-blocks) computing
+    dk/dv and accumulating dq into a revisited f32 block — the shared
+    s/dp contractions are computed once (5 matmuls; measured 21.6 ->
+    14.8 ms/layer at b8 N4097, tools/bench_flash_bwd.py). fused=False:
+    the FlashAttention-2 split pair (a dq kernel over q-blocks + a dk/dv
+    kernel over kv-blocks; 7 matmuls)."""
     b, n, h, d = q.shape
     scale = 1.0 / (d**0.5)
     n_q_lse = lse.shape[2]
@@ -443,6 +507,57 @@ def flash_attention_bwd(
     mask = jnp.where(
         jnp.arange(n_kv) < n, -clamp_c * _LOG2E, _NEG_INF
     ).astype(jnp.float32)[None]
+
+    def from_bh(x, n_pad):
+        return x.reshape(b, h, n_pad, d).transpose(0, 2, 1, 3)[:, :n]
+
+    if fused:
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_flash_bwd_fused_kernel, scale=scale),
+            grid=(b * h, n_kv // block_k),
+            in_specs=[
+                pl.BlockSpec((1, n_q, d), lambda bh, j: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda bh, j: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda bh, j: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_q, d), lambda bh, j: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_q), lambda bh, j: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_q), lambda bh, j: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k), lambda bh, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, n_q, d), lambda bh, j: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda bh, j: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda bh, j: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b * h, n_q, d), jnp.float32),
+                jax.ShapeDtypeStruct((b * h, n_kv, d), k.dtype),
+                jax.ShapeDtypeStruct((b * h, n_kv, d), v.dtype),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=10 * b * h * n_q * n_kv * d,
+                bytes_accessed=(
+                    3 * b * h * n_q * d + 4 * b * h * n_kv * d
+                ) * 2 + 4 * b * h * n_q * d,
+                transcendentals=b * h * n_q * n_kv,
+            ),
+            interpret=interpret,
+        )(qb, kb, vb, dob, lse_p, delta, mask)
+        return (
+            from_bh(dq, n_q).astype(q.dtype),
+            from_bh(dk, n_kv),
+            from_bh(dv, n_kv),
+        )
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale),
@@ -510,9 +625,6 @@ def flash_attention_bwd(
         ),
         interpret=interpret,
     )(qb, kb, vb, dob, lse_p, delta, mask)
-
-    def from_bh(x, n_pad):
-        return x.reshape(b, h, n_pad, d).transpose(0, 2, 1, 3)[:, :n]
 
     return from_bh(dq, n_q), from_bh(dk, n_kv), from_bh(dv, n_kv)
 

@@ -3,6 +3,7 @@ the XLA reference path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ovmono3d_tpu.ops.attention import attention_xla, flash_attention
 
@@ -123,9 +124,11 @@ def test_flash_fwd_lse_matches_flash():
     assert lse.shape == (B * H, 1, 192)  # padded to the block_q grid
 
 
-def test_flash_backward_matches_xla_grads_f32():
+@pytest.mark.parametrize("fused", [False, True])
+def test_flash_backward_matches_xla_grads_f32(fused):
     """Pallas dq/dk/dv vs differentiating the XLA reference attention —
-    f32, interpret mode, unaligned N (exercises q/kv padding rows)."""
+    f32, interpret mode, unaligned N (exercises q/kv padding rows).
+    Covers both the fused (dq-accumulating) kernel and the split pair."""
     from ovmono3d_tpu.ops.attention import (
         flash_attention_bwd,
         flash_attention_fwd_lse,
@@ -142,7 +145,8 @@ def test_flash_backward_matches_xla_grads_f32():
 
     o, lse = flash_attention_fwd_lse(q, k, v, block_q=64, interpret=True)
     got_dq, got_dk, got_dv = flash_attention_bwd(
-        q, k, v, o, lse, do, block_q=64, block_k=64, interpret=True)
+        q, k, v, o, lse, do, block_q=64, block_k=64, fused=fused,
+        interpret=True)
     np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv),
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_dq), np.asarray(want_dq),
@@ -151,7 +155,8 @@ def test_flash_backward_matches_xla_grads_f32():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_flash_backward_matches_xla_grads_bf16():
+@pytest.mark.parametrize("fused", [False, True])
+def test_flash_backward_matches_xla_grads_bf16(fused):
     """bf16 inputs (the training dtype): block sizes that split both axes."""
     from ovmono3d_tpu.ops.attention import (
         flash_attention_bwd,
@@ -169,7 +174,7 @@ def test_flash_backward_matches_xla_grads_bf16():
 
     o, lse = flash_attention_fwd_lse(q, k, v, block_q=128, interpret=True)
     got = flash_attention_bwd(q, k, v, o, lse, do, block_q=128,
-                              block_k=128, interpret=True)
+                              block_k=128, fused=fused, interpret=True)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g).astype(np.float32), w,
                                    atol=5e-2, rtol=5e-2)

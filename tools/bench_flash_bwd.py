@@ -68,10 +68,25 @@ def main():
     o, lse = fwd_lse(q, k, v)
     bench(fwd_lse, (q, k, v), label="pallas fwd(+lse)")
 
+    pallas_pair = jax.jit(
+        lambda q, k, v, o, lse, do: flash_attention_bwd(
+            q, k, v, o, lse, do, fused=False)
+    )
+    bench(pallas_pair, (q, k, v, o, lse, do),
+          label="pallas bwd split pair (dq,dk,dv)")
+    for bk in (128, 256, 512):
+        try:
+            f = jax.jit(lambda q, k, v, o, lse, do, bk=bk:
+                        flash_attention_bwd(q, k, v, o, lse, do,
+                                            block_k=bk, fused=True))
+            bench(f, (q, k, v, o, lse, do),
+                  label=f"pallas bwd fused bk={bk}")
+        except Exception as e:
+            print(f"fused bk={bk} failed: {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
     pallas_bwd = jax.jit(
         lambda q, k, v, o, lse, do: flash_attention_bwd(q, k, v, o, lse, do)
     )
-    bench(pallas_bwd, (q, k, v, o, lse, do), label="pallas bwd (dq,dk,dv)")
 
     def xla_bwd(q, k, v, do):
         _, vjp = jax.vjp(attention_xla, q, k, v)
