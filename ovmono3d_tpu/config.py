@@ -31,12 +31,16 @@ class BackboneConfig:
     freeze: bool = True             # reference freezes the trunk (train_net.py:431-434)
     remat: bool = False             # jax.checkpoint the trunk blocks (HBM<->FLOPs
                                     # trade for unfrozen-trunk training)
-    remat_policy: str = "full"      # full | dots | dots_attn — "dots" saves MXU
+    remat_policy: str = "dots_attn"  # full | dots | dots_attn — "dots" saves MXU
                                     # (dot) outputs and recomputes only elementwise
                                     # ops in the backward (jax.checkpoint_policies
                                     # .dots_with_no_batch_dims_saveable);
                                     # "dots_attn" additionally saves the flash-
-                                    # attention out/lse residuals (no fwd re-run)
+                                    # attention out/lse residuals (no fwd re-run).
+                                    # Default = measured-best @896^2 b8 on v5e
+                                    # (566.6 vs 641.4 "dots" vs 779.6 "full"
+                                    # ms/step); set "full" if HBM-tight (saves
+                                    # only block inputs, ~50 MB/block @b8)
     out_channels: int = 256         # FPN/SFP channels
     scale_factors: tuple[float, ...] = (2.0, 1.0, 0.5)
     square_pad: int = 896           # fixed input side (MODEL.FPN.SQUARE_PAD)

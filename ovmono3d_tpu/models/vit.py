@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ovmono3d_tpu.ops.attention import dot_product_attention
+from ovmono3d_tpu.ops.attention import _LOG2E, dot_product_attention
 
 Dtype = Any
 
@@ -99,6 +99,48 @@ def _resize_rel_pos(rel_pos: jax.Array, size: int) -> jax.Array:
     )
 
 
+def _rel_pos_attention_fast(q, k, v, Rh, Rw, hw, clamp=None):
+    """bf16 decomposed-rel-pos attention: single-pass MXU matmuls with f32
+    accumulation; optional clamped single-pass exp2 softmax (same
+    construction and exactness window as window_attention_xla — exact
+    while per-row max of scale*qk + bias stays in [clamp-87, clamp];
+    audit converted checkpoints with tools/check_attn_logits.py).
+
+    q/k/v: [B, N, H, D] (compute dtype); Rh: [h, h, D]; Rw: [w, w, D]
+    (cast to the compute dtype by the caller). Returns [B, N, H, D]."""
+    B, N, H, D = q.shape
+    h, w = hw
+    scale = D ** -0.5
+    log2e = _LOG2E if clamp is not None else 1.0
+    qg = q.transpose(0, 2, 1, 3).reshape(B, H, h, w, D)
+    bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qg, Rh,
+                        preferred_element_type=jnp.float32)
+    bias_w = jnp.einsum("bnhwc,wkc->bnhwk", qg, Rw,
+                        preferred_element_type=jnp.float32)
+    attn = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32,
+    ) * (scale * log2e)
+    attn = attn.reshape(B, H, h, w, h, w)
+    attn = attn + (bias_h[..., :, None] + bias_w[..., None, :]) * log2e
+    attn = attn.reshape(B, H, N, N)
+    if clamp is not None:
+        # Unnormalized probs into PV; normalize the [N, D] output instead
+        # of the [N, N] probs (one fewer full pass over the logits).
+        p = jnp.exp2(jnp.minimum(attn - clamp * _LOG2E, 0.0))
+        l = jnp.sum(p, axis=-1, keepdims=True)          # [B, H, N, 1]
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ) / jnp.maximum(jnp.moveaxis(l, 1, 2), 1e-30)
+        return out.astype(q.dtype)
+    p = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
@@ -125,7 +167,16 @@ class Attention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
     def _rel_pos_attention(self, q, k, v, grid_hw, head_dim):
-        """softmax(QK/sqrt(d) + decomposed rel-pos bias) V, f32 logits."""
+        """softmax(QK/sqrt(d) + decomposed rel-pos bias) V.
+
+        Compute-dtype dispatch (the deformable.py convention): f32 models
+        (the HF-crossval configuration) keep all-f32 matmuls — exact vs
+        the original segment_anything add_decomposed_rel_pos; bf16 models
+        (production) run single-pass MXU matmuls with f32 accumulation
+        and, on TPU, the clamped single-pass exp2 softmax
+        (window_attention_xla's construction — removes the row-max reduce
+        pass over the [B, H, N, N] logits, the dominant HBM traffic of
+        the SAM trunk's 4096-token global blocks)."""
         h, w = grid_hw
         B = q.shape[0]
         n_rel = 2 * self.rel_pos_size - 1
@@ -139,6 +190,16 @@ class Attention(nn.Module):
         idx_w = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + w - 1
         Rh = Rh[idx_h]  # [h, h, D]
         Rw = Rw[idx_w]  # [w, w, D]
+        if self.dtype != jnp.float32:
+            import os
+
+            clamp = None
+            if (jax.default_backend() == "tpu"
+                    and os.environ.get("OVMONO3D_WINDOW_CLAMP", "1") != "0"):
+                clamp = 50.0
+            return _rel_pos_attention_fast(
+                q, k, v, Rh.astype(q.dtype), Rw.astype(q.dtype),
+                (h, w), clamp)
         qg = q.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
             B, self.num_heads, h, w, head_dim
         )

@@ -251,3 +251,42 @@ def test_remat_matches_plain():
             a / scale, np.asarray(b, np.float64) / scale, atol=0.02)
         np.testing.assert_allclose(
             a / scale, np.asarray(c, np.float64) / scale, atol=0.02)
+
+
+def test_rel_pos_attention_fast_matches_f32():
+    """The bf16 decomposed-rel-pos attention (SAM trunk production path,
+    with and without the clamped single-pass softmax) vs the exact f32
+    formula — bf16 rounding only, no structural divergence."""
+    from ovmono3d_tpu.models.vit import _rel_pos_attention_fast
+
+    rng = np.random.RandomState(7)
+    B, H, D = 2, 3, 8
+    h, w = 3, 4
+    N = h * w
+    q = rng.randn(B, N, H, D).astype(np.float32)
+    k = rng.randn(B, N, H, D).astype(np.float32)
+    v = rng.randn(B, N, H, D).astype(np.float32)
+    Rh = rng.randn(h, h, D).astype(np.float32) * 0.1
+    Rw = rng.randn(w, w, D).astype(np.float32) * 0.1
+
+    # exact f32 reference (the segment_anything add_decomposed_rel_pos
+    # formula, mirroring Attention._rel_pos_attention's f32 branch)
+    qg = q.transpose(0, 2, 1, 3).reshape(B, H, h, w, D)
+    bias_h = np.einsum("bnhwc,hkc->bnhwk", qg, Rh)
+    bias_w = np.einsum("bnhwc,wkc->bnhwk", qg, Rw)
+    attn = np.einsum("bqhd,bkhd->bhqk", q * D ** -0.5, k)
+    attn = attn.reshape(B, H, h, w, h, w)
+    attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
+    attn = attn.reshape(B, H, N, N)
+    attn = attn - attn.max(-1, keepdims=True)
+    p = np.exp(attn)
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bkhd->bqhd", p, v)
+
+    qb, kb, vb = (jnp.asarray(x, jnp.bfloat16) for x in (q, k, v))
+    Rhb, Rwb = (jnp.asarray(x, jnp.bfloat16) for x in (Rh, Rw))
+    for clamp in (None, 50.0):
+        got = np.asarray(
+            _rel_pos_attention_fast(qb, kb, vb, Rhb, Rwb, (h, w), clamp)
+        ).astype(np.float32)
+        np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
