@@ -92,13 +92,16 @@ class PreActResidual(nn.Module):
     """DPT pre-activation residual conv unit (DepthProPreActResidualLayer)."""
 
     features: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.relu(x)
-        h = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
         return x + h
 
 
@@ -107,16 +110,20 @@ class FusionLayer(nn.Module):
 
     features: int
     use_deconv: bool = True
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip=None):
         if skip is not None:
-            x = x + PreActResidual(self.features, name="rcu1")(skip)
-        x = PreActResidual(self.features, name="rcu2")(x)
+            x = x + PreActResidual(self.features, dtype=self.dtype,
+                                   name="rcu1")(skip)
+        x = PreActResidual(self.features, dtype=self.dtype, name="rcu2")(x)
         if self.use_deconv:
             x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
-                                 use_bias=False, name="deconv")(x)
-        return nn.Conv(self.features, (1, 1), name="project")(x)
+                                 use_bias=False, dtype=self.dtype,
+                                 name="deconv")(x)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       name="project")(x)
 
 
 class DepthPro(nn.Module):
@@ -167,19 +174,22 @@ class DepthPro(nn.Module):
         self.image_encoder = self._vit("image_encoder")
         if self.use_fov:
             self.fov_encoder = self._vit("fov_encoder")
-            self.fov_neck = nn.Dense(self.fusion_dim // 2, name="fov_neck")
+            self.fov_neck = nn.Dense(self.fusion_dim // 2, dtype=self.dtype,
+                                     name="fov_neck")
             self.fov_conv = nn.Conv(self.fusion_dim // 2, (3, 3),
                                     strides=(2, 2), padding=1,
-                                    name="fov_conv")
+                                    dtype=self.dtype, name="fov_conv")
         # neck: image-feature upsample (deconv only, bias)
         self.up_image = nn.ConvTranspose(self.scaled_dims[0], (2, 2),
-                                         strides=(2, 2), name="up_image")
+                                         strides=(2, 2), dtype=self.dtype,
+                                         name="up_image")
         # scaled-image features: 1x1 proj + one deconv (no bias)
         self.up_scaled = [
             (
-                nn.Conv(d, (1, 1), use_bias=False,
+                nn.Conv(d, (1, 1), use_bias=False, dtype=self.dtype,
                         name=f"up_scaled{i}_proj"),
                 nn.ConvTranspose(d, (2, 2), strides=(2, 2), use_bias=False,
+                                 dtype=self.dtype,
                                  name=f"up_scaled{i}_deconv"),
             )
             for i, d in enumerate(self.scaled_dims)
@@ -189,17 +199,18 @@ class DepthPro(nn.Module):
         for i, d in enumerate(self.hook_dims):
             inter = self.fusion_dim if i == 0 else d
             layers = [nn.Conv(inter, (1, 1), use_bias=False,
+                              dtype=self.dtype,
                               name=f"up_hook{i}_proj")]
             for j in range(2 + i):
                 layers.append(
                     nn.ConvTranspose(d, (2, 2), strides=(2, 2),
-                                     use_bias=False,
+                                     use_bias=False, dtype=self.dtype,
                                      name=f"up_hook{i}_deconv{j}")
                 )
             ups.append(layers)
         self.up_hooks = ups
         self.fuse_lowres = nn.Conv(self.scaled_dims[0], (1, 1),
-                                   name="fuse_lowres")
+                                   dtype=self.dtype, name="fuse_lowres")
         dims = tuple(self.scaled_dims) + tuple(self.hook_dims)
         # the last projection is dropped when dims already match
         # (DepthProFeatureProjection nn.Identity)
@@ -208,32 +219,35 @@ class DepthPro(nn.Module):
         )
         self.projections = [
             nn.Conv(self.fusion_dim, (3, 3), padding=1, use_bias=False,
-                    name=f"project{i}")
+                    dtype=self.dtype, name=f"project{i}")
             for i in range(self.n_project)
         ]
         n_fuse = len(dims)
         self.fusions = [
             FusionLayer(self.fusion_dim, use_deconv=(i < n_fuse - 1),
-                        name=f"fusion{i}")
+                        dtype=self.dtype, name=f"fusion{i}")
             for i in range(n_fuse)
         ]
         self.head_conv1 = nn.Conv(self.fusion_dim // 2, (3, 3), padding=1,
-                                  name="head_conv1")
+                                  dtype=self.dtype, name="head_conv1")
         self.head_deconv = nn.ConvTranspose(self.fusion_dim // 2, (2, 2),
                                             strides=(2, 2),
+                                            dtype=self.dtype,
                                             name="head_deconv")
-        self.head_conv2 = nn.Conv(32, (3, 3), padding=1, name="head_conv2")
-        self.head_out = nn.Conv(1, (1, 1), name="head_out")
+        self.head_conv2 = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
+                                  name="head_conv2")
+        self.head_out = nn.Conv(1, (1, 1), dtype=self.dtype,
+                                name="head_out")
         if self.use_fov:
             out_size = self.encoder_size // self.patch_size
             c = self.fusion_dim
             self.fov_head = [
                 nn.Conv(-(-c // 2 ** (i + 2)), (3, 3), strides=(2, 2),
-                        padding=1, name=f"fov_head{i}")
+                        padding=1, dtype=self.dtype, name=f"fov_head{i}")
                 for i in range(self.num_fov_layers)
             ]
             k = int((out_size - 1) / 2**self.num_fov_layers + 1)
-            self.fov_head_out = nn.Conv(1, (k, k), padding=0,
+            self.fov_head_out = nn.Conv(1, (k, k), padding=0, dtype=self.dtype,
                                         name="fov_head_out")
 
     def __call__(self, images: jax.Array):
