@@ -103,6 +103,10 @@ class WindowAttention(nn.Module):
     window: int        # table window (fixed by the pretrained checkpoint)
     eff_window: int    # effective window at this resolution (<= window)
     dtype: Dtype = jnp.bfloat16
+    # Probe only (tools/probe_swin_floor.py): replace the attention core
+    # with a values passthrough, keeping qkv/proj/bias/layout — isolates
+    # the softmax-attention math cost in situ.
+    skip_core: bool = False
 
     @nn.compact
     def __call__(self, x, ids=None, bias=None):
@@ -127,7 +131,10 @@ class WindowAttention(nn.Module):
             bias = table[idx.reshape(-1)].reshape(
                 N, N, self.num_heads
             ).transpose(2, 0, 1)
-        out = window_attention(q, k, v, bias, ids)
+        if self.skip_core:
+            out = v
+        else:
+            out = window_attention(q, k, v, bias, ids)
         out = out.reshape(Bw, N, C).astype(self.dtype)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -139,7 +146,9 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
-    # Ablation/bench only: skip sub-blocks ("attn", "mlp").
+    # Ablation/bench only: skip sub-blocks ("attn", "mlp") or just the
+    # softmax-attention math while keeping qkv/proj/pad/roll/partition
+    # ("attn_core") — tools/probe_swin_floor.py cost attribution.
     debug_skip: tuple = ()
 
     @nn.compact
@@ -187,6 +196,7 @@ class SwinBlock(nn.Module):
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, C)
         h = WindowAttention(
             self.dim, self.num_heads, self.window, win, self.dtype,
+            skip_core="attn_core" in self.debug_skip,
             name="attn",
         )(h, ids, bias if win == self.window else None)
         # reverse
@@ -240,7 +250,8 @@ class SwinTransformer(nn.Module):
     window: int = 12
     out_indices: Sequence[int] = (1, 2, 3)
     dtype: Dtype = jnp.bfloat16
-    # Ablation/bench only: forwarded to every block ("attn", "mlp").
+    # Ablation/bench only: forwarded to every block ("attn", "mlp",
+    # "attn_core").
     debug_skip: tuple = ()
 
     @nn.compact

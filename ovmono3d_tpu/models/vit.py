@@ -125,11 +125,17 @@ def _rel_pos_attention_fast(q, k, v, Rh, Rw, hw, clamp=None):
     attn = attn.reshape(B, H, N, N)
     if clamp is not None:
         # Unnormalized probs into PV; normalize the [N, D] output instead
-        # of the [N, N] probs (one fewer full pass over the logits).
-        p = jnp.exp2(jnp.minimum(attn - clamp * _LOG2E, 0.0))
-        l = jnp.sum(p, axis=-1, keepdims=True)          # [B, H, N, 1]
+        # of the [N, N] probs (one fewer full pass over the logits). Cast
+        # p to the PV dtype BEFORE the row-sum so the [B, H, N, N] probs
+        # materialize once in bf16 instead of f32-for-l + bf16-for-PV
+        # (window_attention_xla has the same reorder and rationale).
+        p = jnp.exp2(jnp.minimum(attn - clamp * _LOG2E, 0.0)).astype(
+            v.dtype
+        )
+        l = jnp.sum(p, axis=-1, keepdims=True,
+                    dtype=jnp.float32)                  # [B, H, N, 1]
         out = jnp.einsum(
-            "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+            "bhqk,bkhd->bqhd", p, v,
             preferred_element_type=jnp.float32,
         ) / jnp.maximum(jnp.moveaxis(l, 1, 2), 1e-30)
         return out.astype(q.dtype)

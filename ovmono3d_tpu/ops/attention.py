@@ -740,11 +740,20 @@ def window_attention_xla(
     if clamp_c is not None:
         # Unnormalized probs into the PV matmul; normalize the [N, D]
         # output instead of the [N, N] probs (smaller tensor, one fewer
-        # big pass).
-        p = jnp.exp2(jnp.minimum(attn - clamp_c * _LOG2E, 0.0))
-        l = jnp.sum(p, axis=-1, keepdims=True)       # [BW, H, N, 1]
+        # big pass). Cast p to the PV dtype BEFORE the row-sum so the
+        # [BW, H, N, N] probs materialize ONCE in bf16 (the sum
+        # f32-accumulates from it) instead of once in f32 for l plus the
+        # bf16 copy for the matmul — halves the dominant HBM traffic of
+        # the many-tiny-window trunk. Rounding p to bf16 adds ~2^-9
+        # relative error to l; the PV numerator already consumed the
+        # rounded p, so numerator/denominator stay consistent.
+        p = jnp.exp2(jnp.minimum(attn - clamp_c * _LOG2E, 0.0)).astype(
+            v.dtype
+        )
+        l = jnp.sum(p, axis=-1, keepdims=True,
+                    dtype=jnp.float32)               # [BW, H, N, 1]
         out = jnp.einsum(
-            "bhnm,bmhd->bnhd", p.astype(v.dtype), v,
+            "bhnm,bmhd->bnhd", p, v,
             preferred_element_type=jnp.float32,
         ) / jnp.maximum(jnp.moveaxis(l, 1, 2), 1e-30)
         return out.astype(q.dtype)
