@@ -131,6 +131,12 @@ class ModelConfig:
     rpn: RPNConfig = field(default_factory=RPNConfig)
     roi_box: ROIBoxConfig = field(default_factory=ROIBoxConfig)
     cube: CubeHeadConfig = field(default_factory=CubeHeadConfig)
+    # ROI pooling numerics for the model's _pool_flat: False (default) pools
+    # in bf16 with single-pass matmuls (heads are bf16; +25% train step vs
+    # HIGHEST, see fb516a7); True restores the torchvision-exact
+    # f32/HIGHEST ROIAlignV2 path for reference-exact parity evaluation on
+    # converted checkpoints (PARITY.md "ROI pooling numerics").
+    exact_roi_pool: bool = False
     stabilize: float = 0.01         # MODEL.STABILIZE
     max_proposals: int = 512        # padded proposals per image (train)
     max_detections: int = 100       # padded detections per image (test)

@@ -261,6 +261,15 @@ class SwinTransformer(nn.Module):
         rel_biases: optional {f'stage{si}_block{bi}': [H, w*w, w*w]} from
         expand_rel_pos_biases (frozen-trunk inference fast path)."""
         B, H, W, _ = images.shape
+        # The space-to-depth patch embed FLOOR-DROPS trailing rows/cols
+        # (unlike the SAME-padded nn.Conv it replaced) — reject non
+        # multiple-of-4 inputs loudly instead of silently truncating.
+        # Shapes are static under jit, so this is a trace-time check.
+        if H % 4 or W % 4:
+            raise ValueError(
+                f"SwinTransformer input H, W must be multiples of 4 "
+                f"(got {H}x{W}); pad the canvas first (square_pad)."
+            )
         # Space-to-depth + matmul patch embed (models/vit.py PatchEmbed):
         # same params as the stride-4 nn.Conv it replaces (kernel HWIO
         # [4, 4, 3, C] + bias, converters unchanged), but avoids XLA's

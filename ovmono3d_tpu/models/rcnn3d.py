@@ -744,8 +744,13 @@ class RCNN3D(nn.Module):
         # stays f32 via preferred_element_type) and every consumer is a
         # bf16 head — but the [B*N, R, W, C] separable-matmul intermediate
         # (3.75 GB f32 on the 128^2 level at b8x512 train shapes, an
-        # ~11 ms layout copy in the step profile) halves.
-        maps = [m.astype(jnp.bfloat16) for m in maps]
+        # ~11 ms layout copy in the step profile) halves. For
+        # reference-exact parity evaluation, model.exact_roi_pool=True
+        # restores the op's torchvision-exact f32/HIGHEST default
+        # (PARITY.md "ROI pooling numerics").
+        exact = getattr(self.cfg, "exact_roi_pool", False)
+        if not exact:
+            maps = [m.astype(jnp.bfloat16) for m in maps]
 
         def pool_one(boxes_i, *maps_i):
             # DEFAULT (single bf16-pass) matmuls: the pooled features feed
@@ -754,7 +759,8 @@ class RCNN3D(nn.Module):
             # (the [N,7,H]x[H,W,256] pooling einsums dominate at b8/896^2).
             return multilevel_roi_align(
                 list(maps_i), strides, boxes_i, resolution, sampling_ratio,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else jax.lax.Precision.DEFAULT),
             )
 
         pooled = jax.vmap(pool_one)(boxes, *maps)  # [B, N, R, R, C]

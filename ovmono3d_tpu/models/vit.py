@@ -199,10 +199,16 @@ class Attention(nn.Module):
         if self.dtype != jnp.float32:
             import os
 
+            from ovmono3d_tpu.ops.attention import _env_clamp
+
+            # Same audit knob as every other clamped softmax:
+            # OVMONO3D_ATTN_CLAMP=none disables this path's clamp too
+            # (OVMONO3D_WINDOW_CLAMP=0 disables just the window/rel-pos
+            # clamps — see _env_clamp's docstring).
             clamp = None
             if (jax.default_backend() == "tpu"
                     and os.environ.get("OVMONO3D_WINDOW_CLAMP", "1") != "0"):
-                clamp = 50.0
+                clamp = _env_clamp()
             return _rel_pos_attention_fast(
                 q, k, v, Rh.astype(q.dtype), Rw.astype(q.dtype),
                 (h, w), clamp)

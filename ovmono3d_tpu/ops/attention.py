@@ -635,7 +635,13 @@ def _env_clamp() -> float | None:
     a float -> that clamp. The clamped kernel is exact only while per-row
     max raw logits stay within [C-87, C] (see _flash_kernel_single);
     audit a converted checkpoint with tools/check_attn_logits.py before
-    trusting the default on new weights."""
+    trusting the default on new weights.
+
+    This is the single audit knob: the windowed (Swin) clamped path and
+    the SAM decomposed-rel-pos fast path (models/vit.py) derive their
+    clamp from it too, so OVMONO3D_ATTN_CLAMP=none disables EVERY clamped
+    softmax uniformly. OVMONO3D_WINDOW_CLAMP=0 additionally disables just
+    the windowed/rel-pos paths (used by tools/probe_swin_floor.py)."""
     import os
 
     val = os.environ.get("OVMONO3D_ATTN_CLAMP", "").strip().lower()
@@ -646,15 +652,17 @@ def _env_clamp() -> float | None:
     return float(val)
 
 
-@jax.custom_vjp
-def _attention_autoselect(q, k, v):
+# clamp is a static (nondiff) argument so the backward provably runs with
+# the SAME clamp the forward was traced with — the env var is read exactly
+# once, in dot_product_attention, never again at backward-trace time.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_autoselect(q, k, v, clamp):
     if jax.default_backend() == "tpu":
-        return flash_attention(q, k, v, clamp_c=_env_clamp())
+        return flash_attention(q, k, v, clamp_c=clamp)
     return attention_xla(q, k, v)
 
 
-def _attn_fwd(q, k, v):
-    clamp = _env_clamp()
+def _attn_fwd(q, k, v, clamp):
     if (jax.default_backend() == "tpu" and clamp is not None
             and q.shape[1] <= 6144):
         # Flash forward WITH the log2-denominator residual: the Pallas
@@ -669,14 +677,13 @@ def _attn_fwd(q, k, v):
         o = checkpoint_name(o, "flash_attn_out")
         lse = checkpoint_name(lse, "flash_attn_lse")
         return o, (q, k, v, o, lse)
-    return _attention_autoselect(q, k, v), (q, k, v, None, None)
+    return _attention_autoselect(q, k, v, clamp), (q, k, v, None, None)
 
 
-def _attn_bwd(res, g):
+def _attn_bwd(clamp, res, g):
     q, k, v, o, lse = res
     if lse is not None:
-        return flash_attention_bwd(q, k, v, o, lse, g,
-                                   clamp_c=_env_clamp())
+        return flash_attention_bwd(q, k, v, o, lse, g, clamp_c=clamp)
     # Differentiate the XLA reference path (identical math).
     _, vjp = jax.vjp(attention_xla, q, k, v)
     return vjp(g)
@@ -687,7 +694,7 @@ _attention_autoselect.defvjp(_attn_fwd, _attn_bwd)
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Best-available fused attention; [B, N, H, D] in and out."""
-    return _attention_autoselect(q, k, v)
+    return _attention_autoselect(q, k, v, _env_clamp())
 
 
 # ---------------- fused window attention (Swin trunk) ----------------
@@ -896,5 +903,5 @@ def window_attention(
     clamp = None
     if (jax.default_backend() == "tpu"
             and os.environ.get("OVMONO3D_WINDOW_CLAMP", "1") != "0"):
-        clamp = 50.0
+        clamp = _env_clamp()
     return window_attention_xla(q, k, v, bias, ids, clamp_c=clamp)

@@ -3,12 +3,17 @@
 
 Round-2 VERDICT: serve.py's "no cross-chip collectives" design had CPU
 parity tests but no measured per-chip number under the SERVING function
-(bench_gdino times the raw forward). This runs `make_gdino_serving_fn`
-(parallel/serve.py) on the available mesh — one image per chip per step —
-with the chained-dependency protocol, and reports img/s/chip under the
-serving graph. With data parallelism and no cross-chip collectives in the
-hot path, N chips project to N x this number; the CPU-mesh parity test
-(tests/test_serve.py) covers the N>1 correctness half.
+(bench_gdino times the raw forward). This times the serving graph's exact
+body (model.apply + vmapped postprocess_grounding, the same computation
+`make_gdino_serving_fn` jits — sharding comes from the committed input
+shardings, identical program on this no-collective path) on the available
+mesh — one image per chip per step — through tools/bench_util.bench_loop's
+chained scalar-carry protocol (in-graph fori_loop data dependency + one
+forced host scalar read per round; block_until_ready alone can return
+early on the tunneled TPU). Reports img/s/chip. With data parallelism and
+no cross-chip collectives in the hot path, N chips project to N x this
+number; the CPU-mesh parity test (tests/test_serve.py) covers the N>1
+correctness half.
 
 Prints ONE JSON line (SERVE_r style).
 """
@@ -48,7 +53,6 @@ def main():
         make_mesh,
         replicated,
     )
-    from ovmono3d_tpu.parallel.serve import make_gdino_serving_fn
 
     mesh = make_mesh()
     n_data = mesh.shape["data"]
@@ -87,7 +91,13 @@ def main():
     )
     print(f"init: {time.time() - t0:.1f}s", flush=True)
 
-    run = make_gdino_serving_fn(model, mesh, topk=args.topk)
+    from ovmono3d_tpu.models.gdino.inference import (
+        BOX_THRESHOLD,
+        NMS_THRESHOLD,
+        postprocess_grounding,
+    )
+    from bench_util import bench_loop
+
     data = batch_sharding(mesh)
     repl = replicated(mesh)
     params_d = jax.device_put(params, repl)
@@ -96,19 +106,36 @@ def main():
                               window=model.swin_window), repl)
     images_d = jax.device_put(images, data)
     im_hw_d = jax.device_put(im_hw, data)
+    # The serving-fn body (parallel/serve.py make_gdino_serving_fn.run),
+    # expressed as fn(feed, *args) for the chained timing loop. Probe is
+    # the score sum: depends on the full forward through the matmul stack,
+    # so XLA cannot dead-code the model (bench_util pitfall #1).
+    def serve_body(images, params, im_hw, rel_biases):
+        (input_ids, text_mask, self_mask, pos_ids, span_matrix,
+         span_valid) = text_args
+        B = images.shape[0]
+        out = model.apply(
+            params, images,
+            jnp.broadcast_to(input_ids, (B,) + input_ids.shape[1:]),
+            jnp.broadcast_to(text_mask, (B,) + text_mask.shape[1:]),
+            jnp.broadcast_to(self_mask, (B,) + self_mask.shape[1:]),
+            jnp.broadcast_to(pos_ids, (B,) + pos_ids.shape[1:]),
+            rel_biases,
+        )
+        return jax.vmap(
+            lambda lg, bx, hw: postprocess_grounding(
+                lg, bx, span_matrix, span_valid, hw, topk=args.topk,
+                box_threshold=BOX_THRESHOLD, nms_threshold=NMS_THRESHOLD,
+            )
+        )(out["pred_logits"], out["pred_boxes"], im_hw)
 
-    print("[compiling] serving fn", flush=True)
-    out = run(params_d, images_d, text_args, im_hw_d, biases)
-    jax.block_until_ready(out)
-
-    best = None
-    for _ in range(args.rounds):
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = run(params_d, images_d, text_args, im_hw_d, biases)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters
-        best = dt if best is None else min(best, dt)
+    best = bench_loop(
+        serve_body, images_d,
+        probe=lambda o: jnp.sum(o[1]),   # scores
+        iters=args.iters, rounds=args.rounds,
+        label=f"serving fn @{S}^2 x{n_data}",
+        args=(params_d, im_hw_d, biases),
+    )
 
     per_chip = 1.0 / best  # one image per chip per step
     print(
