@@ -259,11 +259,87 @@ class OVMono3DLift:
                 "valid": jnp.zeros((self.detect_topk,), bool),
             }, 1.0
         tensor, scale = self._prep_gdino_image(image)
-        # Text runs at the smallest power-of-two bucket >= the caption
-        # length (one jit specialization per bucket), mirroring the
-        # reference's actual-caption-length execution (roi_heads_gdino.py:
-        # 176-181). One tokenization: build at full max_text_len, read the
-        # true length off text_mask, slice the model inputs to the bucket.
+        (input_ids, text_mask, self_mask, pos_ids, span_matrix,
+         span_valid) = self._text_device_inputs(categories)
+        boxes, scores, classes, valid = self._jitted("gdino_detect",
+                                                     self._detect_fn)(
+            self.gdino_params,
+            jnp.asarray(tensor),
+            input_ids, text_mask, self_mask, pos_ids,
+            self._swin_rel_biases(),
+            span_matrix, span_valid,
+        )
+        return {"boxes": boxes, "scores": scores, "classes": classes,
+                "valid": valid}, scale
+
+    def _fusable(self) -> bool:
+        """True when detect and lift consume the SAME square canvas, so
+        predict() can run both stages as one jitted program fed by one
+        upload. That requires the full pipeline (cube model present), the
+        detector input side == the RCNN square pad, and the same
+        ResizeShortestEdge(min,max) content rule on both canvases (build()
+        sets exactly this — roi_heads_gdino.py:147 feeds GroundingDINO the
+        RCNN's preprocessed canvas, so the e2e configuration is always
+        fusable)."""
+        return (
+            self.rcnn is not None
+            and self.cfg is not None
+            and self.gdino_size == self.cfg.model.backbone.square_pad
+            and self.gdino_min_size == self.cfg.input.min_size_test
+            and self.gdino_max_size == self.cfg.input.max_size_test
+        )
+
+    def _fused_fn(self, gdino_params, rcnn_params, canvas, K, hw, ratio,
+                  depth, input_ids, text_mask, self_mask, pos_ids, biases,
+                  span_matrix, span_valid):
+        """Detect + postprocess + lift as ONE XLA program fed by ONE
+        raw-pixel canvas upload (round-4 perf item: the two-dispatch
+        predict() paid two multi-MB canvas uploads + two relay sync
+        latencies per image; both stages consume the same square canvas
+        in the e2e configuration, roi_heads_gdino.py:147).
+
+        The GDINO tensor is derived in-graph: content pixels get
+        (x/255 - mean)/std, padding stays exactly 0 (matching
+        _prep_gdino_image's zero-padded canvas, NOT normalized zeros).
+        Boxes come out of postprocess in canvas pixels — box_scale is 1
+        by construction, so they feed the cube branch directly."""
+        S = self.gdino_size
+        nh, nw = hw[0, 0], hw[0, 1]
+        content = (
+            (jnp.arange(S)[:, None] < nh) & (jnp.arange(S)[None, :] < nw)
+        )
+        mean = jnp.asarray(GDINO_MEAN)
+        std = jnp.asarray(GDINO_STD)
+        tensor = jnp.where(
+            content[None, :, :, None],
+            (canvas / 255.0 - mean) / std,
+            0.0,
+        )
+        out = self.gdino.apply(
+            gdino_params, tensor, input_ids, text_mask, self_mask, pos_ids,
+            biases,
+        )
+        boxes, scores, classes, valid = postprocess_grounding(
+            out["pred_logits"][0],
+            out["pred_boxes"][0],
+            span_matrix,
+            span_valid,
+            jnp.asarray([S, S], jnp.float32),
+            topk=self.detect_topk,
+        )
+        return self.rcnn.apply(
+            rcnn_params, canvas, K, hw, ratio, depth,
+            oracle_boxes=boxes[None],
+            oracle_classes=classes[None],
+            oracle_scores=scores[None],
+            oracle_valid=valid[None],
+        )
+
+    def _text_device_inputs(self, categories: list[str]):
+        """Tokenize once at full max_text_len, bucket to the smallest
+        power-of-two >= the caption length (one jit specialization per
+        bucket — mirrors the reference's actual-caption-length execution,
+        roi_heads_gdino.py:176-181). Returns the jit-ready text arrays."""
         full = self.gdino.max_text_len
         text = build_text_inputs(self.tokenizer, categories, max_len=full,
                                  max_phrases=max(64, len(categories)))
@@ -272,20 +348,14 @@ class OVMono3DLift:
         while T < n_tok and T < full:
             T *= 2
         T = min(T, full)
-        boxes, scores, classes, valid = self._jitted("gdino_detect",
-                                                     self._detect_fn)(
-            self.gdino_params,
-            jnp.asarray(tensor),
+        return (
             jnp.asarray(text["input_ids"][:, :T]),
             jnp.asarray(text["text_mask"][:, :T]),
             jnp.asarray(text["text_self_mask"][:, :T, :T]),
             jnp.asarray(text["position_ids"][:, :T]),
-            self._swin_rel_biases(),
             jnp.asarray(text["span_matrix"]),
             jnp.asarray(text["span_valid"]),
         )
-        return {"boxes": boxes, "scores": scores, "classes": classes,
-                "valid": valid}, scale
 
     def _prep_lift_canvas(self, image: np.ndarray):
         """Shortest-edge resize + top-left square pad for the cube model.
@@ -375,12 +445,43 @@ class OVMono3DLift:
         K: np.ndarray,
         categories: list[str],
         depth: np.ndarray | None = None,
+        fused: bool | None = None,
     ) -> Detections:
         """Full pipeline: prompts -> 2D open-vocab boxes -> 3D cuboids.
 
-        The detect outputs stay on device and feed the lift graph
-        directly (boxes rescaled in-graph by lift_scale/gdino_scale) —
-        the two dispatches pipeline with no intermediate host sync."""
+        In the e2e configuration (detector side == square pad, same
+        resize rule — always true via build()) this runs detect +
+        postprocess + lift as ONE jitted program fed by ONE raw-canvas
+        upload (`_fused_fn`): one dispatch, one relay sync, half the
+        per-image feed bytes of the two-stage path. `fused=False` forces
+        the two-stage path (detect outputs stay on device and feed the
+        lift graph directly — still no intermediate host sync); the
+        parity test pins both paths equal."""
+        if fused is None:
+            fused = self._fusable()
+        if fused and categories:
+            canvas, (nh, nw), scale = self._prep_lift_canvas(image)
+            (input_ids, text_mask, self_mask, pos_ids, span_matrix,
+             span_valid) = self._text_device_inputs(categories)
+            depth_t = None
+            if depth is not None:
+                depth_t = jnp.asarray(depth, jnp.float32)[None, ..., None]
+            det = self._jitted("fused_predict", self._fused_fn)(
+                self.gdino_params,
+                self.rcnn_params,
+                jnp.asarray(canvas)[None],
+                jnp.asarray(K, jnp.float32)[None],
+                jnp.asarray([[nh, nw]], jnp.int32),
+                jnp.asarray([1.0 / scale], jnp.float32),
+                depth_t,
+                input_ids, text_mask, self_mask, pos_ids,
+                self._swin_rel_biases(),
+                span_matrix, span_valid,
+            )
+            return jax.tree.map(
+                lambda x: x[0] if x is not None else None, det,
+                is_leaf=lambda x: x is None,
+            )
         dev, gscale = self._detect_2d_device(image, categories)
         canvas, hw, lscale = self._prep_lift_canvas(image)
         return self._lift_canvas_det(

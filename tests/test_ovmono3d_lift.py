@@ -61,6 +61,76 @@ def test_empty_prompts(pipeline):
     assert float(np.asarray(det.scores).max()) == 0.0
 
 
+@pytest.fixture(scope="module")
+def fused_pipeline():
+    """Pipeline in the e2e configuration (detector side == square pad,
+    gdino_size=None -> build() default) — the shape predict() fuses."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_model import tiny_config
+
+    cfg = tiny_config()
+    gdino_kwargs = dict(
+        hidden_dim=32, nheads=2, enc_layers=1, dec_layers=1, num_queries=16,
+        enc_points=2, dec_points=2, max_text_len=32, ffn_dim=64,
+        swin_embed_dim=8, swin_depths=(1, 1, 1, 1), swin_heads=(1, 2, 4, 8),
+        swin_window=4, bert_layers=1,
+    )
+    return OVMono3DLift.build(
+        cfg, BertTokenizer(VOCAB), gdino_kwargs=gdino_kwargs
+    )
+
+
+def test_fused_predict_matches_two_stage(fused_pipeline):
+    """The single-program predict (one canvas upload, GDINO normalization
+    derived in-graph) must match the two-stage path. The only numeric
+    difference is resize-then-divide vs divide-then-resize on the GDINO
+    content (cv2 bilinear is linear, so float-rounding only)."""
+    p = fused_pipeline
+    assert p._fusable()
+    rng = np.random.RandomState(0)
+    image = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+    K = default_focal_K(96, 128)
+    cats = ["chair", "cup", "laptop"]
+    det_f = p.predict(image, K, cats, fused=True)
+    det_t = p.predict(image, K, cats, fused=False)
+    f = jax.tree.leaves(det_f)
+    t = jax.tree.leaves(det_t)
+    assert len(f) == len(t)
+    np.testing.assert_array_equal(
+        np.asarray(det_f.valid), np.asarray(det_t.valid)
+    )
+    for a, b in zip(f, t):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_fused_gdino_tensor_matches_host_prep(fused_pipeline):
+    """The in-graph GDINO normalization (content (x/255-mean)/std, padding
+    exactly 0) reproduces _prep_gdino_image's host canvas."""
+    import jax.numpy as jnp
+
+    p = fused_pipeline
+    rng = np.random.RandomState(3)
+    image = (rng.rand(60, 100, 3) * 255).astype(np.uint8)
+    host, scale = p._prep_gdino_image(image)
+    canvas, (nh, nw), lscale = p._prep_lift_canvas(image)
+    assert lscale == pytest.approx(scale)
+    S = p.gdino_size
+    content = (np.arange(S)[:, None] < nh) & (np.arange(S)[None, :] < nw)
+    from ovmono3d_tpu.models.ovmono3d import GDINO_MEAN, GDINO_STD
+
+    in_graph = np.where(
+        content[..., None],
+        (canvas / 255.0 - GDINO_MEAN) / GDINO_STD,
+        0.0,
+    )
+    np.testing.assert_allclose(in_graph, host[0], rtol=1e-5, atol=1e-5)
+
+
 def test_default_focal_heuristic():
     K = default_focal_K(480, 640)
     # f = 4 * h / 2 (demo.py:63-76)
