@@ -129,6 +129,57 @@ def _test_annotations(id0):
     return annos
 
 
+def build_overfit_dataset(root: Path) -> dict:
+    """Tiny LEARNABLE dataset for the trained-AP3D closed loop: 3 images,
+    one object each, rendered as per-category colored rectangles at the
+    projected 2D box on a lightly-textured background.
+
+    Unlike build_dataset's pure-noise images (fine for plumbing tests,
+    unlearnable for an RPN that must rank anchors by objectness), these
+    give the detector a real visual signal: category <-> color, depth <->
+    projected box size (z = F*h3d/box_h is recoverable through the
+    projection), so a few hundred overfit steps converge the FULL learned
+    loop RPN -> box head -> cube decode -> AP3D (reference
+    roi_heads.py:798-843 -> omni3d_evaluation.py:1255)."""
+    import cv2
+
+    root = Path(root)
+    (root / "Omni3D").mkdir(parents=True, exist_ok=True)
+    (root / "TinyDS" / "images").mkdir(parents=True, exist_ok=True)
+
+    imgs = _images("train", 3, 0)
+    annos = [
+        _anno(0, 1, (0.2, 0.1, 2.0), (0.5, 0.9, 0.5)),
+        _anno(1, 1, (-0.15, 0.05, 2.8), (0.5, 0.9, 0.5)),
+        # cup scaled up so its projected box clears the smallest anchor
+        _anno(2, 2, (-0.2, -0.05, 1.5), (0.3, 0.4, 0.3)),
+    ]
+    ds = {
+        "info": {"source": "TinyDS"},
+        "categories": CATEGORIES,
+        "images": imgs,
+        "annotations": annos,
+    }
+    (root / "Omni3D" / "TinyDS_train.json").write_text(json.dumps(ds))
+
+    rng = np.random.RandomState(0)
+    colors = {1: (60, 200, 60), 2: (200, 60, 60)}
+    by_img: dict[int, list] = {}
+    for a in annos:
+        by_img.setdefault(a["image_id"], []).append(a)
+    for img in imgs:
+        arr = np.full((H, W, 3), 110, dtype=np.uint8)
+        arr += rng.randint(0, 20, arr.shape, dtype=np.uint8)
+        for a in by_img.get(img["id"], []):
+            x1, y1, x2, y2 = [int(round(v)) for v in a["bbox2D_trunc"]]
+            cv2.rectangle(arr, (x1, y1), (x2, y2),
+                          colors[a["category_id"]], -1)
+            cv2.rectangle(arr, (x1, y1), (x2, y2), (255, 255, 255), 1)
+        assert cv2.imwrite(str(root / img["file_path"]), arr)
+
+    return {"root": root, "n_images": len(imgs), "n_objects": len(annos)}
+
+
 def build_dataset(root: Path) -> dict:
     """Write the dataset under `root`; returns useful paths/counts."""
     import cv2

@@ -117,6 +117,82 @@ def test_real_loader_train_eval_offline_roundtrip(monkeypatch, capsys,
     assert re.search(r"AP2D\s*\| 100\.00", out), out
 
 
+def test_trained_model_scores_ap3d(monkeypatch, capsys, tmp_path):
+    """Trained-AP3D closed loop (round-3 VERDICT missing item 1): overfit
+    the tiny model on the rendered 3-image dataset, then evaluate with the
+    model's OWN RPN -> box-head -> cube-head detections (NO oracle boxes)
+    and assert AP3D clears a bar. This is the only in-image accuracy
+    signal that exercises learned weights through the full 3D decode +
+    evaluator — oracle-GT geometry would mask e.g. a cube-decode sign
+    error (reference loop: roi_heads.py:798-843 ->
+    omni3d_evaluation.py:1255).
+
+    Recipe notes (measured):
+    - adamw overfits ~3x faster than the reference's sgd recipe here.
+    - eval widens the RPN test proposal pool (pre 4096 = all anchors,
+      post 256): the reference-faithful IoUness objectness trains FG
+      anchors ONLY (rpn.py:244-252 — BG logits stay at init), so at
+      3-image overfit scale the score RANKING cannot separate fg from
+      untrained bg; the near-perfect box head does the selection instead.
+    - 600 iters at lr 2e-3 with decay at 60%/85% scores AP3D ~100 /
+      AP2D ~90; the bars are 50 to absorb platform jitter.
+    """
+    from fixtures.tiny_omni3d import build_overfit_dataset
+    from tools import eval_net, train_net
+
+    ds = build_overfit_dataset(tmp_path / "overfit_ds")
+    data_args = [f"datasets.data_root={ds['root']}"]
+    out_dir = tmp_path / "out"
+    n_iter = 600
+    monkeypatch.setattr(sys, "argv", [
+        "train_net.py", "--max-iter", str(n_iter), "--batch-size", "6",
+        *TINY, *data_args,
+        "datasets.train=TinyDS_train",
+        "test.eval_period=0",
+        f"solver.checkpoint_period={n_iter}",
+        "solver.type=adamw",
+        "solver.base_lr=0.002",
+        "solver.warmup_iters=20",
+        f"solver.steps={int(n_iter * 0.6)},{int(n_iter * 0.85)}",
+        "input.random_flip=false",
+        f"output_dir={out_dir}",
+    ])
+    train_net.main()
+    metrics = [json.loads(l) for l in
+               (out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert metrics[-1]["total_loss"] < 2.0, "did not overfit"
+    capsys.readouterr()
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval_net.py", "--batch-size", "3",
+        "--checkpoint", str(out_dir / "model_recent"),
+        *TINY, *data_args,
+        "model.rpn.pre_nms_topk_test=4096",
+        "model.rpn.post_nms_topk_test=256",
+        "datasets.test_base=TinyDS_train",
+        "test.cat_mode=base",
+        "test.oracle2d=false",
+        f"output_dir={tmp_path / 'eval_out'}",
+    ])
+    eval_net.main()
+    out = capsys.readouterr().out
+
+    def metric(name):
+        m = re.search(rf"^{re.escape(name)}\s*\| *([0-9.na]+)", out,
+                      re.MULTILINE)
+        assert m, f"{name} not reported:\n{out}"
+        return float(m.group(1))
+
+    ap3d15 = metric("AP3D@15")
+    ap3d = metric("AP3D")
+    ap2d = metric("AP2D")
+    nhd = metric("NHD")
+    assert ap3d15 >= 50.0, (ap3d15, out)
+    assert ap3d >= 50.0, (ap3d, out)
+    assert ap2d >= 50.0, (ap2d, out)
+    assert np.isfinite(nhd) and 0.0 <= nhd <= 1.5, (nhd, out)
+
+
 def test_real_loader_filters_applied(tinyds):
     """The committed fixture exercises every loader filter: verify the
     parsed records directly (the CLI test above asserts the training/eval

@@ -62,24 +62,35 @@ def parse_args():
 
 
 def make_run_fn(model):
-    """Jitted oracle-path inference step, built ONCE and shared across test
-    datasets — a fresh @jax.jit per dataset would re-trace (and, on a
-    compile-cache miss, re-upload through the size-capped axon relay) the
-    identical graph for every dataset."""
+    """Jitted inference step, built ONCE and shared across test datasets —
+    a fresh @jax.jit per dataset would re-trace (and, on a compile-cache
+    miss, re-upload through the size-capped axon relay) the identical
+    graph for every dataset.
+
+    With oracle_* in the batch (test.oracle2d merge done upstream) the RPN
+    + box head are bypassed (reference GT-oracle protocol); without them
+    the model's OWN RPN -> box-head detections feed the cube branch
+    (reference --eval-only without oracle files,
+    /root/reference/cubercnn/modeling/roi_heads/roi_heads.py:798-843)."""
     import jax
 
     @jax.jit
     def run(params, batch, depth=None):
         # `depth`: prompt-depth [B, h, w, 1] for use_depth_fusion trunks —
         # dropping it would silently evaluate the model without an input
-        # it was trained with.
+        # it was trained with. The oracle-key branch is a trace-time
+        # decision (different batch pytree -> separate specialization).
+        oracle = {}
+        if "oracle_boxes" in batch:
+            oracle = dict(
+                oracle_boxes=batch["oracle_boxes"],
+                oracle_classes=batch["oracle_classes"],
+                oracle_scores=batch["oracle_scores"],
+                oracle_valid=batch["oracle_valid"],
+            )
         return model.apply(
             params, batch["image"], batch["K"], batch["im_hw"],
-            batch["im_scale_ratio"], depth,
-            oracle_boxes=batch["oracle_boxes"],
-            oracle_classes=batch["oracle_classes"],
-            oracle_scores=batch["oracle_scores"],
-            oracle_valid=batch["oracle_valid"],
+            batch["im_scale_ratio"], depth, **oracle,
         )
 
     return run
