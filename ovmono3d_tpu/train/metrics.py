@@ -134,9 +134,14 @@ class TrainVisHook:
     `period` steps, render the first image of the batch with its GT 2D
     boxes and projected GT 3D cuboids to a PNG under output_dir/vis."""
 
-    def __init__(self, output_dir: str | Path, period: int = 2320):
+    def __init__(self, output_dir: str | Path, period: int = 2320,
+                 tb=None):
         self.dir = Path(output_dir) / "vis"
         self.period = max(period, 1)
+        # Optional TBEventWriter: panels also go to TensorBoard as image
+        # summaries (the reference's visualize_training put_image sink,
+        # rcnn3d.py:119-250), in addition to the PNG on disk.
+        self.tb = tb
 
     def __call__(self, step: int, state, metrics: dict, batch=None):
         if batch is None or step % self.period != 0:
@@ -193,4 +198,7 @@ class TrainVisHook:
             panel = draw_cuboid_3d(panel, corners, K_net)
         out = self.dir / f"train_{step:07d}.png"
         imwrite_rgb(out, panel)
+        if self.tb is not None:
+            self.tb.add_image(step, "train/vis", panel)
+            self.tb.flush()
         logger.info("train vis -> %s", out)

@@ -15,7 +15,10 @@ format directly — it is small and stable:
       - scalar event: wall_time + step (field 2, varint int64) +
         summary (field 5) holding repeated Summary.Value (field 1),
         each with tag (field 1, string) + simple_value (field 2, float).
-    Hand-encoding these ~5 proto fields beats a protobuf/TF dependency.
+      - image event: same Event/Value framing, but the Value carries
+        image (field 4) = Summary.Image{height(1), width(2),
+        colorspace(3), encoded_image_string(4) = PNG bytes}.
+    Hand-encoding these ~8 proto fields beats a protobuf/TF dependency.
 
 CRC32C (Castagnoli) is implemented table-based in pure Python; it runs
 once per flushed scalar record, far off any hot path.
@@ -105,6 +108,26 @@ def _scalar_event(step: int, wall_time: float,
     )
 
 
+def _image_event(step: int, wall_time: float, tag: str, png: bytes,
+                 height: int, width: int, colorspace: int = 3) -> bytes:
+    """Event with one Summary.Value.image (field 4): Summary.Image holds
+    height (1), width (2), colorspace (3: 1=gray, 3=RGB, 4=RGBA) and the
+    PNG bytes (4) — what the reference's TensorboardXWriter emits for
+    visualize_training panels (rcnn3d.py:119-250)."""
+    image = (
+        _field_varint(1, height)
+        + _field_varint(2, width)
+        + _field_varint(3, colorspace)
+        + _field_bytes(4, png)
+    )
+    value = _field_bytes(1, tag.encode()) + _field_bytes(4, image)
+    return (
+        _field_double(1, wall_time)
+        + _field_varint(2, step)
+        + _field_bytes(5, _field_bytes(1, value))  # Event.summary
+    )
+
+
 def _header_event(wall_time: float) -> bytes:
     return _field_double(1, wall_time) + _field_bytes(3, b"brain.Event:2")
 
@@ -138,6 +161,23 @@ class TBEventWriter:
             return
         self._f.write(_frame(_scalar_event(step, time.time(), scalars)))
 
+    def add_image(self, step: int, tag: str, rgb) -> None:
+        """Log an HxWx3 uint8 RGB array as a TB image summary."""
+        import cv2
+        import numpy as np
+
+        rgb = np.ascontiguousarray(rgb)
+        if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+            raise ValueError(f"expected HxWx3 uint8, got {rgb.shape} "
+                             f"{rgb.dtype}")
+        ok, png = cv2.imencode(".png", rgb[..., ::-1])  # RGB -> BGR
+        if not ok:
+            raise ValueError("PNG encode failed")
+        h, w = rgb.shape[:2]
+        self._f.write(_frame(
+            _image_event(step, time.time(), tag, png.tobytes(), h, w)
+        ))
+
     def flush(self):
         self._f.flush()
 
@@ -153,6 +193,18 @@ def read_events(path: str | Path):
     Test/debug helper: verifies framing CRCs and decodes the same subset
     of the proto the writer emits (raises on corrupt records).
     """
+    return [(step, scalars)
+            for step, scalars, _ in read_events_full(path) if scalars]
+
+
+def read_image_events(path: str | Path):
+    """(step, {tag: {'height', 'width', 'colorspace', 'png'}}) tuples."""
+    return [(step, images)
+            for step, _, images in read_events_full(path) if images]
+
+
+def read_events_full(path: str | Path):
+    """All records as (step, scalars, images); verifies both CRCs."""
     out = []
     data = Path(path).read_bytes()
     pos = 0
@@ -167,24 +219,27 @@ def read_events(path: str | Path):
         if _masked_crc(payload) != data_crc:
             raise ValueError(f"bad payload crc at {pos}")
         pos += 16 + length
-        step, scalars = _parse_event(payload)
-        if scalars:
-            out.append((step, scalars))
+        step, scalars, images = _parse_event(payload)
+        out.append((step, scalars, images))
     return out
 
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    # NB: shift must advance 7 bits per byte — the original reader never
+    # incremented it, which only surfaced once image events introduced the
+    # first >127 varints (scalar records are all short).
     result = shift = 0
     while True:
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
+        shift += 7
         if not b & 0x80:
             return result, pos
 
 
-def _parse_event(buf: bytes) -> tuple[int, dict[str, float]]:
-    step, scalars = 0, {}
+def _parse_event(buf: bytes) -> tuple[int, dict[str, float], dict]:
+    step, scalars, images = 0, {}, {}
     pos = 0
     while pos < len(buf):
         key, pos = _read_varint(buf, pos)
@@ -202,14 +257,40 @@ def _parse_event(buf: bytes) -> tuple[int, dict[str, float]]:
             sub = buf[pos:pos + length]
             pos += length
             if num == 5:  # summary
-                scalars.update(_parse_summary(sub))
+                sc, im = _parse_summary(sub)
+                scalars.update(sc)
+                images.update(im)
         else:
             raise ValueError(f"unsupported wire type {wire}")
-    return step, scalars
+    return step, scalars, images
 
 
-def _parse_summary(buf: bytes) -> dict[str, float]:
-    out = {}
+def _parse_image(buf: bytes) -> dict:
+    out = {"height": 0, "width": 0, "colorspace": 0, "png": b""}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        num, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+            if num == 1:
+                out["height"] = val
+            elif num == 2:
+                out["width"] = val
+            elif num == 3:
+                out["colorspace"] = val
+        elif wire == 2:
+            length, pos = _read_varint(buf, pos)
+            if num == 4:
+                out["png"] = buf[pos:pos + length]
+            pos += length
+        else:
+            raise ValueError(f"unsupported image wire type {wire}")
+    return out
+
+
+def _parse_summary(buf: bytes) -> tuple[dict[str, float], dict]:
+    scalars, images = {}, {}
     pos = 0
     while pos < len(buf):
         key, pos = _read_varint(buf, pos)
@@ -219,7 +300,7 @@ def _parse_summary(buf: bytes) -> dict[str, float]:
         length, pos = _read_varint(buf, pos)
         val = buf[pos:pos + length]
         pos += length
-        tag, simple = None, None
+        tag, simple, image = None, None, None
         vpos = 0
         while vpos < len(val):
             vkey, vpos = _read_varint(val, vpos)
@@ -228,6 +309,8 @@ def _parse_summary(buf: bytes) -> dict[str, float]:
                 vlen, vpos = _read_varint(val, vpos)
                 if vnum == 1:
                     tag = val[vpos:vpos + vlen].decode()
+                elif vnum == 4:
+                    image = _parse_image(val[vpos:vpos + vlen])
                 vpos += vlen
             elif vwire == 5:
                 if vnum == 2:
@@ -238,5 +321,7 @@ def _parse_summary(buf: bytes) -> dict[str, float]:
             elif vwire == 0:
                 _, vpos = _read_varint(val, vpos)
         if tag is not None and simple is not None:
-            out[tag] = simple
-    return out
+            scalars[tag] = simple
+        if tag is not None and image is not None:
+            images[tag] = image
+    return scalars, images

@@ -273,7 +273,10 @@ def main():
 
     hooks = [MetricsWriter(cfg.output_dir, use_tensorboard=args.tensorboard)]
     if cfg.vis_period > 0:
-        hooks.append(TrainVisHook(cfg.output_dir, period=cfg.vis_period))
+        # Panels go to disk AND (with --tensorboard) to TB image summaries
+        # (the reference's visualize_training sink, rcnn3d.py:119-250).
+        hooks.append(TrainVisHook(cfg.output_dir, period=cfg.vis_period,
+                                  tb=hooks[0].tb))
     if args.profile:
         hooks.append(ProfilerHook(cfg.output_dir))
 
