@@ -250,41 +250,47 @@ class DepthPro(nn.Module):
             self.fov_head_out = nn.Conv(1, (k, k), padding=0, dtype=self.dtype,
                                         name="fov_head_out")
 
-    def __call__(self, images: jax.Array):
-        """images: [B, H, H, 3] normalized, H a power-of-two multiple of
-        encoder_size/out_size. Returns dict(canonical_inverse_depth
-        [B, H, H], fov_deg [B])."""
+    # -- stages (tools/probe_depth_stages.py times each via
+    #    apply(method=...); __call__ is their exact composition) ---------
+
+    def pyramid_patches(self, images: jax.Array):
+        """Image pyramid -> one batched stack of overlapping crops,
+        high-res scale LAST in the returned concat (reverse scale order),
+        plus the per-scale crop counts. Pure data movement, no params."""
         B, H = images.shape[0], images.shape[1]
         E = self.encoder_size
-        out_size = E // self.patch_size
-        # With H a power-of-two multiple of out_size (the released model:
-        # 1536 = 24 * 2^6), HF's base = H // 2**int(log2(H/out_size))
-        # reduces to out_size; assert the precondition instead of
-        # replicating the obfuscated identity.
-        assert H % out_size == 0 and (H // out_size) & (H // out_size - 1) \
-            == 0, f"input side {H} must be a power-of-two multiple of " \
-                  f"{out_size}"
-        assert int(H * min(self.scaled_ratios)) >= E, (
-            f"input side {H} too small: the {min(self.scaled_ratios)}-scale "
-            f"pyramid level must be at least encoder_size={E}"
-        )
-        base = out_size
-
-        # --- image pyramid -> overlapping crops, high-res scale first ---
         per_scale = []
         for ratio, ov in zip(self.scaled_ratios, self.overlap_ratios):
             scaled = _resize(images, (int(H * ratio), int(H * ratio)))
             per_scale.append(split_to_patches(scaled, E, ov))
         counts = [p.shape[0] // B for p in per_scale]
-        patches = jnp.concatenate(per_scale[::-1], axis=0)
+        return jnp.concatenate(per_scale[::-1], axis=0), counts
 
-        enc = self.patch_encoder(patches)
+    def encode_patches(self, patches: jax.Array) -> dict:
+        """The 35-crop (released geometry) batched ViT-L pass."""
+        return self.patch_encoder(patches)
+
+    def encode_image(self, global_img: jax.Array) -> jax.Array:
+        return self.image_encoder(global_img)["last_feat"]
+
+    def encode_fov_trunk(self, global_img: jax.Array) -> jax.Array:
+        return self.fov_encoder(global_img)["last_feat"]
+
+    def decode_features(self, enc: dict, img_feat: jax.Array,
+                        fov_feat: jax.Array | None, batch: int,
+                        counts: Sequence[int]):
+        """Patch-grid merge + reassembly, upsample/projection neck, DPT
+        fusion decoder + depth head + FOV head."""
+        B = batch
+        E = self.encoder_size
+        base = E // self.patch_size
+        out_size = base
         last = enc["last_feat"]                      # [N*B, g, g, C]
 
         # split back, low-res scale first
         feats = []
         start = 0
-        for n in [c * B for c in counts[::-1]]:
+        for n in [c * B for c in list(counts)[::-1]]:
             feats.append(last[start : start + n])
             start += n
         feats = feats[::-1]
@@ -303,8 +309,6 @@ class DepthPro(nn.Module):
             tgt = base * 2 ** (len(self.scaled_ratios) - 1)
             hook_feats.append(_resize(merged, (tgt, tgt)))
 
-        global_img = _resize(images, (E, E))
-        img_feat = self.image_encoder(global_img)["last_feat"]
         img_feat = _resize(img_feat, (base, base))
 
         # --- neck: upsample + fuse + project ---
@@ -338,7 +342,6 @@ class DepthPro(nn.Module):
 
         # --- FOV network ---
         if self.use_fov:
-            fov_feat = self.fov_encoder(global_img)["last_feat"]
             fov_feat = self.fov_neck(fov_feat)
             fov_feat = _resize(fov_feat, (base, base))
             g = nn.relu(self.fov_conv(jax.lax.stop_gradient(pyramid[0])))
@@ -353,6 +356,33 @@ class DepthPro(nn.Module):
             "canonical_inverse_depth": inv_depth.astype(jnp.float32),
             "fov_deg": fov.astype(jnp.float32),
         }
+
+    def __call__(self, images: jax.Array):
+        """images: [B, H, H, 3] normalized, H a power-of-two multiple of
+        encoder_size/out_size. Returns dict(canonical_inverse_depth
+        [B, H, H], fov_deg [B])."""
+        B, H = images.shape[0], images.shape[1]
+        E = self.encoder_size
+        out_size = E // self.patch_size
+        # With H a power-of-two multiple of out_size (the released model:
+        # 1536 = 24 * 2^6), HF's base = H // 2**int(log2(H/out_size))
+        # reduces to out_size; assert the precondition instead of
+        # replicating the obfuscated identity.
+        assert H % out_size == 0 and (H // out_size) & (H // out_size - 1) \
+            == 0, f"input side {H} must be a power-of-two multiple of " \
+                  f"{out_size}"
+        assert int(H * min(self.scaled_ratios)) >= E, (
+            f"input side {H} too small: the {min(self.scaled_ratios)}-scale "
+            f"pyramid level must be at least encoder_size={E}"
+        )
+
+        patches, counts = self.pyramid_patches(images)
+        enc = self.encode_patches(patches)
+        global_img = _resize(images, (E, E))
+        img_feat = self.encode_image(global_img)
+        fov_feat = (self.encode_fov_trunk(global_img)
+                    if self.use_fov else None)
+        return self.decode_features(enc, img_feat, fov_feat, B, counts)
 
 
 def metric_depth(

@@ -120,24 +120,44 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         best_tp = dt if best_tp is None else min(best_tp, dt)
 
-    # Stage split (separately timed; predict() itself is the headline).
-    det_times, lift_times = [], []
-    for _ in range(max(args.iters // 3, 5)):
-        t0 = time.perf_counter()
-        det2d = pipe.detect_2d(image, CATEGORIES)
-        det_times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        out = pipe.lift_3d(image, K, det2d)
-        jax.block_until_ready(out)
-        lift_times.append(time.perf_counter() - t0)
+    # Device floor: the fused detect+postprocess+lift program timed with
+    # the chained scalar-carry protocol (one dispatch + one scalar read per
+    # round) — what predict() costs with the relay taken out. Round-4
+    # measurement: 123.4 ms/img = 8.10 img/s (vs ~126 ms for the old
+    # two-program floor), with the same-session A/B showing the fused path
+    # saves ~66 ms of blocking p50 (one sync + one canvas upload).
+    import jax.numpy as jnp
+
+    from tools.bench_util import bench_loop
+
+    canvas, (nh, nw), scale = pipe._prep_lift_canvas(image)
+    text = pipe._text_device_inputs(CATEGORIES)
+
+    def fused_fn(canvas_b, gp, rp, K_, hw, ratio, *rest):
+        (ids, tmask, smask, pids, biases, span_m, span_v) = rest
+        return pipe._fused_fn(gp, rp, canvas_b, K_, hw, ratio, None,
+                              ids, tmask, smask, pids, biases,
+                              span_m, span_v)
+
+    floor_s = bench_loop(
+        fused_fn, jnp.asarray(canvas)[None],
+        lambda det: det.scores[0, 0],
+        iters=10, rounds=3, label="fused graph (chained device floor)",
+        args=(pipe.gdino_params, pipe.rcnn_params,
+              jnp.asarray(K, jnp.float32)[None],
+              jnp.asarray([[nh, nw]], jnp.int32),
+              jnp.asarray([1.0 / scale], jnp.float32),
+              text[0], text[1], text[2], text[3],
+              pipe._swin_rel_biases(), text[4], text[5]),
+    )
 
     p50 = float(np.percentile(times, 50))
     mean = float(times.mean())
     # Headline: best sustained per-image time under either protocol — the
     # repo's best-of convention (CLAUDE.md: the relay adds random 100-250 ms
     # completion-latency tails that grow over a sustained run; best-of is
-    # the only stable estimator on this link). Device graph total is
-    # ~155 ms/img (tools/probe_lift_stages.py), the floor for this number.
+    # the only stable estimator on this link). The chained fused-graph
+    # device floor above bounds it from below.
     best = min(best_tp, float(times.min()))
     img_per_s = 1.0 / best
     print(
@@ -145,9 +165,8 @@ def main():
         f"{cfg.model.backbone.square_pad}^2, {len(CATEGORIES)} cats): "
         f"best {best * 1e3:.1f} ms/img (pipelined depth-{args.depth} "
         f"{best_tp * 1e3:.1f}) | blocking p50 {p50 * 1e3:.1f} ms, "
-        f"mean {mean * 1e3:.1f} ms | "
-        f"stages: detect p50 {np.percentile(det_times, 50) * 1e3:.1f} ms, "
-        f"lift p50 {np.percentile(lift_times, 50) * 1e3:.1f} ms",
+        f"mean {mean * 1e3:.1f} ms | fused-graph device floor "
+        f"{floor_s * 1e3:.1f} ms = {1 / floor_s:.2f} img/s",
         flush=True,
     )
     print(json.dumps({
@@ -158,6 +177,7 @@ def main():
         "best_ms_per_img": round(best * 1e3, 2),
         "pipelined_ms_per_img": round(best_tp * 1e3, 2),
         "blocking_p50_latency_ms": round(p50 * 1e3, 2),
+        "fused_device_floor_ms": round(floor_s * 1e3, 2),
     }))
 
 
