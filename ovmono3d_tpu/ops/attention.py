@@ -224,6 +224,399 @@ def flash_attention(
     return out[:, :n]
 
 
+def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                         scale: float, heads_per_block: int):
+    """One (batch, head-group, q-block) program, channel-packed I/O.
+
+    The standard flash path's cost at ViT shapes is NOT the math: it
+    transposes q/k/v/out between the model's channel-packed [B, N, H*D]
+    and the kernel's head-major [B*H, N, D] every layer (28.8 ms/fwd of
+    layout copies in the Depth-Pro patches stage, tools/profile_depth.py)
+    and pads N to block_q multiples (577 -> 768: 33% dead QK rows). This
+    kernel instead consumes the qkv projection's NATIVE layout — q/k/v
+    [B, N, C] with head h occupying columns [h*D, (h+1)*D) exactly as the
+    fused qkv matmul writes them — via lane-tile-aligned COLUMN blocks of
+    heads_per_block heads (G*D = a 128-lane multiple), looping the G
+    heads inside the program over static 64-aligned lane slices. XLA
+    emits zero transposes, q pads only to sublane granularity, and KV
+    pads to the 128-lane logits tile. Same clamped single-pass exp2
+    softmax and exactness window as _flash_kernel_single."""
+    in_dtype = q_ref.dtype
+    d = q_ref.shape[-1] // heads_per_block
+    q = (
+        q_ref[0].astype(jnp.float32) * (scale * _LOG2E)
+    ).astype(in_dtype)
+    mask = mask_ref[0][None, :]
+    for g in range(heads_per_block):
+        sl = slice(g * d, (g + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.minimum(s + mask, 0.0)
+        p = jnp.exp2(s)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(in_dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _packed_geometry(n: int, h: int, d: int) -> tuple[int, int, int, int]:
+    """(heads_per_block, n_q_pad, n_kv_pad, block_q) for the packed path.
+
+    heads_per_block: fewest heads whose packed width is a 128-lane
+    multiple. KV pads to the 128-lane logits tile; q pads to sublane
+    granularity when a single q-block suffices, else to 384-row blocks
+    (the standard kernel's block_q — n=4097 pads to 4224, 3%)."""
+    g = 1
+    while (g * d) % 128 != 0:
+        g += 1
+    n_kv = -(-n // 128) * 128
+    if n <= 768:
+        block_q = n_q = -(-n // 16) * 16
+    else:
+        block_q = 384
+        n_q = -(-n // block_q) * block_q
+    return g, n_q, n_kv, block_q
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "clamp_c", "interpret")
+)
+def flash_attention_packed(
+    q: jax.Array,            # [B, N, H, D] (wrapper view; see kernel doc)
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    clamp_c: float = 50.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Channel-packed flash attention. [B, N, H, D] -> same.
+
+    The [B, N, H, D] <-> [B, N, H*D] reshapes at this boundary merge/split
+    minor dims only — XLA fuses them into the surrounding slice/matmul
+    (no layout copy), unlike flash_attention's [B*H, N, D] transposes.
+    Single-KV-block clamped path only (N <= 6144, every current user)."""
+    b, n, h, d = q.shape
+    c = h * d
+    scale = 1.0 / (d**0.5)
+    g, n_q, n_kv, block_q = _packed_geometry(n, h, d)
+    assert h % g == 0, (h, d)
+    gc = g * d
+    qp = jnp.pad(q.reshape(b, n, c), ((0, 0), (0, n_q - n), (0, 0)))
+    kp, vp = (
+        jnp.pad(x.reshape(b, n, c), ((0, 0), (0, n_kv - n), (0, 0)))
+        for x in (k, v)
+    )
+    mask = jnp.where(
+        jnp.arange(n_kv) < n, -clamp_c * _LOG2E, _NEG_INF
+    ).astype(jnp.float32)[None]
+    kernel = functools.partial(
+        _flash_kernel_packed, scale=scale, heads_per_block=g
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // g, n_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, gc), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, gc), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, gc), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv), lambda bi, hi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, gc), lambda bi, hi, qi: (bi, qi, hi),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_q, c), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_q * n_kv * d,
+            bytes_accessed=(6 * b * n_kv * c + 2 * b * n_q * c),
+            transcendentals=b * h * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, mask)
+    return out[:, :n].reshape(b, n, h, d)
+
+
+def _use_packed(n: int, h: int, d: int) -> bool:
+    """Packed-path gate: single-KV-block VMEM bound (the s/p logits
+    intermediates [block_q, n_kv] f32+bf16 plus the KV column blocks must
+    fit; n<=6144 mirrors the standard single-block bound) and a head
+    width that tiles to 128 lanes. OVMONO3D_PACKED_ATTN=0 is the A/B
+    escape hatch."""
+    if os.environ.get("OVMONO3D_PACKED_ATTN", "1") == "0":
+        return False
+    g = 1
+    while (g * d) % 128 != 0 and g <= h:
+        g += 1
+    return h % g == 0 and n <= 6144
+
+
+def _flash_kernel_packed_lse(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                             *, scale: float, heads_per_block: int):
+    """_flash_kernel_packed + per-(head, row) log2 softmax denominator.
+
+    lse rides a [b, h//g, g, n_q] array whose (g, block_q) block satisfies
+    the Mosaic sublane rule by making g an array dim (cf. the
+    [bh, 1, n_q] layout of _flash_kernel_single_lse)."""
+    in_dtype = q_ref.dtype
+    d = q_ref.shape[-1] // heads_per_block
+    q = (
+        q_ref[0].astype(jnp.float32) * (scale * _LOG2E)
+    ).astype(in_dtype)
+    mask = mask_ref[0][None, :]
+    for g in range(heads_per_block):
+        sl = slice(g * d, (g + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.minimum(s + mask, 0.0)
+        p = jnp.exp2(s)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        o = jax.lax.dot_general(
+            p.astype(in_dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+        lse_ref[0, 0, g] = jnp.log2(l)[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "clamp_c", "interpret")
+)
+def flash_attention_packed_lse(
+    q: jax.Array,            # [B, N, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    clamp_c: float = 50.0,
+    interpret: bool = False,
+):
+    """flash_attention_packed that ALSO returns the log2 softmax
+    denominator residual, lse [b, h//g, g, n_q] (g = heads per column
+    block). The packed backward consumes this layout natively."""
+    b, n, h, d = q.shape
+    c = h * d
+    scale = 1.0 / (d**0.5)
+    g, n_q, n_kv, block_q = _packed_geometry(n, h, d)
+    assert h % g == 0, (h, d)
+    gcols = g * d
+    qp = jnp.pad(q.reshape(b, n, c), ((0, 0), (0, n_q - n), (0, 0)))
+    kp, vp = (
+        jnp.pad(x.reshape(b, n, c), ((0, 0), (0, n_kv - n), (0, 0)))
+        for x in (k, v)
+    )
+    mask = jnp.where(
+        jnp.arange(n_kv) < n, -clamp_c * _LOG2E, _NEG_INF
+    ).astype(jnp.float32)[None]
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_packed_lse, scale=scale,
+                          heads_per_block=g),
+        grid=(b, h // g, n_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, gcols),
+                         lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, gcols), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, gcols), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv), lambda bi, hi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, gcols),
+                         lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, block_q),
+                         lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_q, c), q.dtype),
+            jax.ShapeDtypeStruct((b, h // g, g, n_q), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_q * n_kv * d,
+            bytes_accessed=(6 * b * n_kv * c + 2 * b * n_q * c),
+            transcendentals=b * h * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, mask)
+    return out[:, :n].reshape(b, n, h, d), lse
+
+
+def _flash_bwd_packed_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                             delta_ref, mask_ref, dq_ref, dk_ref, dv_ref,
+                             *, scale: float, heads_per_block: int):
+    """Packed fused backward: one (batch, head-group, kv-block) program
+    computes dk/dv and accumulates dq — _flash_bwd_fused_kernel's math
+    per head over channel-packed column blocks (zero [B*H, N, D]
+    transposes outside; see _flash_kernel_packed for why that matters)."""
+    j = pl.program_id(2)
+    in_dtype = q_ref.dtype
+    d = q_ref.shape[-1] // heads_per_block
+    mask = mask_ref[0][None, :]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    for g in range(heads_per_block):
+        sl = slice(g * d, (g + 1) * d)
+        q_raw = q_ref[0, :, sl]                                # [n_q, D]
+        q2 = (
+            q_raw.astype(jnp.float32) * (scale * _LOG2E)
+        ).astype(in_dtype)
+        s = jax.lax.dot_general(
+            q2, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [n_q, bk]
+        s = jnp.minimum(s + mask, 0.0)
+        p = jnp.exp2(s - lse_ref[0, 0, g][:, None])            # [n_q, bk]
+        do_h = do_ref[0, :, sl]
+        dv = jax.lax.dot_general(
+            p.astype(in_dtype), do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [bk, D]
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do_h, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [n_q, bk]
+        ds = (p * (dp - delta_ref[0, 0, g][:, None])).astype(in_dtype)
+        dk = jax.lax.dot_general(
+            ds, q_raw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [bk, D]
+        dk_ref[0, :, sl] = (scale * dk).astype(dk_ref.dtype)
+        dq_part = jax.lax.dot_general(
+            ds, k_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [n_q, D]
+        dq_ref[0, :, sl] += scale * dq_part
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_k", "clamp_c",
+                              "interpret")
+)
+def flash_attention_packed_bwd(
+    q: jax.Array,            # [B, N, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    lse: jax.Array,          # [b, h//g, g, n_q] from packed_lse
+    do: jax.Array,
+    num_heads: int,
+    block_k: int = 256,
+    clamp_c: float = 50.0,
+    interpret: bool = False,
+):
+    """Channel-packed fused flash backward (dq, dk, dv).
+
+    Same math as flash_attention_bwd(fused=True) but with [B, N, C]
+    blocks — removes the 8 per-layer [B*H, N, D] transposed copies the
+    head-major backward pays (q/k/v/do/o in + dq/dk/dv out)."""
+    b, n, h, d = q.shape
+    c = h * d
+    scale = 1.0 / (d**0.5)
+    g, n_q_geom, _, _ = _packed_geometry(n, h, d)
+    n_q = lse.shape[3]
+    assert n_q == n_q_geom, (n_q, n_q_geom)
+    n_kv = -(-n // block_k) * block_k
+    gcols = g * d
+
+    def pad_packed(x, n_pad):
+        return jnp.pad(
+            x.reshape(b, n, c), ((0, 0), (0, n_pad - n), (0, 0))
+        )
+
+    qp = pad_packed(q, n_q)
+    kp = pad_packed(k, n_kv)
+    vp = pad_packed(v, n_kv)
+    dop = pad_packed(do, n_q)
+    op = pad_packed(o, n_q)
+    # delta = rowsum(do * o) per head: elementwise + a per-head segment
+    # sum in the packed layout, then the tiny [b, h, n_q] transpose into
+    # lse's [b, h//g, g, n_q] block layout (1.6 MB f32 at trunk shapes —
+    # nothing like the 52 MB q/k/v transposes this kernel avoids).
+    delta = jnp.einsum(
+        "bnhd->bhn",
+        (dop.astype(jnp.float32) * op.astype(jnp.float32)).reshape(
+            b, n_q, h, d),
+    ).reshape(b, h // g, g, n_q)
+    # padded q rows: p = 0 via lse = +inf
+    lse_p = jnp.where(
+        jnp.arange(n_q)[None, None, None] < n, lse, 1e30
+    )
+    mask = jnp.where(
+        jnp.arange(n_kv) < n, -clamp_c * _LOG2E, _NEG_INF
+    ).astype(jnp.float32)[None]
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_packed_kernel, scale=scale,
+                          heads_per_block=g),
+        grid=(b, h // g, n_kv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, n_q, gcols), lambda bi, hi, j: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, gcols),
+                         lambda bi, hi, j: (bi, j, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, gcols),
+                         lambda bi, hi, j: (bi, j, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_q, gcols), lambda bi, hi, j: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, n_q), lambda bi, hi, j: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, n_q), lambda bi, hi, j: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda bi, hi, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_q, gcols), lambda bi, hi, j: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, gcols),
+                         lambda bi, hi, j: (bi, j, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, gcols),
+                         lambda bi, hi, j: (bi, j, hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_q, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_kv, c), k.dtype),
+            jax.ShapeDtypeStruct((b, n_kv, c), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * n_q * n_kv * d,
+            bytes_accessed=(3 * b * n_q * c + 4 * b * n_kv * c) * 2
+            + 4 * b * n_q * c,
+            transcendentals=b * h * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_p, delta, mask)
+
+    def unpack(x, n_pad):
+        return x[:, :n].reshape(b, n, h, d)
+
+    return (
+        unpack(dq, n_q).astype(q.dtype),
+        unpack(dk, n_kv),
+        unpack(dv, n_kv),
+    )
+
+
 def _flash_kernel_single_lse(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                              *, scale: float):
     """_flash_kernel_single + per-row log2 softmax denominator.
@@ -658,6 +1051,10 @@ def _env_clamp() -> float | None:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _attention_autoselect(q, k, v, clamp):
     if jax.default_backend() == "tpu":
+        b, n, h, d = q.shape
+        if clamp is not None and _use_packed(n, h, d):
+            return flash_attention_packed(q, k, v, num_heads=h,
+                                          clamp_c=clamp)
         return flash_attention(q, k, v, clamp_c=clamp)
     return attention_xla(q, k, v)
 
@@ -668,8 +1065,16 @@ def _attn_fwd(q, k, v, clamp):
         # Flash forward WITH the log2-denominator residual: the Pallas
         # backward reconstructs p blockwise instead of materializing the
         # [B, H, N, N] probability/gradient tensors the XLA fallback
-        # needs (6.8 GB per trunk block at b8/N4224).
-        o, lse = flash_attention_fwd_lse(q, k, v, clamp_c=clamp)
+        # needs (6.8 GB per trunk block at b8/N4224). The channel-packed
+        # pair additionally removes the 12 per-layer [B*H, N, D]
+        # transposed copies (4 fwd + 8 bwd) of the head-major kernels;
+        # lse.ndim == 4 marks the packed residual layout for _attn_bwd.
+        b, n, h, d = q.shape
+        if _use_packed(n, h, d):
+            o, lse = flash_attention_packed_lse(q, k, v, num_heads=h,
+                                                clamp_c=clamp)
+        else:
+            o, lse = flash_attention_fwd_lse(q, k, v, clamp_c=clamp)
         # Under jax.checkpoint with a save_only_these_names-style policy
         # (backbone.remat_policy="dots_attn"), these tags let the trunk
         # backward reuse the flash forward's out/lse residuals instead of
@@ -683,6 +1088,9 @@ def _attn_fwd(q, k, v, clamp):
 def _attn_bwd(clamp, res, g):
     q, k, v, o, lse = res
     if lse is not None:
+        if lse.ndim == 4:
+            return flash_attention_packed_bwd(
+                q, k, v, o, lse, g, num_heads=q.shape[2], clamp_c=clamp)
         return flash_attention_bwd(q, k, v, o, lse, g, clamp_c=clamp)
     # Differentiate the XLA reference path (identical math).
     _, vjp = jax.vjp(attention_xla, q, k, v)

@@ -37,6 +37,47 @@ def test_flash_single_kv_block_auto():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_flash_packed_matches_xla():
+    """Channel-packed kernel (Depth-Pro crop / BERT shapes) vs the XLA
+    reference: unaligned N exercises the sublane pad + KV mask; the
+    odd-head lane slices (offset 64 inside a 128-lane vreg) are the
+    Mosaic-specific risk this pins."""
+    from ovmono3d_tpu.ops.attention import flash_attention_packed
+
+    B, N, H, D = 3, 133, 4, 64
+    q = _rand((B, N, H, D), 20, jnp.bfloat16)
+    k = _rand((B, N, H, D), 21, jnp.bfloat16)
+    v = _rand((B, N, H, D), 22, jnp.bfloat16)
+    want = attention_xla(q, k, v).astype(jnp.float32)
+    got = flash_attention_packed(q, k, v, num_heads=H,
+                                 interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+    # f32 path: tight tolerance against the reference
+    qf = _rand((B, N, H, D), 23, jnp.float32)
+    kf = _rand((B, N, H, D), 24, jnp.float32)
+    vf = _rand((B, N, H, D), 25, jnp.float32)
+    want = attention_xla(qf, kf, vf)
+    got = flash_attention_packed(qf, kf, vf, num_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_flash_packed_multi_qblock():
+    """N > 768 engages the 384-row q-block path (trunk geometry, scaled
+    down) — q-pad rows + the (b, head-group, q-block) grid."""
+    from ovmono3d_tpu.ops.attention import flash_attention_packed
+
+    B, N, H, D = 1, 900, 4, 64
+    q = _rand((B, N, H, D), 26, jnp.float32)
+    k = _rand((B, N, H, D), 27, jnp.float32)
+    v = _rand((B, N, H, D), 28, jnp.float32)
+    want = attention_xla(q, k, v)
+    got = flash_attention_packed(q, k, v, num_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_flash_clamped_softmax_large_logits():
     """The clamped single-pass kernel is exact while row-max raw logits
     stay inside [C-87, C]; check near the top of that window, plus the
@@ -175,6 +216,54 @@ def test_flash_backward_matches_xla_grads_bf16(fused):
     o, lse = flash_attention_fwd_lse(q, k, v, block_q=128, interpret=True)
     got = flash_attention_bwd(q, k, v, o, lse, do, block_q=128,
                               block_k=128, fused=fused, interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).astype(np.float32), w,
+                                   atol=5e-2, rtol=5e-2)
+
+
+def test_flash_packed_lse_and_backward_match_xla_grads():
+    """Channel-packed fwd_lse + fused backward vs differentiating the XLA
+    reference — f32 tight + bf16 loose, unaligned N (sublane q-pad, KV
+    lane pad, odd-head 64-offset lane slices)."""
+    from ovmono3d_tpu.ops.attention import (
+        flash_attention_packed,
+        flash_attention_packed_bwd,
+        flash_attention_packed_lse,
+    )
+
+    B, N, H, D = 2, 150, 4, 64
+    q = _rand((B, N, H, D), 40, jnp.float32)
+    k = _rand((B, N, H, D), 41, jnp.float32)
+    v = _rand((B, N, H, D), 42, jnp.float32)
+    do = _rand((B, N, H, D), 43, jnp.float32)
+
+    _, vjp = jax.vjp(attention_xla, q, k, v)
+    want_dq, want_dk, want_dv = vjp(do)
+
+    o, lse = flash_attention_packed_lse(q, k, v, num_heads=H,
+                                        interpret=True)
+    want_o = flash_attention_packed(q, k, v, num_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(want_o),
+                               atol=1e-6, rtol=1e-6)
+    assert lse.shape == (B, H // 2, 2, 160)  # g=2 for D=64, N 16-padded
+
+    got_dq, got_dk, got_dv = flash_attention_packed_bwd(
+        q, k, v, o, lse, do, num_heads=H, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dq), np.asarray(want_dq),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dk), np.asarray(want_dk),
+                               atol=1e-4, rtol=1e-4)
+
+    # bf16 (the training dtype)
+    qb, kb, vb, dob = (x.astype(jnp.bfloat16) for x in (q, k, v, do))
+    _, vjp = jax.vjp(attention_xla, qb, kb, vb)
+    want = [np.asarray(x).astype(np.float32) for x in vjp(dob)]
+    o, lse = flash_attention_packed_lse(qb, kb, vb, num_heads=H,
+                                        interpret=True)
+    got = flash_attention_packed_bwd(qb, kb, vb, o, lse, dob, num_heads=H,
+                                     block_k=64, interpret=True)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g).astype(np.float32), w,
                                    atol=5e-2, rtol=5e-2)
