@@ -267,3 +267,23 @@ def test_flash_packed_lse_and_backward_match_xla_grads():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g).astype(np.float32), w,
                                    atol=5e-2, rtol=5e-2)
+
+
+def test_packed_geometry_and_gate():
+    """Geometry/gate edge cases: head widths that do/don't tile to 128
+    lanes, the single-q-block bound, and the 6144 VMEM gate."""
+    from ovmono3d_tpu.ops.attention import _packed_geometry, _use_packed
+
+    # D=64 -> pairs of heads; N=577 -> single 592-row q block, 640 KV
+    assert _packed_geometry(577, 16, 64) == (2, 592, 640, 592)
+    # trunk: N=4097 -> 384-row q blocks to 4224, KV 4224
+    assert _packed_geometry(4097, 12, 64) == (2, 4224, 4224, 384)
+    # D=128 -> single-head columns
+    assert _packed_geometry(200, 4, 128)[0] == 1
+    assert _use_packed(4097, 12, 64)
+    assert _use_packed(577, 16, 64)
+    assert not _use_packed(8192, 12, 64)      # beyond single-KV bound
+    # D=80 (SAM vit_h): g=8 tiles 640 lanes; 16 % 8 == 0 -> eligible
+    assert _use_packed(4096, 16, 80)
+    # odd head count that can't group to a 128 multiple
+    assert not _use_packed(1024, 3, 80)
