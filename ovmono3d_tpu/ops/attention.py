@@ -453,6 +453,18 @@ def flash_attention_packed_lse(
     return out[:, :n].reshape(b, n, h, d), lse
 
 
+def _packed_bwd_block_k(n_q: int) -> int:
+    """Largest kv block whose packed-backward kernel stack fits the 16 MB
+    scoped-VMEM budget. The scoped terms scale as ~14 B per
+    (q-row, kv-col) cell (f32 s/p/dp + bf16 ds/p casts); 12 MB of the
+    16 MB scope is budgeted for them (measured: bk=256 at n_q=4224 asks
+    18.22 MB and is rejected by Mosaic; bk=128 fits)."""
+    block_k = 256
+    while block_k > 128 and 14 * n_q * block_k > 12 * 2**20:
+        block_k //= 2
+    return block_k
+
+
 def _flash_bwd_packed_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
                              delta_ref, mask_ref, dq_ref, dk_ref, dv_ref,
                              *, scale: float, heads_per_block: int):
@@ -516,7 +528,7 @@ def flash_attention_packed_bwd(
     lse: jax.Array,          # [b, h//g, g, n_q] from packed_lse
     do: jax.Array,
     num_heads: int,
-    block_k: int = 256,
+    block_k: int | None = None,
     clamp_c: float = 50.0,
     interpret: bool = False,
 ):
@@ -524,13 +536,22 @@ def flash_attention_packed_bwd(
 
     Same math as flash_attention_bwd(fused=True) but with [B, N, C]
     blocks — removes the 8 per-layer [B*H, N, D] transposed copies the
-    head-major backward pays (q/k/v/do/o in + dq/dk/dv out)."""
+    head-major backward pays (q/k/v/do/o in + dq/dk/dv out).
+
+    block_k=None picks the largest kv block whose kernel stack fits the
+    16 MB scoped-VMEM budget: the dominant scoped terms are the
+    [n_q, block_k] f32 s/p/dp (+bf16 ds/p casts) intermediates, ~14 B
+    per (q-row, kv-col) cell, so bk=256 fits up to n_q≈2.4k and trunk
+    shapes (n_q=4224) need bk=128 (measured: bk=256 at n_q=4224 asks
+    18.22 MB of the 16 MB scope)."""
     b, n, h, d = q.shape
     c = h * d
     scale = 1.0 / (d**0.5)
     g, n_q_geom, _, _ = _packed_geometry(n, h, d)
     n_q = lse.shape[3]
     assert n_q == n_q_geom, (n_q, n_q_geom)
+    if block_k is None:
+        block_k = _packed_bwd_block_k(n_q)
     n_kv = -(-n // block_k) * block_k
     gcols = g * d
 

@@ -287,3 +287,15 @@ def test_packed_geometry_and_gate():
     assert _use_packed(4096, 16, 80)
     # odd head count that can't group to a 128 multiple
     assert not _use_packed(1024, 3, 80)
+
+
+def test_packed_bwd_block_k():
+    """Adaptive kv-block: the backward's [n_q, bk] scoped intermediates
+    must fit the 16 MB VMEM scope — trunk n_q=4224 drops to bk=128
+    (bk=256 measured 18.22 MB on-device), small shapes keep 256."""
+    from ovmono3d_tpu.ops.attention import _packed_bwd_block_k
+
+    assert _packed_bwd_block_k(592) == 256    # Depth-Pro crops
+    assert _packed_bwd_block_k(2048) == 256
+    assert _packed_bwd_block_k(4224) == 128   # trunk (b8 896²)
+    assert _packed_bwd_block_k(6144) == 128   # gate maximum
