@@ -94,9 +94,16 @@ def main():
     import numpy as np
 
     from __graft_entry__ import _flagship_config
+    from ovmono3d_tpu.config import _set_by_path
     from ovmono3d_tpu.models.rcnn3d import build_model
 
     cfg = _flagship_config(square_pad=896)
+    # A/B escape hatch for the opt-in W8A8 serving path (ops/quant.py):
+    # OVMONO3D_QUANT=int8 quantizes the trunk qkv/proj/fc1/fc2 matmuls.
+    # The headline metric stays the bit-exact bf16 path.
+    quant = os.environ.get("OVMONO3D_QUANT", "none")
+    if quant != "none":
+        cfg = _set_by_path(cfg, "model.backbone.quant", quant)
     model = build_model(cfg.model)
 
     B, S, N = 1, 896, 64

@@ -45,6 +45,11 @@ class BackboneConfig:
     scale_factors: tuple[float, ...] = (2.0, 1.0, 0.5)
     square_pad: int = 896           # fixed input side (MODEL.FPN.SQUARE_PAD)
     attention: str = "auto"         # auto | xla | flash
+    quant: str = "none"             # "int8": opt-in W8A8 dynamic-quant
+                                    # SERVING path for the trunk's
+                                    # qkv/proj/fc1/fc2 matmuls (MXU int8
+                                    # runs 2x the bf16 rate; ops/quant.py).
+                                    # Inference-only; training stays bf16.
 
 
 @dataclass(frozen=True)

@@ -113,6 +113,7 @@ class ViTSFPBackbone(nn.Module):
             use_depth_fusion=fuse,
             remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
+            quant=self.cfg.quant,
             name="vit",
             **preset,
         )

@@ -150,6 +150,8 @@ class DepthPro(nn.Module):
     merge_padding: int = 3
     num_fov_layers: int = 2
     use_fov: bool = True
+    quant: str = "none"   # "int8": W8A8 serving path for the ViT trunks'
+                          # qkv/proj/fc1/fc2 (ops/quant.py; opt-in)
     dtype: Dtype = jnp.bfloat16
 
     def _vit(self, name: str, hooks: Sequence[int] = ()) -> VisionTransformer:
@@ -163,6 +165,7 @@ class DepthPro(nn.Module):
             use_depth_fusion=False,
             final_norm=True,
             out_layers=tuple(hooks),
+            quant=self.quant,
             dtype=self.dtype,
             name=name,
         )

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ovmono3d_tpu.ops.attention import _LOG2E, dot_product_attention
+from ovmono3d_tpu.ops.quant import QDense
 
 Dtype = Any
 
@@ -74,15 +75,18 @@ class Mlp(nn.Module):
     # OpenAI CLIP towers use QuickGELU (x * sigmoid(1.702 x)) instead of the
     # exact erf gelu (open_clip quick_gelu=True for 'openai' checkpoints).
     quick_gelu: bool = False
+    quant: str = "none"       # opt-in int8 serving path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = QDense(self.hidden_dim, quant=self.quant, dtype=self.dtype,
+                   name="fc1")(x)
         if self.quick_gelu:
             x = x * jax.nn.sigmoid(1.702 * x)
         else:
             x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = QDense(self.out_dim, quant=self.quant, dtype=self.dtype,
+                   name="fc2")(x)
         return x
 
 
@@ -156,12 +160,14 @@ class Attention(nn.Module):
     # side the tables were trained at (window or pretrain grid).
     use_rel_pos: bool = False
     rel_pos_size: int = 0
+    quant: str = "none"       # opt-in int8 serving path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, grid_hw: tuple[int, int] | None = None):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = QDense(self.dim * 3, quant=self.quant, dtype=self.dtype,
+                     name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
         if self.use_rel_pos:
@@ -170,7 +176,8 @@ class Attention(nn.Module):
         else:
             out = dot_product_attention(q, k, v)  # [B, N, H, D]
         out = out.reshape(B, N, C)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                      name="proj")(out)
 
     def _rel_pos_attention(self, q, k, v, grid_hw, head_dim):
         """softmax(QK/sqrt(d) + decomposed rel-pos bias) V.
@@ -289,6 +296,7 @@ class Block(nn.Module):
     rel_pos_size: int = 0
     quick_gelu: bool = False
     norm_eps: float = 1e-6
+    quant: str = "none"       # opt-in int8 serving path (ops/quant.py)
     # SAM-style windowed attention: partition the (normed) token grid into
     # window x window tiles around the attention only. Padding happens
     # AFTER norm1 with zeros — the original's ordering (segment_anything
@@ -304,7 +312,7 @@ class Block(nn.Module):
         attn = Attention(
             self.dim, self.num_heads, self.dtype,
             use_rel_pos=self.use_rel_pos, rel_pos_size=self.rel_pos_size,
-            name="attn",
+            quant=self.quant, name="attn",
         )
         if self.window > 0:
             H, W = grid_hw
@@ -328,7 +336,7 @@ class Block(nn.Module):
                              name="norm2")(x)
         h = Mlp(
             int(self.dim * self.mlp_ratio), self.dim, self.dtype,
-            quick_gelu=self.quick_gelu, name="mlp"
+            quick_gelu=self.quick_gelu, quant=self.quant, name="mlp"
         )(h)
         if self.layerscale:
             h = LayerScale(self.dim, dtype=self.dtype, name="ls2")(h)
@@ -465,6 +473,8 @@ class VisionTransformer(nn.Module):
     remat: bool = False            # rematerialize blocks in backward
     remat_policy: str = "full"     # full | dots (save dot outputs, recompute
                                    # only elementwise — less recompute, more HBM)
+    quant: str = "none"            # "int8": W8A8 dynamic-quant serving path
+                                   # for qkv/proj/fc1/fc2 (ops/quant.py)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -576,6 +586,7 @@ class VisionTransformer(nn.Module):
                     rel_pos_size=self.pretrain_grid,
                     quick_gelu=self.quick_gelu,
                     norm_eps=self.norm_eps,
+                    quant=self.quant,
                     name=f"block{i}",
                 )(x, (h, w) if self.use_rel_pos else None)
             if i == self.depth - 1 and self.use_depth_fusion:
@@ -622,7 +633,7 @@ class VisionTransformer(nn.Module):
             self.layerscale, self.dtype,
             use_rel_pos=self.use_rel_pos, rel_pos_size=win,
             quick_gelu=self.quick_gelu, norm_eps=self.norm_eps, window=win,
-            name=f"block{i}",
+            quant=self.quant, name=f"block{i}",
         )(grid, (h, w))
         return jnp.concatenate([prefix, grid], axis=1) if n_prefix else grid
 

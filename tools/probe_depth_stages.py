@@ -52,13 +52,16 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"))
+    ap.add_argument("--quant", default="none", choices=("none", "int8"),
+                    help="A/B the W8A8 dynamic-quant serving path "
+                         "(ops/quant.py) in the ViT trunks")
     args = ap.parse_args()
 
     from ovmono3d_tpu.models.depth import DepthPro, _resize
     from tools.bench_util import bench_loop
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model = DepthPro(dtype=dtype)
+    model = DepthPro(dtype=dtype, quant=args.quant)
     H = args.size
     img = jnp.asarray(
         np.random.RandomState(0).rand(1, H, H, 3).astype(np.float32))

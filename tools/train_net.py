@@ -194,6 +194,13 @@ def main():
     # --- model / optimizer / mesh ---
     # Priors are injected into the model (reference roi_heads.py:117-143):
     # dims_priors_enabled / cluster_bins decodes consume them.
+    if cfg.model.backbone.quant != "none":
+        raise SystemExit(
+            "model.backbone.quant is a SERVING-only knob: the int8 "
+            "round() has zero gradient, so training through it would "
+            "silently stop updating the trunk. Train with quant=none and "
+            "enable int8 at inference (ops/quant.py)."
+        )
     model = build_model(cfg.model, priors=priors)
     mesh = make_mesh()
     n_dev = mesh.shape["data"]
