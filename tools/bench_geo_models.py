@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--boxes", type=int, default=32,
                     help="prompt boxes per image for the decode stage")
+    ap.add_argument("--quant", default="none", choices=("none", "int8"),
+                    help="A/B the W8A8 dynamic-quant serving path "
+                         "(ops/quant.py) in the SAM/Depth-Pro ViT trunks")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny models + sizes: CPU plumbing check only")
     args = ap.parse_args()
@@ -82,7 +85,7 @@ def main():
     results = {}
 
     # ---- SAM image encoder
-    enc = VisionTransformer(use_depth_fusion=False,
+    enc = VisionTransformer(use_depth_fusion=False, quant=args.quant,
                             **{**VIT_PRESETS["sam"], **arch})
     img = jnp.asarray(rng.rand(1, S_SAM, S_SAM, 3), jnp.float32)
     t0 = time.time()
@@ -124,7 +127,7 @@ def main():
     # ---- Depth-Pro
     dimg = jnp.asarray(rng.rand(1, S_DEPTH, S_DEPTH, 3), jnp.float32)
     for dt_name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-        model = DepthPro(dtype=dtype, **depth_kwargs)
+        model = DepthPro(dtype=dtype, quant=args.quant, **depth_kwargs)
         t0 = time.time()
         params = jax.jit(model.init)(jax.random.PRNGKey(2), dimg)
         print(f"depth_pro {dt_name} init: {time.time() - t0:.1f}s",
