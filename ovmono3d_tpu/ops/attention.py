@@ -1091,7 +1091,17 @@ def _attn_fwd(q, k, v, clamp):
         # transposed copies (4 fwd + 8 bwd) of the head-major kernels;
         # lse.ndim == 4 marks the packed residual layout for _attn_bwd.
         b, n, h, d = q.shape
-        if _use_packed(n, h, d):
+        # The packed residual commits the BACKWARD to the packed kernel,
+        # which only wins where its kv block stays at 256 (small n_q:
+        # Depth-Pro/BERT shapes). At trunk n_q=4224 the scoped-VMEM limit
+        # forces bk=128 and the packed bwd measures 28.3 ms vs the
+        # head-major fused pair's 19.5 (tools/check_packed_grads.py) —
+        # far more than the ~3 ms/layer of transposes it saves. The
+        # no-grad inference primal (_attention_autoselect) keeps the
+        # packed FORWARD at trunk shapes, where it is bit-identical and
+        # faster (8.90 vs 9.16 ms + the saved transposes).
+        n_q = _packed_geometry(n, h, d)[1]
+        if _use_packed(n, h, d) and _packed_bwd_block_k(n_q) == 256:
             o, lse = flash_attention_packed_lse(q, k, v, num_heads=h,
                                                 clamp_c=clamp)
         else:
