@@ -23,6 +23,14 @@ real (~0.2-0.5 % relative per layer, bounded in tests/test_quant.py)
 and training always runs bf16/f32. The reference has no quantized
 path at all (torch fp16/fp32 only, /root/reference/cubercnn/modeling/
 backbone/dino.py:14-120) — this is beyond-parity serving capability.
+
+MEASURED (tools/probe_int8_matmul.py, v5e via axon, 2026-08-21): this
+libtpu/XLA build runs int8 x int8 -> int32 dots at the SAME rate as
+bf16 (fc1 b8 [33792,768]x[768,3072]: int8 97.9 vs bf16 97.2 TF/s;
+full W8A8 dense 103.0 — all within noise), i.e. XLA does not engage
+the 2x int8 MXU rate here. The path therefore currently buys memory
+footprint/traffic, not compute: keep quant="none" for speed until a
+toolchain with native int8 MXU lowering lands.
 """
 from __future__ import annotations
 
