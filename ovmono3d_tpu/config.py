@@ -47,9 +47,12 @@ class BackboneConfig:
     attention: str = "auto"         # auto | xla | flash
     quant: str = "none"             # "int8": opt-in W8A8 dynamic-quant
                                     # SERVING path for the trunk's
-                                    # qkv/proj/fc1/fc2 matmuls (MXU int8
-                                    # runs 2x the bf16 rate; ops/quant.py).
-                                    # Inference-only; training stays bf16.
+                                    # qkv/proj/fc1/fc2 matmuls. MEASURED:
+                                    # currently no faster than bf16 on this
+                                    # toolchain (XLA lowers int8 dots at the
+                                    # bf16 rate — see ops/quant.py); buys
+                                    # memory, not speed. Inference-only;
+                                    # training stays bf16.
 
 
 @dataclass(frozen=True)

@@ -344,6 +344,20 @@ def flash_attention_packed(
     return out[:, :n].reshape(b, n, h, d)
 
 
+def _packed_bwd_wins(n_q: int) -> bool:
+    """Whether the packed backward should own the residual at this shape.
+
+    Single-q-chunk shapes (14*n_q*256 <= 12 MB: Depth-Pro/BERT) are
+    TPU-measured wins (round 4). The chunked large-n_q path (trunk
+    n_q=4224, bk=256 kept by in-kernel q-chunking) stays gated until a
+    TPU A/B at trunk shape confirms it beats the head-major fused pair;
+    OVMONO3D_PACKED_BWD=1/0 force/disable for that A/B."""
+    env = os.environ.get("OVMONO3D_PACKED_BWD", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return 14 * n_q * 256 <= 12 * 2**20
+
+
 def _use_packed(n: int, h: int, d: int) -> bool:
     """Packed-path gate: single-KV-block VMEM bound (the s/p logits
     intermediates [block_q, n_kv] f32+bf16 plus the KV column blocks must
@@ -453,29 +467,49 @@ def flash_attention_packed_lse(
     return out[:, :n].reshape(b, n, h, d), lse
 
 
-def _packed_bwd_block_k(n_q: int) -> int:
-    """Largest kv block whose packed-backward kernel stack fits the 16 MB
-    scoped-VMEM budget. The scoped terms scale as ~14 B per
-    (q-row, kv-col) cell (f32 s/p/dp + bf16 ds/p casts); 12 MB of the
-    16 MB scope is budgeted for them (measured: bk=256 at n_q=4224 asks
-    18.22 MB and is rejected by Mosaic; bk=128 fits)."""
-    block_k = 256
-    while block_k > 128 and 14 * n_q * block_k > 12 * 2**20:
-        block_k //= 2
-    return block_k
+def _packed_bwd_geometry(n_q: int, block_k: int = 256) -> tuple[int, int]:
+    """(block_k, q_chunk) for the packed backward.
+
+    The kernel's scoped-VMEM terms are the [q_chunk, block_k] f32 s/p/dp
+    intermediates (+bf16 ds/p casts), ~14 B per (q-row, kv-col) cell;
+    12 MB of the 16 MB scope is budgeted for them. Rather than shrinking
+    the kv block when n_q grows (round-4 behavior — trunk n_q=4224
+    forced bk=128, where the packed backward lost 28.3 vs 19.5 ms to the
+    head-major pair), the kernel loops q in chunks INSIDE the program:
+    dk/dv accumulate in tiny [block_k, D] f32 carries, dq rows are
+    disjoint per chunk, so block_k stays at the MXU-efficient 256 for
+    any n_q. Chunk starts are 128-multiples (lane-aligned lse/delta
+    slices; q-row slices are sublane-aligned a fortiori)."""
+    budget = 12 * 2**20
+    if 14 * n_q * block_k <= budget:
+        return block_k, n_q
+    q_chunk = budget // (14 * block_k) // 128 * 128
+    assert q_chunk >= 128, (n_q, block_k)
+    return block_k, q_chunk
 
 
 def _flash_bwd_packed_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
                              delta_ref, mask_ref, dq_ref, dk_ref, dv_ref,
-                             *, scale: float, heads_per_block: int):
+                             *, scale: float, heads_per_block: int,
+                             q_chunk: int):
     """Packed fused backward: one (batch, head-group, kv-block) program
     computes dk/dv and accumulates dq — _flash_bwd_fused_kernel's math
     per head over channel-packed column blocks (zero [B*H, N, D]
-    transposes outside; see _flash_kernel_packed for why that matters)."""
+    transposes outside; see _flash_kernel_packed for why that matters).
+
+    q rows are processed in `q_chunk`-row chunks so the [chunk, bk]
+    scoped intermediates fit the 12 MB budget at ANY n_q while bk stays
+    256 (_packed_bwd_geometry): dk/dv accumulate across chunks in
+    [bk, D] f32 carries, dq chunks are disjoint row slices (the += only
+    accumulates across kv-block grid steps, exactly as before)."""
     j = pl.program_id(2)
     in_dtype = q_ref.dtype
+    n_q = q_ref.shape[1]
     d = q_ref.shape[-1] // heads_per_block
+    bk = k_ref.shape[1]
     mask = mask_ref[0][None, :]
+    chunks = [(q0, min(q_chunk, n_q - q0))
+              for q0 in range(0, n_q, q_chunk)]
 
     @pl.when(j == 0)
     def _init():
@@ -483,37 +517,44 @@ def _flash_bwd_packed_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     for g in range(heads_per_block):
         sl = slice(g * d, (g + 1) * d)
-        q_raw = q_ref[0, :, sl]                                # [n_q, D]
-        q2 = (
-            q_raw.astype(jnp.float32) * (scale * _LOG2E)
-        ).astype(in_dtype)
-        s = jax.lax.dot_general(
-            q2, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                      # [n_q, bk]
-        s = jnp.minimum(s + mask, 0.0)
-        p = jnp.exp2(s - lse_ref[0, 0, g][:, None])            # [n_q, bk]
-        do_h = do_ref[0, :, sl]
-        dv = jax.lax.dot_general(
-            p.astype(in_dtype), do_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                      # [bk, D]
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
-        dp = jax.lax.dot_general(
-            do_h, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                      # [n_q, bk]
-        ds = (p * (dp - delta_ref[0, 0, g][:, None])).astype(in_dtype)
-        dk = jax.lax.dot_general(
-            ds, q_raw, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                      # [bk, D]
-        dk_ref[0, :, sl] = (scale * dk).astype(dk_ref.dtype)
-        dq_part = jax.lax.dot_general(
-            ds, k_ref[0, :, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                      # [n_q, D]
-        dq_ref[0, :, sl] += scale * dq_part
+        k_h = k_ref[0, :, sl]                                  # [bk, D]
+        v_h = v_ref[0, :, sl]
+        dk_acc = jnp.zeros((bk, d), jnp.float32)
+        dv_acc = jnp.zeros((bk, d), jnp.float32)
+        for q0, qc in chunks:
+            rows = pl.ds(q0, qc)
+            q_raw = q_ref[0, rows, sl]                         # [qc, D]
+            q2 = (
+                q_raw.astype(jnp.float32) * (scale * _LOG2E)
+            ).astype(in_dtype)
+            s = jax.lax.dot_general(
+                q2, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                  # [qc, bk]
+            s = jnp.minimum(s + mask, 0.0)
+            p = jnp.exp2(s - lse_ref[0, 0, g, rows][:, None])  # [qc, bk]
+            do_h = do_ref[0, rows, sl]
+            dv_acc += jax.lax.dot_general(
+                p.astype(in_dtype), do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                  # [bk, D]
+            dp = jax.lax.dot_general(
+                do_h, v_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                  # [qc, bk]
+            ds = (p * (dp - delta_ref[0, 0, g, rows][:, None])
+                  ).astype(in_dtype)
+            dk_acc += jax.lax.dot_general(
+                ds, q_raw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                  # [bk, D]
+            dq_part = jax.lax.dot_general(
+                ds, k_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                  # [qc, D]
+            dq_ref[0, rows, sl] += scale * dq_part
+        dk_ref[0, :, sl] = (scale * dk_acc).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv_acc.astype(dv_ref.dtype)
 
 
 @functools.partial(
@@ -538,12 +579,10 @@ def flash_attention_packed_bwd(
     blocks — removes the 8 per-layer [B*H, N, D] transposed copies the
     head-major backward pays (q/k/v/do/o in + dq/dk/dv out).
 
-    block_k=None picks the largest kv block whose kernel stack fits the
-    16 MB scoped-VMEM budget: the dominant scoped terms are the
-    [n_q, block_k] f32 s/p/dp (+bf16 ds/p casts) intermediates, ~14 B
-    per (q-row, kv-col) cell, so bk=256 fits up to n_q≈2.4k and trunk
-    shapes (n_q=4224) need bk=128 (measured: bk=256 at n_q=4224 asks
-    18.22 MB of the 16 MB scope)."""
+    block_k=None picks (block_k, q_chunk) via _packed_bwd_geometry:
+    bk stays 256 at every n_q and the kernel chunks q internally so the
+    [chunk, bk] scoped intermediates (~14 B/cell) fit the 12 MB budget
+    (round-4's bk=128 fallback at trunk n_q=4224 is gone)."""
     b, n, h, d = q.shape
     c = h * d
     scale = 1.0 / (d**0.5)
@@ -551,7 +590,9 @@ def flash_attention_packed_bwd(
     n_q = lse.shape[3]
     assert n_q == n_q_geom, (n_q, n_q_geom)
     if block_k is None:
-        block_k = _packed_bwd_block_k(n_q)
+        block_k, q_chunk = _packed_bwd_geometry(n_q)
+    else:
+        _, q_chunk = _packed_bwd_geometry(n_q, block_k)
     n_kv = -(-n // block_k) * block_k
     gcols = g * d
 
@@ -584,7 +625,7 @@ def flash_attention_packed_bwd(
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_packed_kernel, scale=scale,
-                          heads_per_block=g),
+                          heads_per_block=g, q_chunk=q_chunk),
         grid=(b, h // g, n_kv // block_k),
         in_specs=[
             pl.BlockSpec((1, n_q, gcols), lambda bi, hi, j: (bi, 0, hi),
@@ -1091,17 +1132,14 @@ def _attn_fwd(q, k, v, clamp):
         # transposed copies (4 fwd + 8 bwd) of the head-major kernels;
         # lse.ndim == 4 marks the packed residual layout for _attn_bwd.
         b, n, h, d = q.shape
-        # The packed residual commits the BACKWARD to the packed kernel,
-        # which only wins where its kv block stays at 256 (small n_q:
-        # Depth-Pro/BERT shapes). At trunk n_q=4224 the scoped-VMEM limit
-        # forces bk=128 and the packed bwd measures 28.3 ms vs the
-        # head-major fused pair's 19.5 (tools/check_packed_grads.py) —
-        # far more than the ~3 ms/layer of transposes it saves. The
-        # no-grad inference primal (_attention_autoselect) keeps the
-        # packed FORWARD at trunk shapes, where it is bit-identical and
-        # faster (8.90 vs 9.16 ms + the saved transposes).
+        # The packed residual commits the BACKWARD to the packed kernel.
+        # Small-n_q shapes (single q-chunk: Depth-Pro/BERT) are measured
+        # wins. Large n_q (trunk 4224) lost in round 4 when scoped VMEM
+        # forced bk=128 (28.3 vs 19.5 ms); the kernel now q-chunks
+        # internally and keeps bk=256 — _packed_bwd_wins gates the
+        # regime (OVMONO3D_PACKED_BWD is the A/B override).
         n_q = _packed_geometry(n, h, d)[1]
-        if _use_packed(n, h, d) and _packed_bwd_block_k(n_q) == 256:
+        if _use_packed(n, h, d) and _packed_bwd_wins(n_q):
             o, lse = flash_attention_packed_lse(q, k, v, num_heads=h,
                                                 clamp_c=clamp)
         else:

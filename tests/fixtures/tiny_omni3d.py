@@ -131,8 +131,10 @@ def _test_annotations(id0):
 
 def build_overfit_dataset(root: Path) -> dict:
     """Tiny LEARNABLE dataset for the trained-AP3D closed loop: 3 images,
-    one object each, rendered as per-category colored rectangles at the
-    projected 2D box on a lightly-textured background.
+    MULTIPLE objects each (chair + cup in every image, distinct
+    categories at distinct depths) plus one rendered IGNORE region,
+    drawn as per-category colored rectangles at the projected 2D box on
+    a lightly-textured background.
 
     Unlike build_dataset's pure-noise images (fine for plumbing tests,
     unlearnable for an RPN that must rank anchors by objectness), these
@@ -140,7 +142,19 @@ def build_overfit_dataset(root: Path) -> dict:
     projected box size (z = F*h3d/box_h is recoverable through the
     projection), so a few hundred overfit steps converge the FULL learned
     loop RPN -> box head -> cube decode -> AP3D (reference
-    roi_heads.py:798-843 -> omni3d_evaluation.py:1255)."""
+    roi_heads.py:798-843 -> omni3d_evaluation.py:1255).
+
+    Multi-object + ignore coverage (round-4 VERDICT item 4): with two
+    same-image objects of different categories, proposal sampling must
+    assign each proposal to the RIGHT GT (reference
+    roi_heads.py:850-953), classification must separate the categories
+    (fast_rcnn.py:57-116 per-class scores + NMS), and per-category AP
+    only populates if no class confusion survives training. The ignore
+    region (truncation=0.995 -> category_id -1 at load) is RENDERED in
+    chair color, so the RPN will fire on it: training must exclude it
+    via the ignore-IoA path (not label it background — that would teach
+    the model to suppress chairs) and eval must leave detections on it
+    unpenalized."""
     import cv2
 
     root = Path(root)
@@ -149,10 +163,17 @@ def build_overfit_dataset(root: Path) -> dict:
 
     imgs = _images("train", 3, 0)
     annos = [
-        _anno(0, 1, (0.2, 0.1, 2.0), (0.5, 0.9, 0.5)),
-        _anno(1, 1, (-0.15, 0.05, 2.8), (0.5, 0.9, 0.5)),
-        # cup scaled up so its projected box clears the smallest anchor
-        _anno(2, 2, (-0.2, -0.05, 1.5), (0.3, 0.4, 0.3)),
+        # image 0: chair right, cup upper-left, ignore region lower-left
+        _anno(0, 1, (0.25, 0.1, 2.0), (0.5, 0.9, 0.5)),
+        _anno(0, 2, (-0.3, -0.18, 1.6), (0.3, 0.4, 0.3)),
+        _anno(0, 1, (-0.25, 0.28, 2.4), (0.4, 0.6, 0.4),
+              truncation=0.995),
+        # image 1: chair left, cup right
+        _anno(1, 1, (-0.2, 0.05, 2.8), (0.5, 0.9, 0.5)),
+        _anno(1, 2, (0.28, -0.12, 1.5), (0.3, 0.4, 0.3)),
+        # image 2: cup left, chair right, depths swapped vs image 0
+        _anno(2, 2, (-0.25, -0.05, 1.4), (0.3, 0.4, 0.3)),
+        _anno(2, 1, (0.22, 0.12, 2.4), (0.5, 0.9, 0.5)),
     ]
     ds = {
         "info": {"source": "TinyDS"},
@@ -177,7 +198,8 @@ def build_overfit_dataset(root: Path) -> dict:
             cv2.rectangle(arr, (x1, y1), (x2, y2), (255, 255, 255), 1)
         assert cv2.imwrite(str(root / img["file_path"]), arr)
 
-    return {"root": root, "n_images": len(imgs), "n_objects": len(annos)}
+    n_fg = sum(a.get("truncation", 0.0) < 0.99 for a in annos)
+    return {"root": root, "n_images": len(imgs), "n_objects": n_fg}
 
 
 def build_dataset(root: Path) -> dict:

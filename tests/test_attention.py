@@ -269,6 +269,39 @@ def test_flash_packed_lse_and_backward_match_xla_grads():
                                    atol=5e-2, rtol=5e-2)
 
 
+def test_flash_packed_bwd_chunked_matches_unchunked(monkeypatch):
+    """The in-kernel q-chunking (trunk shapes keep bk=256 by looping q in
+    chunks) must be numerically invisible: force multi-chunk geometry at
+    a small shape and compare against XLA grads AND the single-chunk
+    kernel (to f32 accumulation-order epsilon — dk/dv sum per-chunk
+    partials, so the reduction order differs)."""
+    import ovmono3d_tpu.ops.attention as attn
+
+    B, N, H, D = 1, 300, 2, 64
+    q = _rand((B, N, H, D), 50, jnp.float32)
+    k = _rand((B, N, H, D), 51, jnp.float32)
+    v = _rand((B, N, H, D), 52, jnp.float32)
+    do = _rand((B, N, H, D), 53, jnp.float32)
+    o, lse = attn.flash_attention_packed_lse(q, k, v, num_heads=H,
+                                             interpret=True)
+    single = attn.flash_attention_packed_bwd(
+        q, k, v, o, lse, do, num_heads=H, block_k=64, interpret=True)
+
+    # n_q pads to 304 (16-mult); chunk at 128 -> chunks (128, 128, 48).
+    monkeypatch.setattr(attn, "_packed_bwd_geometry",
+                        lambda n_q, block_k=256: (64, 128))
+    chunked = attn.flash_attention_packed_bwd(
+        q, k, v, o, lse, do, num_heads=H, interpret=True)
+    for c, s in zip(chunked, single):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(s),
+                                   atol=1e-6, rtol=1e-6)
+
+    _, vjp = jax.vjp(attention_xla, q, k, v)
+    for c, w in zip(chunked, vjp(do)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(w),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_packed_geometry_and_gate():
     """Geometry/gate edge cases: head widths that do/don't tile to 128
     lanes, the single-q-block bound, and the 6144 VMEM gate."""
@@ -289,13 +322,16 @@ def test_packed_geometry_and_gate():
     assert not _use_packed(1024, 3, 80)
 
 
-def test_packed_bwd_block_k():
-    """Adaptive kv-block: the backward's [n_q, bk] scoped intermediates
-    must fit the 16 MB VMEM scope — trunk n_q=4224 drops to bk=128
-    (bk=256 measured 18.22 MB on-device), small shapes keep 256."""
-    from ovmono3d_tpu.ops.attention import _packed_bwd_block_k
+def test_packed_bwd_geometry():
+    """bk stays 256 at every n_q; q chunks shrink instead so the
+    [chunk, bk] scoped intermediates fit the 12 MB budget (the round-4
+    bk=128 fallback at trunk shapes is gone). Chunks are 128-aligned."""
+    from ovmono3d_tpu.ops.attention import _packed_bwd_geometry
 
-    assert _packed_bwd_block_k(592) == 256    # Depth-Pro crops
-    assert _packed_bwd_block_k(2048) == 256
-    assert _packed_bwd_block_k(4224) == 128   # trunk (b8 896²)
-    assert _packed_bwd_block_k(6144) == 128   # gate maximum
+    assert _packed_bwd_geometry(592) == (256, 592)    # Depth-Pro crops
+    assert _packed_bwd_geometry(2048) == (256, 2048)  # single chunk
+    bk, qc = _packed_bwd_geometry(4224)               # trunk (b8 896²)
+    assert bk == 256 and qc % 128 == 0
+    assert 14 * qc * bk <= 12 * 2**20
+    bk, qc = _packed_bwd_geometry(6144)               # gate maximum
+    assert bk == 256 and qc % 128 == 0 and 14 * qc * bk <= 12 * 2**20

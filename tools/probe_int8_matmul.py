@@ -41,8 +41,10 @@ def main():
         xb = (jax.random.normal(kx, (n, k), jnp.float32) * 0.5).astype(
             jnp.bfloat16)
         wf = jax.random.normal(kw, (k, m), jnp.float32) * 0.02
-        xi = (jax.random.normal(kx, (n, k)) * 40).astype(jnp.int8)
-        wi = (jax.random.normal(kw, (k, m)) * 40).astype(jnp.int8)
+        xi = jnp.clip(jax.random.normal(kx, (n, k)) * 40, -127,
+                      127).astype(jnp.int8)
+        wi = jnp.clip(jax.random.normal(kw, (k, m)) * 40, -127,
+                      127).astype(jnp.int8)
         flops = 2.0 * n * k * m
 
         def mm_bf16(x, w):
