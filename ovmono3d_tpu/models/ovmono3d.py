@@ -439,6 +439,103 @@ class OVMono3DLift:
             box_scale=scale, depth=depth,
         )
 
+    def _stream_fn(self, gdino_params, rcnn_params, canvases, Ks, hws,
+                   ratios, input_ids, text_mask, self_mask, pos_ids,
+                   biases, span_matrix, span_valid):
+        """Chunked streaming serve: ONE dispatch runs the fused
+        detect+postprocess+lift program over a stacked chunk of images
+        via lax.scan. Images run SEQUENTIALLY on device (the per-image
+        b1 optimum — batching the GDINO encoder measured SLOWER on-chip,
+        b4 = 6.18 img/s vs b1 = 12.05, tools/bench_gdino.py), while the
+        host pays one upload + one completion sync + one small readback
+        per CHUNK instead of per image — on the tunneled link the
+        per-sync relay latency (30-250 ms tails, growing over sustained
+        runs) was the entire gap between blocking p50 (301 ms) and the
+        chained device floor (123 ms), so amortizing it 1/chunk is the
+        whole point. Canvases ride uint8 (4x fewer upload bytes; the
+        reference's detectron2 preprocessing resizes uint8 images, so
+        integer canvases are the faithful feed,
+        /root/reference/cubercnn/data/dataset_mapper.py:61-77)."""
+
+        def body(carry, x):
+            canvas, K, hw, ratio = x
+            det = self._fused_fn(
+                gdino_params, rcnn_params,
+                canvas[None].astype(jnp.float32), K[None], hw[None],
+                ratio[None], None, input_ids, text_mask, self_mask,
+                pos_ids, biases, span_matrix, span_valid,
+            )
+            return carry, jax.tree.map(lambda l: l[0], det)
+
+        _, dets = jax.lax.scan(body, 0, (canvases, Ks, hws, ratios))
+        return dets
+
+    def predict_stream(self, items, categories: list[str], chunk: int = 8):
+        """Sustained-throughput serving driver: generator over
+        (image, K) pairs yielding one HOST Detections per image.
+
+        Submit-ahead pipeline, depth = one chunk: while the device runs
+        chunk i, the host preps chunk i+1's canvases (cv2 resize, ~14
+        ms/img) and only then fetches chunk i-1's results, so host work
+        and relay latency hide behind device execution. The reference's
+        own throughput protocol is exactly such a sustained loop, not
+        per-image blocking (/root/reference/cubercnn/evaluation/
+        omni3d_evaluation.py:626-715). Depth prompts are not plumbed
+        here (use predict(); the GEO/demo paths need per-image depth
+        anyway); non-fusable configurations degrade to per-image
+        predict()."""
+        if not (categories and self._fusable()):
+            for image, K in items:
+                yield self.predict(image, K, categories)
+            return
+        text = self._text_device_inputs(categories)
+        biases = self._swin_rel_biases()
+        fn = self._jitted(f"stream_{chunk}", self._stream_fn)
+        bufs: list[tuple] = []
+        pending: tuple | None = None
+
+        def dispatch():
+            count = len(bufs)
+            pad = chunk - count
+            canv = np.stack([b[0] for b in bufs] + [bufs[-1][0]] * pad)
+            Ks = np.stack([b[1] for b in bufs] + [bufs[-1][1]] * pad)
+            hws = np.stack([b[2] for b in bufs] + [bufs[-1][2]] * pad)
+            rats = np.stack([b[3] for b in bufs] + [bufs[-1][3]] * pad)
+            dets = fn(
+                self.gdino_params, self.rcnn_params,
+                jnp.asarray(canv), jnp.asarray(Ks, jnp.float32),
+                jnp.asarray(hws, jnp.int32), jnp.asarray(rats, jnp.float32),
+                text[0], text[1], text[2], text[3], biases,
+                text[4], text[5],
+            )
+            return dets, count
+
+        def emit(entry):
+            dets, count = entry
+            host = jax.device_get(dets)
+            for i in range(count):
+                yield jax.tree.map(lambda x: x[i], host)
+
+        for image, K in items:
+            canvas, (nh, nw), scale = self._prep_lift_canvas(image)
+            bufs.append((
+                np.clip(np.rint(canvas), 0, 255).astype(np.uint8),
+                np.asarray(K, np.float32),
+                np.array([nh, nw], np.int32),
+                np.float32(1.0 / scale),
+            ))
+            if len(bufs) == chunk:
+                done, pending = pending, dispatch()
+                bufs.clear()
+                if done is not None:
+                    yield from emit(done)
+        if bufs:
+            done, pending = pending, dispatch()
+            if done is not None:
+                yield from emit(done)
+        if pending is not None:
+            yield from emit(pending)
+
     def predict(
         self,
         image: np.ndarray,

@@ -131,6 +131,52 @@ def test_fused_gdino_tensor_matches_host_prep(fused_pipeline):
     np.testing.assert_allclose(in_graph, host[0], rtol=1e-5, atol=1e-5)
 
 
+def test_predict_stream_matches_per_image():
+    """The chunked-scan streaming driver must reproduce per-image fused
+    predict() exactly. Images are sized so the shortest-edge resize
+    scale is exactly 1 (content pixels stay integers), making the
+    stream's uint8 canvas feed bit-equal to predict()'s f32 canvas —
+    any residual difference would be a driver bug, not quantization.
+    Covers varying per-image (hw, K) through the scan and the padded
+    final partial chunk (3 images, chunk=2)."""
+    import dataclasses as dc
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_model import tiny_config
+
+    cfg = tiny_config()
+    cfg = dc.replace(
+        cfg, input=dc.replace(cfg.input, min_size_test=112,
+                              max_size_test=112))
+    gdino_kwargs = dict(
+        hidden_dim=32, nheads=2, enc_layers=1, dec_layers=1, num_queries=16,
+        enc_points=2, dec_points=2, max_text_len=32, ffn_dim=64,
+        swin_embed_dim=8, swin_depths=(1, 1, 1, 1), swin_heads=(1, 2, 4, 8),
+        swin_window=4, bert_layers=1,
+    )
+    p = OVMono3DLift.build(cfg, BertTokenizer(VOCAB),
+                           gdino_kwargs=gdino_kwargs)
+    assert p._fusable()
+    rng = np.random.RandomState(7)
+    shapes = [(112, 112), (96, 112), (112, 80)]  # all resolve to scale 1
+    items = [((rng.rand(h, w, 3) * 255).astype(np.uint8),
+              default_focal_K(h, w)) for h, w in shapes]
+    cats = ["chair", "cup"]
+
+    want = [p.predict(img, K, cats, fused=True) for img, K in items]
+    got = list(p.predict_stream(iter(items), cats, chunk=2))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g.valid),
+                                      np.asarray(w.valid))
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(w)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-5,
+            )
+
+
 def test_default_focal_heuristic():
     K = default_focal_K(480, 640)
     # f = 4 * h / 2 (demo.py:63-76)
