@@ -335,6 +335,48 @@ class OVMono3DLift:
             oracle_valid=valid[None],
         )
 
+    def _fused_fn_batch(self, gdino_params, rcnn_params, canvas, K, hw,
+                        ratio, input_ids, text_mask, self_mask, pos_ids,
+                        biases, span_matrix, span_valid):
+        """_fused_fn over a BATCH of images (per-image content masks,
+        vmapped postprocess — serve.py's pattern). Exists for the
+        data-parallel streaming path where the batch is sharded one image
+        per chip over the mesh's data axis: on-chip batching of GDINO is
+        counterproductive (b4 = 6.18 img/s vs 4 chips x 12.05,
+        tools/bench_gdino.py), but across chips each image's program is
+        independent — no collectives in the hot path."""
+        S = self.gdino_size
+        B = canvas.shape[0]
+        rows = jnp.arange(S)[None, :, None] < hw[:, 0][:, None, None]
+        cols = jnp.arange(S)[None, None, :] < hw[:, 1][:, None, None]
+        content = rows & cols                                  # [B, S, S]
+        mean = jnp.asarray(GDINO_MEAN)
+        std = jnp.asarray(GDINO_STD)
+        tensor = jnp.where(
+            content[..., None], (canvas / 255.0 - mean) / std, 0.0
+        )
+        out = self.gdino.apply(
+            gdino_params, tensor,
+            jnp.broadcast_to(input_ids, (B,) + input_ids.shape[1:]),
+            jnp.broadcast_to(text_mask, (B,) + text_mask.shape[1:]),
+            jnp.broadcast_to(self_mask, (B,) + self_mask.shape[1:]),
+            jnp.broadcast_to(pos_ids, (B,) + pos_ids.shape[1:]),
+            biases,
+        )
+        boxes, scores, classes, valid = jax.vmap(
+            lambda lg, bx: postprocess_grounding(
+                lg, bx, span_matrix, span_valid,
+                jnp.asarray([S, S], jnp.float32), topk=self.detect_topk,
+            )
+        )(out["pred_logits"], out["pred_boxes"])
+        return self.rcnn.apply(
+            rcnn_params, canvas, K, hw, ratio, None,
+            oracle_boxes=boxes,
+            oracle_classes=classes,
+            oracle_scores=scores,
+            oracle_valid=valid,
+        )
+
     def _text_device_inputs(self, categories: list[str]):
         """Tokenize once at full max_text_len, bucket to the smallest
         power-of-two >= the caption length (one jit specialization per
@@ -470,7 +512,8 @@ class OVMono3DLift:
         _, dets = jax.lax.scan(body, 0, (canvases, Ks, hws, ratios))
         return dets
 
-    def predict_stream(self, items, categories: list[str], chunk: int = 8):
+    def predict_stream(self, items, categories: list[str], chunk: int = 8,
+                       mesh=None):
         """Sustained-throughput serving driver: generator over
         (image, K) pairs yielding one HOST Detections per image.
 
@@ -480,7 +523,12 @@ class OVMono3DLift:
         and relay latency hide behind device execution. The reference's
         own throughput protocol is exactly such a sustained loop, not
         per-image blocking (/root/reference/cubercnn/evaluation/
-        omni3d_evaluation.py:626-715). Depth prompts are not plumbed
+        omni3d_evaluation.py:626-715).
+
+        With `mesh`, the chunk (must divide by the mesh's data size) is
+        sharded one image per chip and each chip scans its share
+        sequentially (parallel/serve.py make_lift_stream_fn) — chunk
+        throughput ≈ n_data x single-chip. Depth prompts are not plumbed
         here (use predict(); the GEO/demo paths need per-image depth
         anyway); non-fusable configurations degrade to per-image
         predict()."""
@@ -490,7 +538,24 @@ class OVMono3DLift:
             return
         text = self._text_device_inputs(categories)
         biases = self._swin_rel_biases()
-        fn = self._jitted(f"stream_{chunk}", self._stream_fn)
+        if mesh is not None:
+            from ovmono3d_tpu.parallel.mesh import replicated
+            from ovmono3d_tpu.parallel.serve import make_lift_stream_fn
+
+            n_data = mesh.shape["data"]
+            assert chunk % n_data == 0, (chunk, n_data)
+            key = f"stream_mesh_{id(mesh)}_{chunk}"
+            if key not in self._jit_cache:
+                self._jit_cache[key] = make_lift_stream_fn(
+                    self, mesh, chunk // n_data)
+            mesh_fn = self._jit_cache[key]
+            repl = replicated(mesh)
+            gparams = jax.device_put(self.gdino_params, repl)
+            rparams = jax.device_put(self.rcnn_params, repl)
+            text_r = jax.device_put(tuple(text), repl)
+            biases_r = jax.device_put(biases, repl)
+        fn = (None if mesh is not None
+              else self._jitted(f"stream_{chunk}", self._stream_fn))
         bufs: list[tuple] = []
         pending: tuple | None = None
 
@@ -501,6 +566,13 @@ class OVMono3DLift:
             Ks = np.stack([b[1] for b in bufs] + [bufs[-1][1]] * pad)
             hws = np.stack([b[2] for b in bufs] + [bufs[-1][2]] * pad)
             rats = np.stack([b[3] for b in bufs] + [bufs[-1][3]] * pad)
+            if mesh is not None:
+                dets = mesh_fn(
+                    gparams, rparams,
+                    canv, Ks.astype(np.float32), hws.astype(np.int32),
+                    rats.astype(np.float32), text_r, biases_r,
+                )
+                return dets, count
             dets = fn(
                 self.gdino_params, self.rcnn_params,
                 jnp.asarray(canv), jnp.asarray(Ks, jnp.float32),

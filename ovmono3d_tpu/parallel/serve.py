@@ -71,6 +71,63 @@ def make_gdino_serving_fn(model, mesh, topk: int = 100):
     return run
 
 
+def make_lift_stream_fn(pipe, mesh, per_device: int):
+    """Data-parallel streaming e2e serve: one jitted program runs the
+    FULL fused detect+postprocess+lift pipeline over a chunk of
+    n_data * per_device images — the chunk is sharded one image per chip
+    over the mesh's `data` axis, and each chip scans its per_device
+    images sequentially (the per-chip b1 optimum; module docstring).
+    One dispatch + one sync per chunk, n_data images in flight at every
+    scan step: chunk throughput ≈ n_data x the single-chip streaming
+    rate. The reference has no inference parallelism at all
+    (/root/reference/demo/demo.py runs image-at-a-time on one GPU).
+
+    Returns run(gdino_params, rcnn_params, canvases, Ks, hws, ratios,
+    text6, biases) -> Detections with leading dim n_data * per_device
+    (input order preserved: position p runs on chip p // per_device)."""
+    import jax.numpy as jnp
+
+    data = batch_sharding(mesh)
+    repl = replicated(mesh)
+    n_data = mesh.shape["data"]
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, repl, data, data, data, data, repl, repl),
+        out_shardings=data,
+    )
+    def run(gdino_params, rcnn_params, canvases, Ks, hws, ratios, text,
+            biases):
+        (input_ids, text_mask, self_mask, pos_ids, span_matrix,
+         span_valid) = text
+
+        def to_scan(x):
+            x = x.reshape((n_data, per_device) + x.shape[1:])
+            return jnp.swapaxes(x, 0, 1)       # [per_dev, n_data, ...]
+
+        def body(carry, xs):
+            canvas, K, hw, ratio = xs
+            det = pipe._fused_fn_batch(
+                gdino_params, rcnn_params, canvas.astype(jnp.float32),
+                K, hw, ratio, input_ids, text_mask, self_mask, pos_ids,
+                biases, span_matrix, span_valid,
+            )
+            return carry, det
+
+        _, dets = jax.lax.scan(
+            body, 0,
+            (to_scan(canvases), to_scan(Ks), to_scan(hws),
+             to_scan(ratios)),
+        )
+        return jax.tree.map(
+            lambda l: jnp.swapaxes(l, 0, 1).reshape(
+                (n_data * per_device,) + l.shape[2:]),
+            dets,
+        )
+
+    return run
+
+
 def detect_open_vocabulary_batch(
     model,
     params,

@@ -177,6 +177,53 @@ def test_predict_stream_matches_per_image():
             )
 
 
+def test_predict_stream_mesh_matches_per_image():
+    """Data-parallel streaming serve (chunk sharded one image per chip
+    over the data mesh, per-chip sequential scan) must reproduce
+    per-image fused predict() — same scale-1 construction as the
+    single-chip stream test, over a 4-device mesh with a padded final
+    chunk (6 images, chunk=4)."""
+    import dataclasses as dc
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_model import tiny_config
+
+    from ovmono3d_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config()
+    cfg = dc.replace(
+        cfg, input=dc.replace(cfg.input, min_size_test=112,
+                              max_size_test=112))
+    gdino_kwargs = dict(
+        hidden_dim=32, nheads=2, enc_layers=1, dec_layers=1, num_queries=16,
+        enc_points=2, dec_points=2, max_text_len=32, ffn_dim=64,
+        swin_embed_dim=8, swin_depths=(1, 1, 1, 1), swin_heads=(1, 2, 4, 8),
+        swin_window=4, bert_layers=1,
+    )
+    p = OVMono3DLift.build(cfg, BertTokenizer(VOCAB),
+                           gdino_kwargs=gdino_kwargs)
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    rng = np.random.RandomState(11)
+    shapes = [(112, 112), (96, 112), (112, 80), (112, 112), (80, 112),
+              (112, 96)]
+    items = [((rng.rand(h, w, 3) * 255).astype(np.uint8),
+              default_focal_K(h, w)) for h, w in shapes]
+    cats = ["chair", "cup"]
+
+    want = [p.predict(img, K, cats, fused=True) for img, K in items]
+    got = list(p.predict_stream(iter(items), cats, chunk=4, mesh=mesh))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g.valid),
+                                      np.asarray(w.valid))
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(w)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-5,
+            )
+
+
 def test_default_focal_heuristic():
     K = default_focal_K(480, 640)
     # f = 4 * h / 2 (demo.py:63-76)
