@@ -177,6 +177,22 @@ def test_predict_stream_matches_per_image():
             )
 
 
+def test_predict_stream_fallback_paths(pipeline):
+    """Empty categories / non-fusable configs degrade to per-image
+    predict() (the module-scoped `pipeline` fixture has gdino_size=64 !=
+    square_pad, so it is NOT fusable — the stream must still work)."""
+    assert not pipeline._fusable()
+    rng = np.random.RandomState(5)
+    items = [((rng.rand(96, 128, 3) * 255).astype(np.uint8),
+              default_focal_K(96, 128)) for _ in range(2)]
+    outs = list(pipeline.predict_stream(iter(items), ["chair"], chunk=4))
+    assert len(outs) == 2
+    outs_empty = list(pipeline.predict_stream(iter(items), [], chunk=4))
+    assert len(outs_empty) == 2
+    for d in outs_empty:
+        assert not np.asarray(d.valid).any()
+
+
 def test_predict_stream_mesh_matches_per_image():
     """Data-parallel streaming serve (chunk sharded one image per chip
     over the data mesh, per-chip sequential scan) must reproduce
