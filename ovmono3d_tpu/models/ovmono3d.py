@@ -165,20 +165,19 @@ class OVMono3DLift:
 
     # -- stages ---------------------------------------------------------------
 
-    def _prep_gdino_image(self, image: np.ndarray):
-        """Place the resized content on the square canvas, normalize.
+    def _gdino_content_geometry(self, h: int, w: int):
+        """(nh, nw, scale) of the content placed on the GDINO canvas.
 
-        With gdino_min_size set, the content is resized with detectron2's
-        ResizeShortestEdge(min, max) rule — the EXACT canvas geometry the
-        reference feeds GroundingDINO (roi_heads_gdino.py:147 passes the
-        detectron2-preprocessed square-pad image, so e.g. a 480x640 frame
-        becomes 532x709 content on the 896 canvas, NOT 672x896). Without
-        it, falls back to longest-side-to-canvas.
-        Returns (tensor [1, S, S, 3], scale original->tensor)."""
-        import cv2
-
+        With gdino_min_size set, detectron2's ResizeShortestEdge(min, max)
+        rule — the EXACT canvas geometry the reference feeds GroundingDINO
+        (roi_heads_gdino.py:147 passes the detectron2-preprocessed
+        square-pad image, so e.g. a 480x640 frame becomes 532x709 content
+        on the 896 canvas, NOT 672x896). Without it, falls back to
+        longest-side-to-canvas. Rounds half-UP like detectron2's
+        int(x + 0.5) (and the mapper's resize_shortest_edge) — Python's
+        banker's round() disagrees at exact .5 products, shifting the
+        canvas content by a pixel."""
         S = self.gdino_size
-        h, w = image.shape[:2]
         if self.gdino_min_size:
             scale = self.gdino_min_size / min(h, w)
             max_size = self.gdino_max_size or S
@@ -189,11 +188,17 @@ class OVMono3DLift:
             scale = min(scale, S / max(h, w))
         else:
             scale = S / max(h, w)
-        # round-half-UP like detectron2's int(x + 0.5) (and the mapper's
-        # resize_shortest_edge) — Python's banker's round() disagrees at
-        # exact .5 products, shifting the GDINO canvas content by a pixel.
         nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
-        nh, nw = min(nh, S), min(nw, S)
+        return min(nh, S), min(nw, S), scale
+
+    def _prep_gdino_image(self, image: np.ndarray):
+        """Place the resized content on the square canvas, normalize.
+        Returns (tensor [1, S, S, 3], scale original->tensor)."""
+        import cv2
+
+        S = self.gdino_size
+        h, w = image.shape[:2]
+        nh, nw, scale = self._gdino_content_geometry(h, w)
         resized = cv2.resize(image.astype(np.float32) / 255.0, (nw, nh))
         canvas = np.zeros((S, S, 3), np.float32)
         canvas[:nh, :nw] = (resized - GDINO_MEAN) / GDINO_STD
@@ -271,6 +276,109 @@ class OVMono3DLift:
         )
         return {"boxes": boxes, "scores": scores, "classes": classes,
                 "valid": valid}, scale
+
+    def _detect_stream_fn(self, params, canvases, hws, input_ids,
+                          text_mask, self_mask, pos_ids, biases,
+                          span_matrix, span_valid):
+        """Chunked detect-only serve (the predict_stream design minus the
+        cube lift): one lax.scan dispatch per chunk of uint8 canvases,
+        in-graph content normalization, one small readback. Drives
+        generate_oracle2d's dataset sweeps — the reference's ORACLE2D
+        JSONs are exactly such a whole-dataset GDINO pass
+        (/root/reference/cubercnn/config/config.py:41-76)."""
+        S = self.gdino_size
+        mean = jnp.asarray(GDINO_MEAN)
+        std = jnp.asarray(GDINO_STD)
+
+        def body(carry, x):
+            canvas, hw = x
+            content = (
+                (jnp.arange(S)[:, None] < hw[0])
+                & (jnp.arange(S)[None, :] < hw[1])
+            )
+            tensor = jnp.where(
+                content[None, :, :, None],
+                (canvas[None].astype(jnp.float32) / 255.0 - mean) / std,
+                0.0,
+            )
+            out = self.gdino.apply(
+                params, tensor, input_ids, text_mask, self_mask, pos_ids,
+                biases,
+            )
+            res = postprocess_grounding(
+                out["pred_logits"][0], out["pred_boxes"][0],
+                span_matrix, span_valid,
+                jnp.asarray([S, S], jnp.float32), topk=self.detect_topk,
+            )
+            return carry, res
+
+        _, res = jax.lax.scan(body, 0, (canvases, hws))
+        return res
+
+    def detect_2d_stream(self, images, categories: list[str],
+                         chunk: int = 8):
+        """Sustained open-vocab 2D detection: generator over images
+        yielding detect_2d-shaped dicts (boxes in ORIGINAL pixels).
+        Same submit-ahead chunked-scan driver as predict_stream; works on
+        build_2d_only pipelines (no cube model needed). Content pixels
+        are quantized to uint8 on the canvas (reference preprocessing
+        resizes uint8 images; 4x fewer upload bytes)."""
+        import cv2
+
+        if not categories:
+            for image in images:
+                yield self.detect_2d(image, [])
+            return
+        (input_ids, text_mask, self_mask, pos_ids, span_matrix,
+         span_valid) = self._text_device_inputs(categories)
+        biases = self._swin_rel_biases()
+        fn = self._jitted(f"detect_stream_{chunk}", self._detect_stream_fn)
+        S = self.gdino_size
+        bufs: list[tuple] = []
+        pending: tuple | None = None
+
+        def dispatch():
+            count = len(bufs)
+            pad = chunk - count
+            canv = np.stack([b[0] for b in bufs] + [bufs[-1][0]] * pad)
+            hws = np.stack([b[1] for b in bufs] + [bufs[-1][1]] * pad)
+            res = fn(
+                self.gdino_params, jnp.asarray(canv),
+                jnp.asarray(hws, jnp.int32), input_ids, text_mask,
+                self_mask, pos_ids, biases, span_matrix, span_valid,
+            )
+            return res, count, [b[2] for b in bufs]
+
+        def emit(entry):
+            res, count, scales = entry
+            boxes, scores, classes, valid = jax.device_get(res)
+            for i in range(count):
+                yield {
+                    "boxes": boxes[i] / scales[i],
+                    "scores": scores[i],
+                    "classes": classes[i],
+                    "valid": valid[i],
+                }
+
+        for image in images:
+            h, w = image.shape[:2]
+            nh, nw, scale = self._gdino_content_geometry(h, w)
+            resized = cv2.resize(image.astype(np.float32), (nw, nh))
+            canvas = np.zeros((S, S, 3), np.uint8)
+            canvas[:nh, :nw] = np.clip(np.rint(resized), 0, 255)
+            bufs.append((canvas, np.array([nh, nw], np.int32),
+                         np.float32(scale)))
+            if len(bufs) == chunk:
+                done, pending = pending, dispatch()
+                bufs.clear()
+                if done is not None:
+                    yield from emit(done)
+        if bufs:
+            done, pending = pending, dispatch()
+            if done is not None:
+                yield from emit(done)
+        if pending is not None:
+            yield from emit(pending)
 
     def _fusable(self) -> bool:
         """True when detect and lift consume the SAME square canvas, so

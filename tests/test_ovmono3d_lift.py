@@ -177,6 +177,28 @@ def test_predict_stream_matches_per_image():
             )
 
 
+def test_detect_stream_matches_detect_2d(pipeline):
+    """detect_2d_stream (chunked-scan detect-only driver) vs per-image
+    detect_2d. Image sizes resolve to content scale 1 (gdino_size=64,
+    longest-side rule), so the stream's uint8 canvas equals detect_2d's
+    f32 content exactly and outputs must match. 3 images, chunk=2 covers
+    the padded final chunk."""
+    rng = np.random.RandomState(21)
+    images = [(rng.rand(h, w, 3) * 255).astype(np.uint8)
+              for h, w in [(64, 48), (48, 64), (64, 64)]]
+    cats = ["chair", "cup"]
+    want = [pipeline.detect_2d(img, cats) for img in images]
+    got = list(pipeline.detect_2d_stream(iter(images), cats, chunk=2))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["valid"], w["valid"])
+        np.testing.assert_array_equal(g["classes"], w["classes"])
+        np.testing.assert_allclose(g["scores"], w["scores"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(g["boxes"], w["boxes"],
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_predict_stream_fallback_paths(pipeline):
     """Empty categories / non-fusable configs degrade to per-image
     predict() (the module-scoped `pipeline` fixture has gdino_size=64 !=
