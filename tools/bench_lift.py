@@ -72,8 +72,9 @@ def main():
     ap.add_argument("--stream", type=int, default=48,
                     help="images in the streaming-driver measurement "
                          "(0 disables)")
-    ap.add_argument("--chunk", type=int, default=8,
-                    help="streaming-driver chunk (images per dispatch)")
+    ap.add_argument("--chunk", default="8",
+                    help="streaming-driver chunk (images per dispatch); "
+                         "comma list sweeps, best is reported")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_config
@@ -136,24 +137,31 @@ def main():
     # per-image sync cost is 1/chunk by construction. Distinct images
     # (fresh host prep each) over a >=32-image stream; best-of-3 rounds.
     stream_s = None
+    stream_chunk = None
     if args.stream:
         imgs = [
             (rng.randint(0, 256, (h, w, 3)).astype(np.uint8), K)
             for _ in range(args.stream)
         ]
-        # compile the chunk program (+ a padded-tail chunk never appears:
-        # stream % chunk == 0 keeps every dispatch on the same trace)
-        for _ in pipe.predict_stream(iter(imgs[: args.chunk]),
-                                     CATEGORIES, chunk=args.chunk):
-            pass
-        for _ in range(3):
-            t0 = time.perf_counter()
-            n_out = sum(
-                1 for _ in pipe.predict_stream(iter(imgs), CATEGORIES,
-                                               chunk=args.chunk)
-            )
-            dt = (time.perf_counter() - t0) / n_out
-            stream_s = dt if stream_s is None else min(stream_s, dt)
+        for chunk in [int(c) for c in str(args.chunk).split(",")]:
+            # compile the chunk program (a padded-tail chunk never
+            # appears when stream % chunk == 0 — same trace throughout)
+            for _ in pipe.predict_stream(iter(imgs[:chunk]),
+                                         CATEGORIES, chunk=chunk):
+                pass
+            best_c = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n_out = sum(
+                    1 for _ in pipe.predict_stream(iter(imgs), CATEGORIES,
+                                                   chunk=chunk)
+                )
+                dt = (time.perf_counter() - t0) / n_out
+                best_c = dt if best_c is None else min(best_c, dt)
+            print(f"stream chunk-{chunk}: {best_c * 1e3:.1f} ms/img "
+                  f"({1 / best_c:.2f} img/s)", flush=True)
+            if stream_s is None or best_c < stream_s:
+                stream_s, stream_chunk = best_c, chunk
 
     # Device floor: the fused detect+postprocess+lift program timed with
     # the chained scalar-carry protocol (one dispatch + one scalar read per
@@ -198,7 +206,7 @@ def main():
         best = min(best, stream_s)
     img_per_s = 1.0 / best
     stream_txt = (
-        f"stream chunk-{args.chunk} {stream_s * 1e3:.1f} ms/img "
+        f"stream chunk-{stream_chunk} {stream_s * 1e3:.1f} ms/img "
         f"({1 / stream_s:.2f} img/s) | " if stream_s else ""
     )
     print(
@@ -223,7 +231,7 @@ def main():
     }
     if stream_s is not None:
         out["stream_ms_per_img"] = round(stream_s * 1e3, 2)
-        out["stream_chunk"] = args.chunk
+        out["stream_chunk"] = stream_chunk
         out["stream_images"] = args.stream
     print(json.dumps(out))
 
