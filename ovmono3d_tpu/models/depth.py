@@ -152,6 +152,10 @@ class DepthPro(nn.Module):
     use_fov: bool = True
     quant: str = "none"   # "int8": W8A8 serving path for the ViT trunks'
                           # qkv/proj/fc1/fc2 (ops/quant.py; opt-in)
+    gelu: str = "erf"     # "tanh": opt-in serving epilogue — the erf
+                          # fusion tail costs ~28 ms/image over the 24
+                          # ViT-L layers (models/vit.py Mlp.gelu caveat;
+                          # reference runs Depth-Pro fp16, coarser)
     dtype: Dtype = jnp.bfloat16
 
     def _vit(self, name: str, hooks: Sequence[int] = ()) -> VisionTransformer:
@@ -166,6 +170,7 @@ class DepthPro(nn.Module):
             final_norm=True,
             out_layers=tuple(hooks),
             quant=self.quant,
+            gelu=self.gelu,
             dtype=self.dtype,
             name=name,
         )

@@ -76,6 +76,17 @@ class Mlp(nn.Module):
     # exact erf gelu (open_clip quick_gelu=True for 'openai' checkpoints).
     quick_gelu: bool = False
     quant: str = "none"       # opt-in int8 serving path (ops/quant.py)
+    # "tanh": opt-in approximate-gelu SERVING epilogue. MEASURED (v5e,
+    # tools/probe_gelu_tail.py, 2026-08-21): XLA's exact-erf epilogue
+    # costs +1.185 ms on the Depth-Pro fc1 fusion (3.38 vs 2.19 ms bare
+    # matmul, 51 -> 79 TF/s) while tanh-gelu is free (+0.018 ms) — ~28
+    # ms/image across Depth-Pro's 24 ViT-L layers, ~38 across SAM
+    # ViT-H's 32. NOT bit-identical: 405/65280 bf16 inputs round 1 ulp
+    # differently in the activation range (exhaustive bf16 sweep, round
+    # 5); default stays "erf" (the released models' op), GEO serving
+    # opts in (the reference itself runs Depth-Pro in fp16 — far
+    # coarser than tanh-vs-erf at bf16, ovmono3d_geo.py:266-268).
+    gelu: str = "erf"
 
     @nn.compact
     def __call__(self, x):
@@ -84,7 +95,7 @@ class Mlp(nn.Module):
         if self.quick_gelu:
             x = x * jax.nn.sigmoid(1.702 * x)
         else:
-            x = nn.gelu(x, approximate=False)
+            x = nn.gelu(x, approximate=self.gelu == "tanh")
         x = QDense(self.out_dim, quant=self.quant, dtype=self.dtype,
                    name="fc2")(x)
         return x
@@ -297,6 +308,7 @@ class Block(nn.Module):
     quick_gelu: bool = False
     norm_eps: float = 1e-6
     quant: str = "none"       # opt-in int8 serving path (ops/quant.py)
+    gelu: str = "erf"         # opt-in "tanh" serving epilogue (Mlp.gelu)
     # SAM-style windowed attention: partition the (normed) token grid into
     # window x window tiles around the attention only. Padding happens
     # AFTER norm1 with zeros — the original's ordering (segment_anything
@@ -336,7 +348,8 @@ class Block(nn.Module):
                              name="norm2")(x)
         h = Mlp(
             int(self.dim * self.mlp_ratio), self.dim, self.dtype,
-            quick_gelu=self.quick_gelu, quant=self.quant, name="mlp"
+            quick_gelu=self.quick_gelu, quant=self.quant, gelu=self.gelu,
+            name="mlp"
         )(h)
         if self.layerscale:
             h = LayerScale(self.dim, dtype=self.dtype, name="ls2")(h)
@@ -452,6 +465,8 @@ class VisionTransformer(nn.Module):
     use_cls_token: bool = True
     pre_ln: bool = False           # CLIP ln_pre
     quick_gelu: bool = False       # CLIP (openai) QuickGELU MLPs
+    gelu: str = "erf"              # opt-in "tanh" serving epilogue
+                                   # (Mlp.gelu — measured caveat there)
     pos_interp_offset: float = 0.0  # DINOv2 interpolate_pos_encoding uses
                                    # scale_factor=(new+0.1)/old; the other
                                    # trunks resize size-based (offset 0)
@@ -587,6 +602,7 @@ class VisionTransformer(nn.Module):
                     quick_gelu=self.quick_gelu,
                     norm_eps=self.norm_eps,
                     quant=self.quant,
+                    gelu=self.gelu,
                     name=f"block{i}",
                 )(x, (h, w) if self.use_rel_pos else None)
             if i == self.depth - 1 and self.use_depth_fusion:
@@ -633,7 +649,7 @@ class VisionTransformer(nn.Module):
             self.layerscale, self.dtype,
             use_rel_pos=self.use_rel_pos, rel_pos_size=win,
             quick_gelu=self.quick_gelu, norm_eps=self.norm_eps, window=win,
-            quant=self.quant, name=f"block{i}",
+            quant=self.quant, gelu=self.gelu, name=f"block{i}",
         )(grid, (h, w))
         return jnp.concatenate([prefix, grid], axis=1) if n_prefix else grid
 

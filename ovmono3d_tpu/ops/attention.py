@@ -349,13 +349,17 @@ def _packed_bwd_wins(n_q: int) -> bool:
 
     Single-q-chunk shapes (14*n_q*256 <= 12 MB: Depth-Pro/BERT) are
     TPU-measured wins (round 4). The chunked large-n_q path (trunk
-    n_q=4224, bk=256 kept by in-kernel q-chunking) stays gated until a
-    TPU A/B at trunk shape confirms it beats the head-major fused pair;
-    OVMONO3D_PACKED_BWD=1/0 force/disable for that A/B."""
+    n_q=4224, bk=256 kept by in-kernel q-chunking + the raised
+    per-kernel vmem limit) measured faster in round 5 at trunk shape
+    both at kernel level (18.68 vs 19.62 ms head-major, vs 23.05
+    unchunked bk=256, tools/check_packed_grads.py) and in-model
+    (bench_train --unfreeze 561.0 vs 566.7 ms/step), so packed is the
+    default everywhere; OVMONO3D_PACKED_BWD=1/0 force/disable for
+    A/Bs."""
     env = os.environ.get("OVMONO3D_PACKED_BWD", "auto")
     if env in ("0", "1"):
         return env == "1"
-    return 14 * n_q * 256 <= 12 * 2**20
+    return True
 
 
 def _use_packed(n: int, h: int, d: int) -> bool:
@@ -665,6 +669,15 @@ def flash_attention_packed_bwd(
             bytes_accessed=(3 * b * n_q * c + 4 * b * n_kv * c) * 2
             + 4 * b * n_q * c,
             transcendentals=b * h * n_q * n_kv,
+        ),
+        # Mosaic's default 16 MB scoped-VMEM check rejects trunk shapes
+        # at bk=256 (18.21 MB requested — the unrolled q-chunk buffers
+        # are not liveness-folded), but v5e has 128 MB VMEM and this
+        # kernel's blocks total ~28 MB at trunk shape: raising the
+        # per-kernel limit is the honest fix, not shrinking bk to 128
+        # (which measured 28.3 vs 19.5 ms in round 4).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20,
         ),
         interpret=interpret,
     )(qp, kp, vp, dop, lse_p, delta, mask)

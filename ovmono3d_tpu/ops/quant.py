@@ -31,6 +31,15 @@ full W8A8 dense 103.0 — all within noise), i.e. XLA does not engage
 the 2x int8 MXU rate here. The path therefore currently buys memory
 footprint/traffic, not compute: keep quant="none" for speed until a
 toolchain with native int8 MXU lowering lands.
+
+TOOLCHAIN FLOOR CONFIRMED via Pallas (tools/probe_int8_pallas.py, v5e,
+2026-08-21, round-4 VERDICT item 5): a hand-written Mosaic kernel with
+int8 operands and preferred_element_type=int32 (exact vs the XLA int32
+reference) also runs at the bf16 rate — same probe/protocol: int8
+Pallas 43.8 vs int8 XLA 48.0 vs bf16 46.5 TF/s, all within noise. The
+2x int8 MXU rate is not reachable from EITHER lowering path on this
+libtpu; the limitation is the toolchain, not XLA's op selection. This
+is the documented dead end — re-probe on libtpu upgrades.
 """
 from __future__ import annotations
 

@@ -290,3 +290,28 @@ def test_rel_pos_attention_fast_matches_f32():
             _rel_pos_attention_fast(qb, kb, vb, Rhb, Rwb, (h, w), clamp)
         ).astype(np.float32)
         np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+
+def test_gelu_tanh_serving_mode():
+    """The opt-in tanh approximate-gelu epilogue (Mlp.gelu="tanh",
+    measured free on v5e where exact-erf costs ~1.2 ms per ViT-L fc1
+    fusion — tools/probe_gelu_tail.py) must share the param tree with
+    the erf default and stay within the tanh-approximation error bound
+    (max |gelu_tanh - gelu_erf| ≈ 3e-4 abs for unit-scale inputs)."""
+    from ovmono3d_tpu.models.vit import VisionTransformer
+
+    kw = dict(patch_size=14, embed_dim=32, depth=2, num_heads=2,
+              pretrain_grid=4, use_depth_fusion=False,
+              dtype=jnp.float32)
+    vit_erf = VisionTransformer(**kw)
+    vit_tanh = VisionTransformer(gelu="tanh", **kw)
+    img = jnp.asarray(
+        np.random.RandomState(0).rand(1, 56, 56, 3), jnp.float32)
+    params = jax.jit(vit_erf.init)(jax.random.PRNGKey(0), img)
+    # identical tree: the tanh model consumes the erf model's params
+    a = jax.jit(vit_erf.apply)(params, img)["last_feat"]
+    b = jax.jit(vit_tanh.apply)(params, img)["last_feat"]
+    diff = float(jnp.max(jnp.abs(a - b)))
+    assert 0 < diff < 5e-2, diff  # differs (mode is live) but bounded
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-2, atol=5e-3)

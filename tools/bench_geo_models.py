@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--quant", default="none", choices=("none", "int8"),
                     help="A/B the W8A8 dynamic-quant serving path "
                          "(ops/quant.py) in the SAM/Depth-Pro ViT trunks")
+    ap.add_argument("--gelu", default="erf", choices=("erf", "tanh"),
+                    help="A/B the tanh approximate-gelu serving epilogue "
+                         "(models/vit.py Mlp.gelu — erf costs ~1.2 ms per "
+                         "ViT-L fc1 fusion, tanh is free)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny models + sizes: CPU plumbing check only")
     args = ap.parse_args()
@@ -86,6 +90,7 @@ def main():
 
     # ---- SAM image encoder
     enc = VisionTransformer(use_depth_fusion=False, quant=args.quant,
+                            gelu=args.gelu,
                             **{**VIT_PRESETS["sam"], **arch})
     img = jnp.asarray(rng.rand(1, S_SAM, S_SAM, 3), jnp.float32)
     t0 = time.time()
@@ -127,7 +132,8 @@ def main():
     # ---- Depth-Pro
     dimg = jnp.asarray(rng.rand(1, S_DEPTH, S_DEPTH, 3), jnp.float32)
     for dt_name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-        model = DepthPro(dtype=dtype, quant=args.quant, **depth_kwargs)
+        model = DepthPro(dtype=dtype, quant=args.quant, gelu=args.gelu,
+                         **depth_kwargs)
         t0 = time.time()
         params = jax.jit(model.init)(jax.random.PRNGKey(2), dimg)
         print(f"depth_pro {dt_name} init: {time.time() - t0:.1f}s",

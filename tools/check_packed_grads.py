@@ -77,9 +77,25 @@ def main():
         lambda x, *a: flash_attention_packed_bwd(*a, x, num_heads=H)[0],
         do, lambda o: o[0, 0, 0, 0], iters=10, rounds=3,
         label="bwd packed", args=(q, k, v, o_p, lse_p))
+    # Unchunked bk=256 (single q chunk; compiles thanks to the raised
+    # per-kernel vmem limit) — isolates the q-chunking cost at shapes
+    # where _packed_bwd_geometry would chunk.
+    import ovmono3d_tpu.ops.attention as attn_mod
+
+    orig_geom = attn_mod._packed_bwd_geometry
+    attn_mod._packed_bwd_geometry = lambda n_q, block_k=256: (256, n_q)
+    try:
+        tbu = bench_loop(
+            lambda x, *a: flash_attention_packed_bwd(
+                *a, x, num_heads=H, block_k=256)[0],
+            do, lambda o: o[0, 0, 0, 0], iters=10, rounds=3,
+            label="bwd packed unchunked bk=256", args=(q, k, v, o_p, lse_p))
+    finally:
+        attn_mod._packed_bwd_geometry = orig_geom
     print(f"fwd_lse: head-major {t*1e3:.2f} ms  packed {tp*1e3:.2f} ms",
           flush=True)
-    print(f"bwd:     head-major {tb*1e3:.2f} ms  packed {tbp*1e3:.2f} ms",
+    print(f"bwd:     head-major {tb*1e3:.2f} ms  packed {tbp*1e3:.2f} ms  "
+          f"packed-unchunked {tbu*1e3:.2f} ms",
           flush=True)
     print("NOTE: head-major numbers EXCLUDE the XLA-side transposes the "
           "packed path eliminates — in-model savings are larger "

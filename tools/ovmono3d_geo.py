@@ -49,6 +49,12 @@ def parse_args():
                          "the HF cross-validation covers the f32 default "
                          "only, so metric depth may drift at bf16 "
                          "precision)")
+    ap.add_argument("--gelu", default="erf", choices=("erf", "tanh"),
+                    help="opt-in tanh approximate-gelu serving epilogue in "
+                         "the SAM/Depth-Pro ViT trunks (models/vit.py "
+                         "Mlp.gelu: erf costs ~1.2 ms per ViT-L fc1 "
+                         "fusion, tanh is free; the reference runs "
+                         "Depth-Pro in fp16, a coarser approximation)")
     ap.add_argument("--eval", action="store_true",
                     help="evaluate the written predictions against GT "
                          "(reference tools/eval_ovmono3d_geo.py)")
@@ -259,13 +265,15 @@ def main():
                       global_blocks=(7, 15, 23, 31)),
     }[args.sam_arch]
     sam_encoder = VisionTransformer(
-        use_depth_fusion=False, **{**VIT_PRESETS["sam"], **arch}
+        use_depth_fusion=False, gelu=args.gelu,
+        **{**VIT_PRESETS["sam"], **arch}
     )
     segmenter = SamSegmenter()
     # f32 is the numerics-validated path (tests/test_hf_crossval.py);
     # bf16 is an opt-in speed/precision trade.
     depth_model = DepthPro(
-        dtype=jnp.bfloat16 if args.depth_bf16 else jnp.float32
+        dtype=jnp.bfloat16 if args.depth_bf16 else jnp.float32,
+        gelu=args.gelu,
     )
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
     sam_params = jax.jit(sam_encoder.init)(

@@ -61,7 +61,7 @@ def pallas_int8_matmul(a: jax.Array, b: jax.Array, bn: int = 512,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=2.0 * n * k * m,
+            flops=2 * n * k * m,
             bytes_accessed=n * k + k * m + 4 * n * m,
             transcendentals=0,
         ),
