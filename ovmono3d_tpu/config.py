@@ -53,6 +53,14 @@ class BackboneConfig:
                                     # bf16 rate — see ops/quant.py); buys
                                     # memory, not speed. Inference-only;
                                     # training stays bf16.
+    gelu: str = "erf"               # "tanh": opt-in approximate-gelu
+                                    # epilogue for the trunk MLPs. MEASURED
+                                    # (tools/probe_gelu_tail.py): the exact
+                                    # erf fusion tail costs ~1.2 ms per
+                                    # ViT-L fc1; tanh is free. NOT
+                                    # bit-identical (1-ulp bf16 drift on
+                                    # 0.6% of inputs — models/vit.py
+                                    # Mlp.gelu); default erf.
 
 
 @dataclass(frozen=True)

@@ -114,6 +114,7 @@ class ViTSFPBackbone(nn.Module):
             remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
             quant=self.cfg.quant,
+            gelu=self.cfg.gelu,
             name="vit",
             **preset,
         )

@@ -561,6 +561,17 @@ class VisionTransformer(nn.Module):
                 self.window_size > 0 and i not in self.global_blocks
             )
             if windowed:
+                # NOTE (round 5, measured dead end): running consecutive
+                # windowed blocks window-major with a single partition/
+                # unpartition pair is numerically exact (pad rows zeroed
+                # after norm1 reproduce pad-after-norm; SAM HF crossval
+                # passed) but buys NOTHING on v5e — the encoder's 42 ms
+                # of copy/reshape is the rel-pos attention's internal
+                # layout, not the window partition, and the padded
+                # window rows (+20% tokens) push the LN/MLP cost up by
+                # the same amount the partition saves (132.8 vs 132.7
+                # ms A/B, tools/profile_sam.py traces both). Keeping the
+                # simpler per-block partition.
                 x = self._windowed_block(x, i, B, h, w, n_prefix)
             else:
                 # Optional remat: recompute block activations in the

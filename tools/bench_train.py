@@ -43,6 +43,11 @@ def main():
                     choices=("full", "dots", "dots_attn"),
                     help="with --unfreeze: checkpoint policy A/B — 'dots' "
                          "saves MXU outputs, recomputes only elementwise")
+    ap.add_argument("--gelu", default="erf", choices=("erf", "tanh"),
+                    help="A/B the opt-in tanh approximate-gelu trunk "
+                         "epilogue (config.py backbone.gelu; the erf "
+                         "fusion tail shows up fwd AND bwd in the "
+                         "unfrozen step)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_config
@@ -61,13 +66,17 @@ def main():
     )
     from tools.train_net import synthetic_records
 
+    import dataclasses
+
     cfg = _flagship_config(square_pad=896)
     if args.unfreeze:
-        import dataclasses
-
         bb = dataclasses.replace(
             cfg.model.backbone, freeze=False, remat=True,
             remat_policy=args.remat_policy)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backbone=bb))
+    if args.gelu != "erf":
+        bb = dataclasses.replace(cfg.model.backbone, gelu=args.gelu)
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, backbone=bb))
     B = args.batch_size
