@@ -227,6 +227,38 @@ class Attention(nn.Module):
             if (jax.default_backend() == "tpu"
                     and os.environ.get("OVMONO3D_WINDOW_CLAMP", "1") != "0"):
                 clamp = _env_clamp()
+            N = q.shape[1]
+            g = 1
+            while (g * head_dim) % 128 != 0 and g <= self.num_heads:
+                g += 1
+            if (clamp is not None and N == h * w and N % 128 == 0
+                    and self.num_heads % g == 0
+                    and ((g * h) % 128 == 0 or g == self.num_heads)
+                    and ((g * w) % 128 == 0 or g == self.num_heads)
+                    and os.environ.get("OVMONO3D_RELPOS_FLASH", "1")
+                    != "0"):
+                # SAM GLOBAL blocks: the XLA path pays ~1 GB of HBM
+                # traffic per bias broadcast-add over the [H, N, N]
+                # grid (13.8 ms/block = 6.2 TF/s at vit_h 64x64,
+                # tools/probe_sam_global_attn.py). The flash kernel
+                # expands the SMALL per-(row, index) factors in-VMEM
+                # instead; windowed calls (N=196) keep the XLA path.
+                from ovmono3d_tpu.ops.attention import (
+                    rel_pos_flash_attention,
+                )
+
+                q_tok = q.reshape(B, h, w, self.num_heads, head_dim)
+                qrh = jnp.einsum(
+                    "brcnd,rkd->brcnk", q_tok, Rh.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                ).reshape(B, N, self.num_heads, h)
+                qrw = jnp.einsum(
+                    "brcnd,ckd->brcnk", q_tok, Rw.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                ).reshape(B, N, self.num_heads, w)
+                return rel_pos_flash_attention(
+                    q, k, v, qrh, qrw, (h, w), self.num_heads,
+                    clamp_c=clamp)
             return _rel_pos_attention_fast(
                 q, k, v, Rh.astype(q.dtype), Rw.astype(q.dtype),
                 (h, w), clamp)

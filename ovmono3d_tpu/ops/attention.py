@@ -263,6 +263,167 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         o_ref[0, :, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _relpos_flash_kernel(q_ref, k_ref, v_ref, qrh_ref, qrw_ref, er_ref,
+                         ec_ref, mask_ref, o_ref, *, scale: float,
+                         heads_per_block: int, n_r: int, n_c: int):
+    """Channel-packed flash attention with DECOMPOSED REL-POS bias
+    (SAM image encoder, segment_anything add_decomposed_rel_pos):
+
+        s[i, j] = scale * q_i.k_j + q_i.Rh[r_i, r_j] + q_i.Rw[c_i, c_j]
+
+    The XLA path materializes the [H, N, N] f32 logits PLUS two
+    broadcast-adds over the full [H, n_r, n_c, n_r, n_c] grid — ~1 GB of
+    HBM traffic per add at SAM-global shape, 13.8 ms/block = 6.2 TF/s
+    (tools/probe_sam_global_attn.py). Here the SMALL per-(row, index)
+    factors qrh[i, a] = q_i.Rh[r_i, a] and qrw[i, a] = q_i.Rw[c_i, a]
+    (cheap [N, H, n_r] einsums, computed outside) are expanded to logits
+    IN-KERNEL with two one-hot matmuls:
+
+        s += qrh @ E_r + qrw @ E_c,   E_r[a, j] = [j // n_c == a],
+                                      E_c[a, j] = [j %  n_c == a]
+
+    so nothing [N, N]-sized ever leaves VMEM. qrh/qrw arrive
+    pre-multiplied by log2(e) (exp2 softmax) in bf16; same clamped
+    single-pass softmax and exactness window as _flash_kernel_single."""
+    in_dtype = q_ref.dtype
+    d = q_ref.shape[-1] // heads_per_block
+    q = (
+        q_ref[0].astype(jnp.float32) * (scale * _LOG2E)
+    ).astype(in_dtype)
+    mask = mask_ref[0][None, :]
+    for g in range(heads_per_block):
+        sl = slice(g * d, (g + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + jax.lax.dot_general(
+            qrh_ref[0, :, g * n_r:(g + 1) * n_r], er_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + jax.lax.dot_general(
+            qrw_ref[0, :, g * n_c:(g + 1) * n_c], ec_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.minimum(s + mask, 0.0)
+        p = jnp.exp2(s)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(in_dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "grid_hw", "clamp_c", "block_q",
+                              "interpret")
+)
+def rel_pos_flash_attention(
+    q: jax.Array,            # [B, N, H, D], N == h*w tokens of an (h, w) grid
+    k: jax.Array,
+    v: jax.Array,
+    qrh: jax.Array,          # [B, N, H, h]  q_i . Rh[r_i, a] (RAW logits)
+    qrw: jax.Array,          # [B, N, H, w]  q_i . Rw[c_i, a]
+    grid_hw: tuple[int, int],
+    num_heads: int,
+    clamp_c: float = 50.0,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decomposed-rel-pos flash attention (see _relpos_flash_kernel).
+
+    Requirements: N == h*w. KV pads to the 128-lane logits tile with
+    -inf mask columns (SAM global blocks 64*64 = 4096 need none;
+    windowed blocks 14*14 = 196 pad to 256). Head grouping: the fewest
+    heads whose packed qkv AND bias widths are 128-lane multiples, else
+    all heads in one group (full-width blocks are always legal). The
+    channel-packed [B, N, H*D] reshapes at this boundary are free, as in
+    flash_attention_packed."""
+    b, n, h_, d = q.shape
+    gh, gw = grid_hw
+    assert gh * gw == n, (grid_hw, n)
+    c = h_ * d
+    scale = 1.0 / (d**0.5)
+    g = 1
+    while g < h_ and (
+        (g * d) % 128 != 0 or (g * gh) % 128 != 0 or (g * gw) % 128 != 0
+        or h_ % g != 0
+    ):
+        g += 1
+    assert h_ % g == 0, (h_, d, grid_hw)
+    n_kv = -(-n // 128) * 128
+    block_q = min(block_q, -(-n // 16) * 16)
+    n_q = -(-n // block_q) * block_q
+
+    def pack(x, width, n_pad):
+        x = x.reshape(b, n, h_ * width)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    qp = pack(q, d, n_q)
+    kp = pack(k, d, n_kv)
+    vp = pack(v, d, n_kv)
+    # log2e folded here so the kernel adds the biases in exp2 units.
+    qrh_p = pack((qrh.astype(jnp.float32) * _LOG2E).astype(q.dtype), gh,
+                 n_q)
+    qrw_p = pack((qrw.astype(jnp.float32) * _LOG2E).astype(q.dtype), gw,
+                 n_q)
+    jcol = jnp.arange(n_kv)
+    er = (jnp.arange(gh)[:, None] == jcol[None, :] // gw).astype(q.dtype)
+    ec = (jnp.arange(gw)[:, None] == jcol[None, :] % gw).astype(q.dtype)
+    mask = jnp.where(jcol < n, -clamp_c * _LOG2E, _NEG_INF).astype(
+        jnp.float32)[None]
+
+    out = pl.pallas_call(
+        functools.partial(_relpos_flash_kernel, scale=scale,
+                          heads_per_block=g, n_r=gh, n_c=gw),
+        grid=(b, h_ // g, n_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, g * d),
+                         lambda bi, gi, qi: (bi, qi, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, g * d), lambda bi, gi, qi: (bi, 0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, g * d), lambda bi, gi, qi: (bi, 0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, g * gh),
+                         lambda bi, gi, qi: (bi, qi, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, g * gw),
+                         lambda bi, gi, qi: (bi, qi, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, n_kv), lambda bi, gi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gw, n_kv), lambda bi, gi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv), lambda bi, gi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, g * d),
+                               lambda bi, gi, qi: (bi, qi, gi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_q, c), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h_ * n_q * n * d
+            + 2 * b * h_ * n_q * n * (gh + gw),
+            bytes_accessed=(6 * b * n * c + 2 * b * n_q * c) * 2,
+            transcendentals=b * h_ * n_q * n,
+        ),
+        # The per-head chain s -> +bias_h dot -> +bias_w dot keeps ~3
+        # [block_q, N] f32 temps live; the default 16 MB scoped check is
+        # far too tight at block_q=256, N=4096 (measured ask: 48.23 MB).
+        # Total VMEM incl. the kv/q/out blocks is ~75 MB of the 128 MB
+        # v5e budget (cf. flash_attention_packed_bwd).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, qrh_p, qrw_p, er, ec, mask)
+    return out[:, :n].reshape(b, n, h_, d)
+
+
 def _packed_geometry(n: int, h: int, d: int) -> tuple[int, int, int, int]:
     """(heads_per_block, n_q_pad, n_kv_pad, block_q) for the packed path.
 

@@ -335,3 +335,45 @@ def test_packed_bwd_geometry():
     assert 14 * qc * bk <= 12 * 2**20
     bk, qc = _packed_bwd_geometry(6144)               # gate maximum
     assert bk == 256 and qc % 128 == 0 and 14 * qc * bk <= 12 * 2**20
+
+
+def test_rel_pos_flash_matches_reference():
+    """Decomposed-rel-pos flash kernel (SAM global blocks) vs the exact
+    f32 softmax reference AND the clamped XLA fast path — f32 inputs so
+    the only differences are accumulation-order epsilon. Grid 16x16
+    (N=256), H=2 = one head-group (the g == num_heads gate branch)."""
+    from ovmono3d_tpu.models.vit import _rel_pos_attention_fast
+    from ovmono3d_tpu.ops.attention import rel_pos_flash_attention
+
+    B, H, D = 2, 2, 64
+    gh = gw = 16
+    N = gh * gw
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    q, k, v = (jax.random.normal(kk, (B, N, H, D), jnp.float32) * 0.3
+               for kk in ks[:3])
+    Rh = jax.random.normal(ks[3], (gh, gh, D), jnp.float32) * 0.05
+    Rw = jax.random.normal(ks[4], (gw, gw, D), jnp.float32) * 0.05
+
+    # exact reference (vit.py f32 path math)
+    scale = D ** -0.5
+    qg = q.transpose(0, 2, 1, 3).reshape(B, H, gh, gw, D)
+    bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qg, Rh)
+    bias_w = jnp.einsum("bnhwc,wkc->bnhwk", qg, Rw)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    attn = attn.reshape(B, H, gh, gw, gh, gw)
+    attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
+    attn = jax.nn.softmax(attn.reshape(B, H, N, N), axis=-1)
+    want = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+    q_tok = q.reshape(B, gh, gw, H, D)
+    qrh = jnp.einsum("brcnd,rkd->brcnk", q_tok, Rh).reshape(B, N, H, gh)
+    qrw = jnp.einsum("brcnd,ckd->brcnk", q_tok, Rw).reshape(B, N, H, gw)
+    got = rel_pos_flash_attention(q, k, v, qrh, qrw, (gh, gw), H,
+                                  clamp_c=50.0, block_q=128,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    fast = _rel_pos_attention_fast(q, k, v, Rh, Rw, (gh, gw), 50.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(fast),
+                               atol=2e-5, rtol=2e-5)
