@@ -228,21 +228,16 @@ class Attention(nn.Module):
                     and os.environ.get("OVMONO3D_WINDOW_CLAMP", "1") != "0"):
                 clamp = _env_clamp()
             N = q.shape[1]
-            g = 1
-            while (g * head_dim) % 128 != 0 and g <= self.num_heads:
-                g += 1
-            if (clamp is not None and N == h * w and N % 128 == 0
-                    and self.num_heads % g == 0
-                    and ((g * h) % 128 == 0 or g == self.num_heads)
-                    and ((g * w) % 128 == 0 or g == self.num_heads)
+            if (clamp is not None and N == h * w
                     and os.environ.get("OVMONO3D_RELPOS_FLASH", "1")
                     != "0"):
-                # SAM GLOBAL blocks: the XLA path pays ~1 GB of HBM
-                # traffic per bias broadcast-add over the [H, N, N]
-                # grid (13.8 ms/block = 6.2 TF/s at vit_h 64x64,
-                # tools/probe_sam_global_attn.py). The flash kernel
-                # expands the SMALL per-(row, index) factors in-VMEM
-                # instead; windowed calls (N=196) keep the XLA path.
+                # The XLA path pays ~1 GB of HBM traffic per bias
+                # broadcast-add over the [H, N, N] grid on GLOBAL
+                # blocks (13.9 -> 4.8 ms at vit_h 64x64) and loses on
+                # windowed ones too (25x 14x14: 3.83 -> 3.25 ms) —
+                # tools/probe_sam_global_attn.py, diffs <= 5e-4 bf16.
+                # The flash kernel expands the SMALL per-(row, index)
+                # factors in-VMEM instead.
                 from ovmono3d_tpu.ops.attention import (
                     rel_pos_flash_attention,
                 )

@@ -377,3 +377,21 @@ def test_rel_pos_flash_matches_reference():
     fast = _rel_pos_attention_fast(q, k, v, Rh, Rw, (gh, gw), 50.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(fast),
                                atol=2e-5, rtol=2e-5)
+
+    # windowed-style shape: N not a 128 multiple (kv pads with -inf
+    # columns), full-head group fallback, odd grid sides.
+    B, H, D = 2, 3, 32
+    gh, gw = 6, 10
+    N = gh * gw
+    q, k, v = (jax.random.normal(kk, (B, N, H, D), jnp.float32) * 0.3
+               for kk in jax.random.split(jax.random.PRNGKey(9), 3))
+    Rh = jax.random.normal(ks[3], (gh, gh, D), jnp.float32) * 0.05
+    Rw = jax.random.normal(ks[4], (gw, gw, D), jnp.float32) * 0.05
+    want = _rel_pos_attention_fast(q, k, v, Rh, Rw, (gh, gw), 50.0)
+    q_tok = q.reshape(B, gh, gw, H, D)
+    qrh = jnp.einsum("brcnd,rkd->brcnk", q_tok, Rh).reshape(B, N, H, gh)
+    qrw = jnp.einsum("brcnd,ckd->brcnk", q_tok, Rw).reshape(B, N, H, gw)
+    got = rel_pos_flash_attention(q, k, v, qrh, qrw, (gh, gw), H,
+                                  clamp_c=50.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
