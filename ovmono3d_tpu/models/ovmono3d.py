@@ -287,19 +287,11 @@ class OVMono3DLift:
         JSONs are exactly such a whole-dataset GDINO pass
         (/root/reference/cubercnn/config/config.py:41-76)."""
         S = self.gdino_size
-        mean = jnp.asarray(GDINO_MEAN)
-        std = jnp.asarray(GDINO_STD)
 
         def body(carry, x):
             canvas, hw = x
-            content = (
-                (jnp.arange(S)[:, None] < hw[0])
-                & (jnp.arange(S)[None, :] < hw[1])
-            )
-            tensor = jnp.where(
-                content[None, :, :, None],
-                (canvas[None].astype(jnp.float32) / 255.0 - mean) / std,
-                0.0,
+            tensor = self._gdino_normalize(
+                canvas[None].astype(jnp.float32), hw[None]
             )
             out = self.gdino.apply(
                 params, tensor, input_ids, text_mask, self_mask, pos_ids,
@@ -334,20 +326,24 @@ class OVMono3DLift:
         biases = self._swin_rel_biases()
         fn = self._jitted(f"detect_stream_{chunk}", self._detect_stream_fn)
         S = self.gdino_size
-        bufs: list[tuple] = []
-        pending: tuple | None = None
 
-        def dispatch():
-            count = len(bufs)
-            pad = chunk - count
-            canv = np.stack([b[0] for b in bufs] + [bufs[-1][0]] * pad)
-            hws = np.stack([b[1] for b in bufs] + [bufs[-1][1]] * pad)
+        def prep(image):
+            h, w = image.shape[:2]
+            nh, nw, scale = self._gdino_content_geometry(h, w)
+            resized = cv2.resize(image.astype(np.float32), (nw, nh))
+            canvas = np.zeros((S, S, 3), np.uint8)
+            canvas[:nh, :nw] = np.clip(np.rint(resized), 0, 255)
+            return (canvas, np.array([nh, nw], np.int32),
+                    np.float32(scale))
+
+        def dispatch(cols, count):
+            canv, hws, scales = cols
             res = fn(
                 self.gdino_params, jnp.asarray(canv),
                 jnp.asarray(hws, jnp.int32), input_ids, text_mask,
                 self_mask, pos_ids, biases, span_matrix, span_valid,
             )
-            return res, count, [b[2] for b in bufs]
+            return res, count, scales
 
         def emit(entry):
             res, count, scales = entry
@@ -360,21 +356,51 @@ class OVMono3DLift:
                     "valid": valid[i],
                 }
 
-        for image in images:
-            h, w = image.shape[:2]
-            nh, nw, scale = self._gdino_content_geometry(h, w)
-            resized = cv2.resize(image.astype(np.float32), (nw, nh))
-            canvas = np.zeros((S, S, 3), np.uint8)
-            canvas[:nh, :nw] = np.clip(np.rint(resized), 0, 255)
-            bufs.append((canvas, np.array([nh, nw], np.int32),
-                         np.float32(scale)))
+        yield from self._stream_drive(images, prep, dispatch, emit, chunk)
+
+    def _gdino_normalize(self, canvas, hw):
+        """In-graph GDINO canvas normalization, batched: content pixels
+        get (x/255 - mean)/std, padding stays exactly 0 (matching
+        _prep_gdino_image's zero-padded host canvas). canvas [B, S, S, 3]
+        raw-pixel float, hw [B, 2] content (nh, nw)."""
+        S = self.gdino_size
+        rows = jnp.arange(S)[None, :, None] < hw[:, 0][:, None, None]
+        cols = jnp.arange(S)[None, None, :] < hw[:, 1][:, None, None]
+        content = rows & cols
+        mean = jnp.asarray(GDINO_MEAN)
+        std = jnp.asarray(GDINO_STD)
+        return jnp.where(
+            content[..., None], (canvas / 255.0 - mean) / std, 0.0
+        )
+
+    def _stream_drive(self, items, prep, dispatch, emit, chunk: int):
+        """Shared submit-ahead chunked-stream driver (predict_stream /
+        detect_2d_stream). prep(item) -> per-item tuple of arrays;
+        dispatch(stacked_columns, count) -> in-flight handle (device
+        work already dispatched); emit(handle) -> iterator of per-image
+        results. Keeps exactly ONE chunk in flight: while the device
+        runs chunk i the host preps chunk i+1 and only then fetches
+        chunk i-1, so host work and relay latency hide behind device
+        execution. The final partial chunk is padded with its last row
+        (dispatch receives the real `count`)."""
+        bufs: list[tuple] = []
+        pending = None
+
+        def _go():
+            count = len(bufs)
+            rows = bufs + [bufs[-1]] * (chunk - count)
+            cols = [np.stack(c) for c in zip(*rows)]
+            return dispatch(cols, count)
+
+        for item in items:
+            bufs.append(prep(item))
             if len(bufs) == chunk:
-                done, pending = pending, dispatch()
+                done, pending = pending, _go()
                 bufs.clear()
                 if done is not None:
                     yield from emit(done)
         if bufs:
-            done, pending = pending, dispatch()
+            done, pending = pending, _go()
             if done is not None:
                 yield from emit(done)
         if pending is not None:
@@ -406,23 +432,14 @@ class OVMono3DLift:
         latencies per image; both stages consume the same square canvas
         in the e2e configuration, roi_heads_gdino.py:147).
 
-        The GDINO tensor is derived in-graph: content pixels get
-        (x/255 - mean)/std, padding stays exactly 0 (matching
-        _prep_gdino_image's zero-padded canvas, NOT normalized zeros).
-        Boxes come out of postprocess in canvas pixels — box_scale is 1
-        by construction, so they feed the cube branch directly."""
+        The GDINO tensor is derived in-graph (_gdino_normalize: content
+        pixels get (x/255 - mean)/std, padding stays exactly 0 —
+        matching _prep_gdino_image's zero-padded canvas, NOT normalized
+        zeros). Boxes come out of postprocess in canvas pixels —
+        box_scale is 1 by construction, so they feed the cube branch
+        directly."""
         S = self.gdino_size
-        nh, nw = hw[0, 0], hw[0, 1]
-        content = (
-            (jnp.arange(S)[:, None] < nh) & (jnp.arange(S)[None, :] < nw)
-        )
-        mean = jnp.asarray(GDINO_MEAN)
-        std = jnp.asarray(GDINO_STD)
-        tensor = jnp.where(
-            content[None, :, :, None],
-            (canvas / 255.0 - mean) / std,
-            0.0,
-        )
+        tensor = self._gdino_normalize(canvas, hw)
         out = self.gdino.apply(
             gdino_params, tensor, input_ids, text_mask, self_mask, pos_ids,
             biases,
@@ -455,14 +472,7 @@ class OVMono3DLift:
         independent — no collectives in the hot path."""
         S = self.gdino_size
         B = canvas.shape[0]
-        rows = jnp.arange(S)[None, :, None] < hw[:, 0][:, None, None]
-        cols = jnp.arange(S)[None, None, :] < hw[:, 1][:, None, None]
-        content = rows & cols                                  # [B, S, S]
-        mean = jnp.asarray(GDINO_MEAN)
-        std = jnp.asarray(GDINO_STD)
-        tensor = jnp.where(
-            content[..., None], (canvas / 255.0 - mean) / std, 0.0
-        )
+        tensor = self._gdino_normalize(canvas, hw)
         out = self.gdino.apply(
             gdino_params, tensor,
             jnp.broadcast_to(input_ids, (B,) + input_ids.shape[1:]),
@@ -652,28 +662,43 @@ class OVMono3DLift:
 
             n_data = mesh.shape["data"]
             assert chunk % n_data == 0, (chunk, n_data)
-            key = f"stream_mesh_{id(mesh)}_{chunk}"
-            if key not in self._jit_cache:
-                self._jit_cache[key] = make_lift_stream_fn(
-                    self, mesh, chunk // n_data)
-            mesh_fn = self._jit_cache[key]
+            # Cache keyed on the mesh OBJECT (`is`, not id() — CPython
+            # reuses addresses after GC; same rationale as
+            # _swin_rel_biases), holding the compiled fn AND the
+            # mesh-replicated param trees so repeated streams don't
+            # re-upload hundreds of MB of weights per call.
+            key = f"stream_mesh_{chunk}"
+            cached = self._jit_cache.get(key)
+            if (cached is None or cached[0] is not mesh
+                    or cached[1] is not self.gdino_params
+                    or cached[2] is not self.rcnn_params):
+                repl = replicated(mesh)
+                cached = (
+                    mesh, self.gdino_params, self.rcnn_params,
+                    make_lift_stream_fn(self, mesh, chunk // n_data),
+                    jax.device_put(self.gdino_params, repl),
+                    jax.device_put(self.rcnn_params, repl),
+                )
+                self._jit_cache[key] = cached
+            mesh_fn, gparams, rparams = cached[3], cached[4], cached[5]
             repl = replicated(mesh)
-            gparams = jax.device_put(self.gdino_params, repl)
-            rparams = jax.device_put(self.rcnn_params, repl)
             text_r = jax.device_put(tuple(text), repl)
             biases_r = jax.device_put(biases, repl)
         fn = (None if mesh is not None
               else self._jitted(f"stream_{chunk}", self._stream_fn))
-        bufs: list[tuple] = []
-        pending: tuple | None = None
 
-        def dispatch():
-            count = len(bufs)
-            pad = chunk - count
-            canv = np.stack([b[0] for b in bufs] + [bufs[-1][0]] * pad)
-            Ks = np.stack([b[1] for b in bufs] + [bufs[-1][1]] * pad)
-            hws = np.stack([b[2] for b in bufs] + [bufs[-1][2]] * pad)
-            rats = np.stack([b[3] for b in bufs] + [bufs[-1][3]] * pad)
+        def prep(item):
+            image, K = item
+            canvas, (nh, nw), scale = self._prep_lift_canvas(image)
+            return (
+                np.clip(np.rint(canvas), 0, 255).astype(np.uint8),
+                np.asarray(K, np.float32),
+                np.array([nh, nw], np.int32),
+                np.float32(1.0 / scale),
+            )
+
+        def dispatch(cols, count):
+            canv, Ks, hws, rats = cols
             if mesh is not None:
                 dets = mesh_fn(
                     gparams, rparams,
@@ -696,25 +721,7 @@ class OVMono3DLift:
             for i in range(count):
                 yield jax.tree.map(lambda x: x[i], host)
 
-        for image, K in items:
-            canvas, (nh, nw), scale = self._prep_lift_canvas(image)
-            bufs.append((
-                np.clip(np.rint(canvas), 0, 255).astype(np.uint8),
-                np.asarray(K, np.float32),
-                np.array([nh, nw], np.int32),
-                np.float32(1.0 / scale),
-            ))
-            if len(bufs) == chunk:
-                done, pending = pending, dispatch()
-                bufs.clear()
-                if done is not None:
-                    yield from emit(done)
-        if bufs:
-            done, pending = pending, dispatch()
-            if done is not None:
-                yield from emit(done)
-        if pending is not None:
-            yield from emit(pending)
+        yield from self._stream_drive(items, prep, dispatch, emit, chunk)
 
     def predict(
         self,

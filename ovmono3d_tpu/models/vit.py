@@ -18,6 +18,7 @@ Flax module:
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import field
 from typing import Any, Callable, Sequence
 
@@ -162,6 +163,57 @@ def _rel_pos_attention_fast(q, k, v, Rh, Rw, hw, clamp=None):
     return out.astype(q.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _rel_pos_attention_autoselect(q, k, v, Rh, Rw, grid_hw, clamp):
+    """bf16 rel-pos attention dispatcher: the Pallas rel_pos_flash_
+    attention kernel where eligible (TPU, clamped, full-grid token set;
+    in-kernel bias expansion — see the kernel docstring), else
+    _rel_pos_attention_fast. Wrapped in custom_vjp so rel-pos trunks
+    stay DIFFERENTIABLE: pallas_call has no autodiff rule, and without
+    this wrapper unfrozen fine-tuning of a SAM-style backbone on TPU
+    would crash at trace time; the backward differentiates the XLA fast
+    path (the exact pre-kernel training behavior)."""
+    import os
+
+    h, w = grid_hw
+    B, N, H, D = q.shape
+    if (clamp is not None and N == h * w
+            and jax.default_backend() == "tpu"
+            and os.environ.get("OVMONO3D_RELPOS_FLASH", "1") != "0"):
+        from ovmono3d_tpu.ops.attention import rel_pos_flash_attention
+
+        q_tok = q.reshape(B, h, w, H, D)
+        qrh = jnp.einsum(
+            "brcnd,rkd->brcnk", q_tok, Rh,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, N, H, h)
+        qrw = jnp.einsum(
+            "brcnd,ckd->brcnk", q_tok, Rw,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, N, H, w)
+        return rel_pos_flash_attention(q, k, v, qrh, qrw, (h, w), H,
+                                       clamp_c=clamp)
+    return _rel_pos_attention_fast(q, k, v, Rh, Rw, (h, w), clamp)
+
+
+def _rpa_fwd(q, k, v, Rh, Rw, grid_hw, clamp):
+    return (_rel_pos_attention_autoselect(q, k, v, Rh, Rw, grid_hw,
+                                          clamp),
+            (q, k, v, Rh, Rw))
+
+
+def _rpa_bwd(grid_hw, clamp, res, g):
+    q, k, v, Rh, Rw = res
+    _, vjp = jax.vjp(
+        lambda *a: _rel_pos_attention_fast(*a, grid_hw, clamp),
+        q, k, v, Rh, Rw,
+    )
+    return vjp(g)
+
+
+_rel_pos_attention_autoselect.defvjp(_rpa_fwd, _rpa_bwd)
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
@@ -227,34 +279,14 @@ class Attention(nn.Module):
             if (jax.default_backend() == "tpu"
                     and os.environ.get("OVMONO3D_WINDOW_CLAMP", "1") != "0"):
                 clamp = _env_clamp()
-            N = q.shape[1]
-            if (clamp is not None and N == h * w
-                    and os.environ.get("OVMONO3D_RELPOS_FLASH", "1")
-                    != "0"):
-                # The XLA path pays ~1 GB of HBM traffic per bias
-                # broadcast-add over the [H, N, N] grid on GLOBAL
-                # blocks (13.9 -> 4.8 ms at vit_h 64x64) and loses on
-                # windowed ones too (25x 14x14: 3.83 -> 3.25 ms) —
-                # tools/probe_sam_global_attn.py, diffs <= 5e-4 bf16.
-                # The flash kernel expands the SMALL per-(row, index)
-                # factors in-VMEM instead.
-                from ovmono3d_tpu.ops.attention import (
-                    rel_pos_flash_attention,
-                )
-
-                q_tok = q.reshape(B, h, w, self.num_heads, head_dim)
-                qrh = jnp.einsum(
-                    "brcnd,rkd->brcnk", q_tok, Rh.astype(q.dtype),
-                    preferred_element_type=jnp.float32,
-                ).reshape(B, N, self.num_heads, h)
-                qrw = jnp.einsum(
-                    "brcnd,ckd->brcnk", q_tok, Rw.astype(q.dtype),
-                    preferred_element_type=jnp.float32,
-                ).reshape(B, N, self.num_heads, w)
-                return rel_pos_flash_attention(
-                    q, k, v, qrh, qrw, (h, w), self.num_heads,
-                    clamp_c=clamp)
-            return _rel_pos_attention_fast(
+            # Dispatch through the differentiable autoselect: the Pallas
+            # rel_pos_flash_attention kernel where eligible (the XLA path
+            # pays ~1 GB of HBM traffic per bias broadcast-add over the
+            # [H, N, N] grid on GLOBAL blocks — 13.9 -> 4.8 ms at vit_h
+            # 64x64 — and loses on windowed ones too, 3.83 -> 3.25 ms;
+            # tools/probe_sam_global_attn.py, diffs <= 5e-4 bf16), with
+            # the XLA fast path as both the fallback and the backward.
+            return _rel_pos_attention_autoselect(
                 q, k, v, Rh.astype(q.dtype), Rw.astype(q.dtype),
                 (h, w), clamp)
         qg = q.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(

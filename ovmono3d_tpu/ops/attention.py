@@ -505,16 +505,16 @@ def flash_attention_packed(
     return out[:, :n].reshape(b, n, h, d)
 
 
-def _packed_bwd_wins(n_q: int) -> bool:
-    """Whether the packed backward should own the residual at this shape.
+def _packed_bwd_wins() -> bool:
+    """Whether the packed backward should own the vjp residual.
 
-    Single-q-chunk shapes (14*n_q*256 <= 12 MB: Depth-Pro/BERT) are
-    TPU-measured wins (round 4). The chunked large-n_q path (trunk
-    n_q=4224, bk=256 kept by in-kernel q-chunking + the raised
-    per-kernel vmem limit) measured faster in round 5 at trunk shape
-    both at kernel level (18.68 vs 19.62 ms head-major, vs 23.05
-    unchunked bk=256, tools/check_packed_grads.py) and in-model
-    (bench_train --unfreeze 561.0 vs 566.7 ms/step), so packed is the
+    Shape-INDEPENDENT since round 5: single-q-chunk shapes
+    (Depth-Pro/BERT) were round-4 TPU-measured wins, and the chunked
+    large-n_q path (trunk n_q=4224, bk=256 kept by in-kernel
+    q-chunking + the raised per-kernel vmem limit) measured faster at
+    trunk shape too — kernel level 18.68 vs 19.62 ms head-major (vs
+    23.05 unchunked bk=256, tools/check_packed_grads.py) and in-model
+    561.0 vs 566.7 ms/step (bench_train --unfreeze). Packed is the
     default everywhere; OVMONO3D_PACKED_BWD=1/0 force/disable for
     A/Bs."""
     env = os.environ.get("OVMONO3D_PACKED_BWD", "auto")
@@ -1312,8 +1312,7 @@ def _attn_fwd(q, k, v, clamp):
         # forced bk=128 (28.3 vs 19.5 ms); the kernel now q-chunks
         # internally and keeps bk=256 — _packed_bwd_wins gates the
         # regime (OVMONO3D_PACKED_BWD is the A/B override).
-        n_q = _packed_geometry(n, h, d)[1]
-        if _use_packed(n, h, d) and _packed_bwd_wins(n_q):
+        if _use_packed(n, h, d) and _packed_bwd_wins():
             o, lse = flash_attention_packed_lse(q, k, v, num_heads=h,
                                                 clamp_c=clamp)
         else:

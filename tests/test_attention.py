@@ -395,3 +395,36 @@ def test_rel_pos_flash_matches_reference():
                                   clamp_c=50.0, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_rel_pos_autoselect_differentiable():
+    """Rel-pos trunks must stay differentiable (unfrozen SAM-backbone
+    fine-tuning): the custom_vjp around the kernel/fast-path dispatch
+    backpropagates through the XLA fast path — grads must match
+    differentiating _rel_pos_attention_fast directly."""
+    from ovmono3d_tpu.models.vit import (
+        _rel_pos_attention_autoselect,
+        _rel_pos_attention_fast,
+    )
+
+    B, H, D, gh, gw = 1, 2, 32, 4, 8
+    N = gh * gw
+    ks = jax.random.split(jax.random.PRNGKey(5), 5)
+    q, k, v = (jax.random.normal(kk, (B, N, H, D), jnp.float32) * 0.3
+               for kk in ks[:3])
+    Rh = jax.random.normal(ks[3], (gh, gh, D), jnp.float32) * 0.05
+    Rw = jax.random.normal(ks[4], (gw, gw, D), jnp.float32) * 0.05
+
+    def loss_auto(q, k, v, Rh, Rw):
+        return jnp.sum(_rel_pos_attention_autoselect(
+            q, k, v, Rh, Rw, (gh, gw), 50.0) ** 2)
+
+    def loss_fast(q, k, v, Rh, Rw):
+        return jnp.sum(_rel_pos_attention_fast(
+            q, k, v, Rh, Rw, (gh, gw), 50.0) ** 2)
+
+    got = jax.grad(loss_auto, argnums=(0, 1, 2, 3, 4))(q, k, v, Rh, Rw)
+    want = jax.grad(loss_fast, argnums=(0, 1, 2, 3, 4))(q, k, v, Rh, Rw)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)

@@ -109,8 +109,12 @@ def main():
         ("int8 XLA", mm_int8_xla, xi, wi),
         ("int8 Pallas", mm_int8_pallas, xi, wi),
     ]:
-        s = bench_loop(lambda xx, w=w, fn=fn: fn(xx, w), x,
-                       lambda o: o, iters=10, rounds=3, label=name)
+        # weights via args= (NOT closed over): jit inlines closures as
+        # HLO literals and the axon relay 413s large remote-compile
+        # uploads on a cache miss (tools/bench_util.py docstring).
+        s = bench_loop(lambda xx, ww, fn=fn: fn(xx, ww), x,
+                       lambda o: o, iters=10, rounds=3, label=name,
+                       args=(w,))
         print(f"{name}: {s * 1e3:.3f} ms = {flops / s / 1e12:.1f} TF/s",
               flush=True)
 
