@@ -72,9 +72,12 @@ def main():
     ap.add_argument("--stream", type=int, default=48,
                     help="images in the streaming-driver measurement "
                          "(0 disables)")
-    ap.add_argument("--chunk", default="8",
+    ap.add_argument("--chunk", default="2,4",
                     help="streaming-driver chunk (images per dispatch); "
-                         "comma list sweeps, best is reported")
+                         "comma list sweeps, best is reported. Measured "
+                         "2026-08-21: chunk-2 123.3 ms/img == the device "
+                         "floor; larger chunks pay slightly more readback "
+                         "latency per sync (4: 126.7, 8: 130.3, 16: 137.9)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_config
