@@ -330,7 +330,12 @@ def rel_pos_flash_attention(
     grid_hw: tuple[int, int],
     num_heads: int,
     clamp_c: float = 50.0,
-    block_q: int = 256,
+    block_q: int = 256,    # 128 wins the chained micro at SAM-global
+                           # shape (4.03 vs 4.52 ms) but LOSES in situ
+                           # (encoder 68.6 vs 64.8 ms — less DMA/compute
+                           # overlap against neighboring ops); 256 is the
+                           # measured-best default at the model level
+                           # (round-5 sweep)
     interpret: bool = False,
 ) -> jax.Array:
     """Decomposed-rel-pos flash attention (see _relpos_flash_kernel).
