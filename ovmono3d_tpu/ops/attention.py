@@ -637,8 +637,15 @@ def flash_attention_packed_lse(
     return out[:, :n].reshape(b, n, h, d), lse
 
 
-def _packed_bwd_geometry(n_q: int, block_k: int = 256) -> tuple[int, int]:
+def _packed_bwd_geometry(n_q: int,
+                         block_k: int | None = None) -> tuple[int, int]:
     """(block_k, q_chunk) for the packed backward.
+
+    block_k=None adapts to the shape: 512 at trunk scale (n_q >= 3072 —
+    round-5 micro 16.82 vs 19.53 ms at bk=256 once the raised per-kernel
+    vmem limit unblocked it; bk=1024 regresses to 21.1), 256 below
+    (Depth-Pro/BERT shapes, round-4 measured best, and a 512 block would
+    pad small kv to 1024).
 
     The kernel's scoped-VMEM terms are the [q_chunk, block_k] f32 s/p/dp
     intermediates (+bf16 ds/p casts), ~14 B per (q-row, kv-col) cell;
@@ -650,6 +657,8 @@ def _packed_bwd_geometry(n_q: int, block_k: int = 256) -> tuple[int, int]:
     disjoint per chunk, so block_k stays at the MXU-efficient 256 for
     any n_q. Chunk starts are 128-multiples (lane-aligned lse/delta
     slices; q-row slices are sublane-aligned a fortiori)."""
+    if block_k is None:
+        block_k = 512 if n_q >= 3072 else 256
     budget = 12 * 2**20
     if 14 * n_q * block_k <= budget:
         return block_k, n_q

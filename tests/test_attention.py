@@ -323,18 +323,21 @@ def test_packed_geometry_and_gate():
 
 
 def test_packed_bwd_geometry():
-    """bk stays 256 at every n_q; q chunks shrink instead so the
-    [chunk, bk] scoped intermediates fit the 12 MB budget (the round-4
-    bk=128 fallback at trunk shapes is gone). Chunks are 128-aligned."""
+    """Adaptive kv block: 512 at trunk scale (n_q >= 3072, measured
+    16.8 vs 19.5 ms), 256 below; q chunks shrink so the [chunk, bk]
+    per-chunk intermediates fit the 12 MB budget (the round-4 bk=128
+    fallback at trunk shapes is gone). Chunks are 128-aligned."""
     from ovmono3d_tpu.ops.attention import _packed_bwd_geometry
 
     assert _packed_bwd_geometry(592) == (256, 592)    # Depth-Pro crops
     assert _packed_bwd_geometry(2048) == (256, 2048)  # single chunk
     bk, qc = _packed_bwd_geometry(4224)               # trunk (b8 896²)
-    assert bk == 256 and qc % 128 == 0
+    assert bk == 512 and qc % 128 == 0
     assert 14 * qc * bk <= 12 * 2**20
     bk, qc = _packed_bwd_geometry(6144)               # gate maximum
-    assert bk == 256 and qc % 128 == 0 and 14 * qc * bk <= 12 * 2**20
+    assert bk == 512 and qc % 128 == 0 and 14 * qc * bk <= 12 * 2**20
+    # explicit block_k still honored
+    assert _packed_bwd_geometry(4224, 256)[0] == 256
 
 
 def test_rel_pos_flash_matches_reference():
