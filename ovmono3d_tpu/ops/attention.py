@@ -30,6 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# Whole-KV-in-VMEM kernels' scoped intermediates scale with N, and
+# Mosaic's default 16 MB scoped-VMEM check rejects shapes still inside
+# the n <= 6144 single-block gate (measured: the packed lse forward
+# asks 18.49 MB at N=6144). v5e has 128 MB of VMEM and every kernel's
+# block I/O stays well clear, so the per-kernel limit is raised
+# uniformly (see also the packed-backward / rel-pos kernels' notes).
+_VMEM_LIMIT = 48 * 2**20
+
 
 def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Reference attention. q/k/v: [B, N, H, D] -> [B, N, H, D]."""
@@ -217,6 +225,9 @@ def flash_attention(
             flops=4 * b * h * n_q * n_kv * d,
             bytes_accessed=(2 * b * h * n_q * d + 2 * b * h * n_kv * d) * 2,
             transcendentals=b * h * n_q * n_kv,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(qb, kb, vb, mask)
@@ -505,6 +516,9 @@ def flash_attention_packed(
             bytes_accessed=(6 * b * n_kv * c + 2 * b * n_q * c),
             transcendentals=b * h * n_q * n_kv,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(qp, kp, vp, mask)
     return out[:, :n].reshape(b, n, h, d)
@@ -632,6 +646,9 @@ def flash_attention_packed_lse(
             bytes_accessed=(6 * b * n_kv * c + 2 * b * n_q * c),
             transcendentals=b * h * n_q * n_kv,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(qp, kp, vp, mask)
     return out[:, :n].reshape(b, n, h, d), lse
@@ -641,11 +658,15 @@ def _packed_bwd_geometry(n_q: int,
                          block_k: int | None = None) -> tuple[int, int]:
     """(block_k, q_chunk) for the packed backward.
 
-    block_k=None adapts to the shape: 512 at trunk scale (n_q >= 3072 —
-    round-5 micro 16.82 vs 19.53 ms at bk=256 once the raised per-kernel
-    vmem limit unblocked it; bk=1024 regresses to 21.1), 256 below
-    (Depth-Pro/BERT shapes, round-4 measured best, and a 512 block would
-    pad small kv to 1024).
+    block_k=None adapts to the shape: 512 at trunk scale (3072 <= n_q
+    <= 4736 — round-5 micro 16.82 vs 19.53 ms at bk=256 once the raised
+    per-kernel vmem limit unblocked it; bk=1024 regresses to 21.1), 256
+    otherwise: below 3072 a 512 block would pad small kv (Depth-Pro/
+    BERT shapes, round-4 measured best at 256), and ABOVE 4736 the
+    unrolled q-chunk buffers (NOT liveness-folded by Mosaic — see the
+    kernel note) would total past the 48 MB per-kernel vmem limit
+    (~14 B/cell x n_q x 512 x ~1.2 overhead; the gate maximum n_q=6144
+    stays on 256, whose total ask ~26 MB fits).
 
     The kernel's scoped-VMEM terms are the [q_chunk, block_k] f32 s/p/dp
     intermediates (+bf16 ds/p casts), ~14 B per (q-row, kv-col) cell;
@@ -654,11 +675,11 @@ def _packed_bwd_geometry(n_q: int,
     forced bk=128, where the packed backward lost 28.3 vs 19.5 ms to the
     head-major pair), the kernel loops q in chunks INSIDE the program:
     dk/dv accumulate in tiny [block_k, D] f32 carries, dq rows are
-    disjoint per chunk, so block_k stays at the MXU-efficient 256 for
-    any n_q. Chunk starts are 128-multiples (lane-aligned lse/delta
-    slices; q-row slices are sublane-aligned a fortiori)."""
+    disjoint per chunk, so the kv block keeps an MXU-efficient width
+    (256/512) at any n_q. Chunk starts are 128-multiples (lane-aligned
+    lse/delta slices; q-row slices are sublane-aligned a fortiori)."""
     if block_k is None:
-        block_k = 512 if n_q >= 3072 else 256
+        block_k = 512 if 3072 <= n_q <= 4736 else 256
     budget = 12 * 2**20
     if 14 * n_q * block_k <= budget:
         return block_k, n_q
@@ -677,8 +698,11 @@ def _flash_bwd_packed_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
     transposes outside; see _flash_kernel_packed for why that matters).
 
     q rows are processed in `q_chunk`-row chunks so the [chunk, bk]
-    scoped intermediates fit the 12 MB budget at ANY n_q while bk stays
-    256 (_packed_bwd_geometry): dk/dv accumulate across chunks in
+    scoped intermediates fit the per-chunk budget at ANY n_q while bk
+    keeps an MXU-efficient 256/512 width (_packed_bwd_geometry —
+    note: Mosaic does NOT liveness-fold the unrolled chunk buffers, so
+    the TOTAL ask scales with chunk count; the geometry and the raised
+    vmem limit account for that): dk/dv accumulate across chunks in
     [bk, D] f32 carries, dq chunks are disjoint row slices (the += only
     accumulates across kv-block grid steps, exactly as before)."""
     j = pl.program_id(2)
@@ -759,9 +783,10 @@ def flash_attention_packed_bwd(
     head-major backward pays (q/k/v/do/o in + dq/dk/dv out).
 
     block_k=None picks (block_k, q_chunk) via _packed_bwd_geometry:
-    bk stays 256 at every n_q and the kernel chunks q internally so the
-    [chunk, bk] scoped intermediates (~14 B/cell) fit the 12 MB budget
-    (round-4's bk=128 fallback at trunk n_q=4224 is gone)."""
+    an adaptive MXU-wide kv block (512 at trunk scale, 256 otherwise)
+    with the kernel chunking q internally so the [chunk, bk] scoped
+    intermediates (~14 B/cell) fit the per-chunk budget (round-4's
+    bk=128 fallback at trunk n_q=4224 is gone)."""
     b, n, h, d = q.shape
     c = h * d
     scale = 1.0 / (d**0.5)
@@ -852,7 +877,7 @@ def flash_attention_packed_bwd(
         # per-kernel limit is the honest fix, not shrinking bk to 128
         # (which measured 28.3 vs 19.5 ms in round 4).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 2**20,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(qp, kp, vp, dop, lse_p, delta, mask)
@@ -1082,6 +1107,9 @@ def flash_attention_fwd_lse(
             bytes_accessed=(2 * b * h * n_q * d + 2 * b * h * n_kv * d) * 2,
             transcendentals=b * h * n_q * n_kv,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(qb, kb, vb, mask)
     o = out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)[:, :n]
@@ -1229,6 +1257,9 @@ def flash_attention_bwd(
             bytes_accessed=(3 * b * h * n_q * d + 2 * b * h * n_kv * d) * 2,
             transcendentals=b * h * n_q * n_kv,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(qb, kb, vb, dob, lse_p, delta, mask)
 
@@ -1265,6 +1296,9 @@ def flash_attention_bwd(
             flops=8 * b * h * n_q * n_kv * d,
             bytes_accessed=(3 * b * h * n_q * d + 4 * b * h * n_kv * d) * 2,
             transcendentals=b * h * n_q * n_kv,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(qb, kb, vb, dob, lse_p, delta, mask)
@@ -1324,8 +1358,9 @@ def _attn_fwd(q, k, v, clamp):
         # Small-n_q shapes (single q-chunk: Depth-Pro/BERT) are measured
         # wins. Large n_q (trunk 4224) lost in round 4 when scoped VMEM
         # forced bk=128 (28.3 vs 19.5 ms); the kernel now q-chunks
-        # internally and keeps bk=256 — _packed_bwd_wins gates the
-        # regime (OVMONO3D_PACKED_BWD is the A/B override).
+        # internally with an adaptive MXU-wide kv block (512 at trunk
+        # scale) — _packed_bwd_wins gates the regime
+        # (OVMONO3D_PACKED_BWD is the A/B override).
         if _use_packed(n, h, d) and _packed_bwd_wins():
             o, lse = flash_attention_packed_lse(q, k, v, num_heads=h,
                                                 clamp_c=clamp)
@@ -1524,6 +1559,9 @@ def window_attention_pallas(
             flops=4 * BW * H * N * N * D,
             bytes_accessed=4 * BW * N * H * D * 2,
             transcendentals=BW * H * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(q, k, v, bias, ids)

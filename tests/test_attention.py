@@ -334,8 +334,13 @@ def test_packed_bwd_geometry():
     bk, qc = _packed_bwd_geometry(4224)               # trunk (b8 896²)
     assert bk == 512 and qc % 128 == 0
     assert 14 * qc * bk <= 12 * 2**20
-    bk, qc = _packed_bwd_geometry(6144)               # gate maximum
-    assert bk == 512 and qc % 128 == 0 and 14 * qc * bk <= 12 * 2**20
+    # Gate maximum n_q=6144 falls BACK to 256: Mosaic does not
+    # liveness-fold the unrolled chunk buffers, so bk=512's total ask
+    # (~14 B x n_q x 512 x ~1.2) would exceed the 48 MB kernel limit
+    # there, while 256's ~26 MB fits.
+    bk, qc = _packed_bwd_geometry(6144)
+    assert bk == 256 and qc % 128 == 0 and 14 * qc * bk <= 12 * 2**20
+    assert 14 * 6144 * bk * 1.2 <= 48 * 2**20   # total-ask bound
     # explicit block_k still honored
     assert _packed_bwd_geometry(4224, 256)[0] == 256
 
